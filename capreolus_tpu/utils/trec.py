@@ -1,0 +1,185 @@
+"""TREC file-format utilities.
+
+Capability parity with /root/reference/capreolus/utils/trec.py:7-205: parsing and
+writing of TREC topics (title/desc/narr), qrels, and run files, plus helpers for
+rendering documents/topics back into TREC text.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections import defaultdict
+from pathlib import Path
+
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+
+def _open_maybe_gz(path, mode="rt"):
+    path = str(path)
+    if path.endswith(".gz"):
+        return gzip.open(path, mode, encoding="utf-8", errors="replace")
+    return open(path, mode, encoding="utf-8", errors="replace")
+
+
+def load_trec_topics(path):
+    """Parse a TREC topics file into {"title": {qid: text}, "desc": ..., "narr": ...}."""
+    title, desc, narr = {}, {}, {}
+    block, qid = None, None
+
+    def flush_ws(parts):
+        return " ".join(" ".join(parts).split())
+
+    buffers = {"title": [], "desc": [], "narr": []}
+
+    def end_block():
+        nonlocal block
+        if block and qid is not None and buffers[block]:
+            target = {"title": title, "desc": desc, "narr": narr}[block]
+            target[qid] = flush_ws(buffers[block])
+        block = None
+
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            stripped = line.strip()
+            low = stripped.lower()
+            if low.startswith("<top>"):
+                end_block()
+                qid = None
+                buffers = {"title": [], "desc": [], "narr": []}
+            elif low.startswith("</top>"):
+                end_block()
+                qid = None
+            elif low.startswith("<num>"):
+                end_block()
+                content = stripped[len("<num>") :].replace("Number:", "").replace("number:", "").strip()
+                if content:
+                    qid = content.split()[0]
+            elif low.startswith("<title>"):
+                end_block()
+                block = "title"
+                rest = stripped[len("<title>") :].replace("Topic:", "").strip()
+                if rest:
+                    buffers["title"].append(rest)
+            elif low.startswith("<desc>"):
+                end_block()
+                block = "desc"
+                rest = stripped[len("<desc>") :].replace("Description:", "").strip()
+                if rest:
+                    buffers["desc"].append(rest)
+            elif low.startswith("<narr>"):
+                end_block()
+                block = "narr"
+                rest = stripped[len("<narr>") :].replace("Narrative:", "").strip()
+                if rest:
+                    buffers["narr"].append(rest)
+            elif low.startswith("<"):
+                end_block()
+            else:
+                if qid is None and stripped and stripped.split()[0].isdigit() and block is None:
+                    # some topic files put the number on its own line after <num>
+                    qid = stripped.split()[0]
+                elif block:
+                    buffers[block].append(stripped)
+
+    return {"title": title, "desc": desc, "narr": narr}
+
+
+def load_tsv_topics(path, query_type="title"):
+    """Parse a qid\\tquery TSV topics file (MS MARCO style)."""
+    topics = {}
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            qid, text = line.rstrip("\n").split("\t", 1)
+            topics[qid] = text.strip()
+    return {query_type: topics}
+
+
+def load_qrels(path, qids=None):
+    """Parse a TREC qrels file into {qid: {docid: int label}}."""
+    qrels = defaultdict(dict)
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            qid, _, docid, label = parts[0], parts[1], parts[2], parts[3]
+            if qids is not None and qid not in qids:
+                continue
+            qrels[qid][docid] = int(float(label))
+    return dict(qrels)
+
+
+def write_qrels(qrels, path):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wt", encoding="utf-8") as f:
+        for qid in sorted(qrels):
+            for docid in sorted(qrels[qid]):
+                f.write(f"{qid} 0 {docid} {qrels[qid][docid]}\n")
+
+
+def load_trec_run(path):
+    """Parse a TREC run file into {qid: {docid: score}}, preserving insertion order.
+
+    Mirrors Searcher.load_trec_run (/root/reference/capreolus/searcher/__init__.py:29-46).
+    """
+    run = defaultdict(dict)
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            qid, _, docid, _, score, _ = line.split()[:6]
+            run[qid][docid] = float(score)
+    return dict(run)
+
+
+def write_trec_run(run, path, tag="capreolus_tpu", mode="wt"):
+    """Write {qid: {docid: score}} as a TREC run file sorted by descending score.
+
+    Mirrors Searcher.write_trec_run (/root/reference/capreolus/searcher/__init__.py:48-58).
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    count = 0
+    with open(path, mode, encoding="utf-8") as f:
+        for qid in sorted(run, key=lambda q: (len(q), q)):
+            ranked = sorted(run[qid].items(), key=lambda kv: (-kv[1], kv[0]))
+            for rank, (docid, score) in enumerate(ranked, start=1):
+                f.write(f"{qid} Q0 {docid} {rank} {score} {tag}\n")
+                count += 1
+    return count
+
+
+def max_pool_trec_passage_run(run, delimiter="."):
+    """Convert a passage-level run into a doc-level run by max-pooling passage scores.
+
+    Parity with the reference's PostprocessMixin doc-dedup capability
+    (/root/reference/capreolus/searcher/anserini.py:86-147).
+    """
+    pooled = {}
+    for qid, docs in run.items():
+        best = {}
+        for pid, score in docs.items():
+            docid = pid.split(delimiter)[0]
+            if docid not in best or score > best[docid]:
+                best[docid] = score
+        pooled[qid] = best
+    return pooled
+
+
+def topic_to_trectxt(qid, title, desc=None, narr=None):
+    lines = ["<top>", "", f"<num> Number: {qid}", f"<title> {title}", ""]
+    if desc:
+        lines += ["<desc> Description:", desc, ""]
+    if narr:
+        lines += ["<narr> Narrative:", narr, ""]
+    lines += ["</top>", ""]
+    return "\n".join(lines)
+
+
+def document_to_trectxt(docid, text):
+    return f"<DOC>\n<DOCNO> {docid} </DOCNO>\n<TEXT>\n{text}\n</TEXT>\n</DOC>\n"
