@@ -240,7 +240,7 @@ class ModuleBase:
 
     # ------------------------------------------------------------------ introspection
     @classmethod
-    def describe(cls) -> str:
+    def describe_class(cls) -> str:
         lines = [f"{cls.module_type}={cls.module_name}  ({cls.__module__})"]
         doc = (cls.__doc__ or "").strip().splitlines()
         if doc:

@@ -1,0 +1,301 @@
+"""TPU-resident batched scoring engine over the inverted index.
+
+Design (TPU-first, replacing Anserini's Lucene SearchCollection subprocess,
+/root/reference/capreolus/searcher/anserini.py:26-83):
+
+The CSR postings arrays (doc ids + term freqs) are reshaped into fixed-size tiles
+``[n_tiles, TILE]`` and placed in HBM once. A term's postings span a contiguous tile
+range; edge tiles are handled with on-device masks, so storage has zero padding waste.
+A query batch is flattened host-side into "work units" — one (query, tile) pair each,
+carrying the per-term weights and the valid [lo, hi) range — so the transfer per batch
+is a few small int/float vectors, not postings. On device:
+
+    gather tiles -> elementwise scoring model (VPU) -> flat scatter-add into
+    per-query accumulators -> top-k
+
+All scoring models (BM25, QL-Dirichlet, QL-JM, DFR INL2, SPL, F2Exp, F2Log) share
+this engine and differ only in the elementwise formula, so parameter grid search
+vmaps over the parameter axis while sharing the gathers.
+
+Lucene parity notes: BM25 uses the quantized doc length (see index/smallfloat.py) and
+the Lucene 8+ formula without the (k1+1) numerator; ties are broken by ascending
+internal doc ordinal, matching Lucene's docid tie-break.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+TILE = 512
+
+
+# --------------------------------------------------------------------- scoring models
+# Each model maps elementwise (tf, dl, w1, w2, params) -> score contribution.
+# w1/w2 are per-term scalars baked host-side (idf, qtf, collection probability, df...).
+
+
+def _bm25(tf, dl, w1, w2, params, stats):
+    # w1 = qtf * idf;  Lucene 8+ BM25: idf * tf / (tf + k1*(1 - b + b*dl/avgdl))
+    k1, b = params["k1"], params["b"]
+    denom = tf + k1 * (1.0 - b + b * dl / stats["avgdl"])
+    return w1 * tf / denom
+
+
+def _qld(tf, dl, w1, w2, params, stats):
+    # w1 = qtf, w2 = P(t|C);  Lucene LMDirichletSimilarity with per-term floor at 0
+    mu = params["mu"]
+    score = jnp.log1p(tf / (mu * w2)) + jnp.log(mu / (dl + mu))
+    return w1 * jnp.maximum(score, 0.0)
+
+
+def _qljm(tf, dl, w1, w2, params, stats):
+    # w1 = qtf, w2 = P(t|C);  Lucene LMJelinekMercerSimilarity
+    lam = params["lam"]
+    dl = jnp.maximum(dl, 1.0)
+    return w1 * jnp.log1p(((1.0 - lam) / lam) * (tf / dl) / w2)
+
+
+def _inl2(tf, dl, w1, w2, params, stats):
+    # DFR I(n)L2: tfn = tf * log2(1 + c*avgdl/dl); w1 = qtf, w2 = df
+    c = params["c"]
+    dl = jnp.maximum(dl, 1.0)
+    tfn = tf * (jnp.log1p(c * stats["avgdl"] / dl) / jnp.log(2.0))
+    info = jnp.log((stats["num_docs"] + 1.0) / (w2 + 0.5)) / jnp.log(2.0)
+    return w1 * (1.0 / (tfn + 1.0)) * tfn * info
+
+
+def _spl(tf, dl, w1, w2, params, stats):
+    # SPL (smoothed power law, Clinchant & Gaussier): w1 = qtf, w2 = cf (collection tf)
+    c = params["c"]
+    dl = jnp.maximum(dl, 1.0)
+    tfn = tf * jnp.log1p(c * stats["avgdl"] / dl) / jnp.log(2.0)
+    lam = w2 / stats["num_docs"]
+    lam = jnp.clip(lam, 1e-9, 1.0 - 1e-9)
+    score = -jnp.log((jnp.power(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam) + 1e-30)
+    return w1 * jnp.where(tf > 0, jnp.maximum(score, 0.0), 0.0)
+
+
+def _f2exp(tf, dl, w1, w2, params, stats):
+    # axiomatic F2EXP: w1 = qtf, w2 = df
+    s = params["s"]
+    tfs = tf / (tf + s + s * dl / stats["avgdl"])
+    return w1 * tfs * jnp.power((stats["num_docs"] + 1.0) / w2, params.get("k", 0.35))
+
+
+def _f2log(tf, dl, w1, w2, params, stats):
+    # axiomatic F2LOG: w1 = qtf, w2 = df
+    s = params["s"]
+    tfs = tf / (tf + s + s * dl / stats["avgdl"])
+    return w1 * tfs * jnp.log((stats["num_docs"] + 1.0) / w2)
+
+
+SCORING_MODELS = {
+    "bm25": _bm25,
+    "qld": _qld,
+    "qljm": _qljm,
+    "inl2": _inl2,
+    "spl": _spl,
+    "f2exp": _f2exp,
+    "f2log": _f2log,
+}
+
+# which statistic feeds the w2 channel for each model
+_W2_SOURCE = {
+    "bm25": "none",
+    "qld": "ptc",
+    "qljm": "ptc",
+    "inl2": "df",
+    "spl": "cf",
+    "f2exp": "df",
+    "f2log": "df",
+}
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Round n up to the next power of two (bounded below) to limit recompilation."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+class DeviceIndex:
+    """HBM-resident tiled postings + statistics tables."""
+
+    def __init__(self, index_data, device=None):
+        self.host = index_data
+        nnz = len(index_data.doc_ids)
+        n_tiles = max(1, (nnz + TILE - 1) // TILE)
+        padded = n_tiles * TILE
+
+        doc_ids = np.full(padded, index_data.num_docs, dtype=np.int32)
+        doc_ids[:nnz] = index_data.doc_ids
+        tfs = np.zeros(padded, dtype=np.float32)
+        tfs[:nnz] = index_data.tfs
+
+        put = functools.partial(jax.device_put, device=device)
+        self.doc_tiles = put(doc_ids.reshape(n_tiles, TILE))
+        self.tf_tiles = put(tfs.reshape(n_tiles, TILE))
+        # norm doclens padded with a sentinel row for the padding docid
+        norm_dl = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
+        self.norm_dl = put(norm_dl)
+        exact_dl = np.append(index_data.doclens.astype(np.float32), 1.0)
+        self.exact_dl = put(exact_dl)
+
+        self.num_docs = index_data.num_docs
+        self.num_terms = index_data.num_terms
+        self.avgdl = float(index_data.avgdl)
+        self.total_terms = float(index_data.total_term_count)
+        self.term_offsets = index_data.term_offsets  # host-side for work-unit building
+        self.df = index_data.df_array.astype(np.float64)
+        self.cf = index_data.cf_array.astype(np.float64)
+        # Lucene BM25 idf
+        n = float(self.num_docs)
+        with np.errstate(divide="ignore"):
+            self.idf = np.log(1.0 + (n - self.df + 0.5) / (self.df + 0.5))
+        self.stats = {"avgdl": self.avgdl, "num_docs": float(self.num_docs), "total_terms": self.total_terms}
+
+
+class ScoringEngine:
+    """Batched multi-model scoring with fused top-k over a DeviceIndex."""
+
+    def __init__(self, device_index: DeviceIndex):
+        self.dindex = device_index
+
+    # ------------------------------------------------------------- work-unit building
+    def _build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str):
+        """Flatten a batch of queries into per-(query, tile) work units.
+
+        term_lists[q] = [(term_id, query_weight), ...]
+        Returns numpy arrays (tile_idx, qidx, w1, w2, lo, hi) and the query count.
+        """
+        d = self.dindex
+        tiles, qidxs, w1s, w2s, los, his = [], [], [], [], [], []
+        w2_source = _W2_SOURCE[model]
+        for q, terms in enumerate(term_lists):
+            for tid, qweight in terms:
+                start = int(d.term_offsets[tid])
+                end = int(d.term_offsets[tid + 1])
+                if start == end:
+                    continue
+                if model == "bm25":
+                    w1 = qweight * d.idf[tid]
+                    w2 = 0.0
+                else:
+                    w1 = qweight
+                    if w2_source == "ptc":
+                        w2 = max(d.cf[tid], 1.0) / d.total_terms
+                    elif w2_source == "df":
+                        w2 = max(d.df[tid], 1.0)
+                    elif w2_source == "cf":
+                        w2 = max(d.cf[tid], 1.0)
+                    else:
+                        w2 = 0.0
+                t0, t1 = start // TILE, (end - 1) // TILE
+                for t in range(t0, t1 + 1):
+                    tiles.append(t)
+                    qidxs.append(q)
+                    w1s.append(w1)
+                    w2s.append(w2)
+                    los.append(max(0, start - t * TILE))
+                    his.append(min(TILE, end - t * TILE))
+        n = len(tiles)
+        return (
+            np.asarray(tiles, dtype=np.int32),
+            np.asarray(qidxs, dtype=np.int32),
+            np.asarray(w1s, dtype=np.float32),
+            np.asarray(w2s, dtype=np.float32),
+            np.asarray(los, dtype=np.int32),
+            np.asarray(his, dtype=np.int32),
+            n,
+        )
+
+    # ------------------------------------------------------------------ device kernels
+    @functools.partial(jax.jit, static_argnames=("self", "model", "num_queries", "topk", "param_axes"))
+    def _score_and_topk(self, model, num_queries, topk, param_axes, tile_idx, qidx, w1, w2, lo, hi, params):
+        """Returns (scores [*param_axes, Q, topk], doc_ords [*param_axes, Q, topk])."""
+        d = self.dindex
+        n_rows = d.num_docs + 1  # +1 sentinel slot for padding docids
+
+        docs = jnp.take(d.doc_tiles, tile_idx, axis=0)  # [U, TILE]
+        tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)  # [U, TILE]
+        dl = jnp.take(d.norm_dl if model == "bm25" else d.exact_dl, docs, axis=0)
+        pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
+        mask = (pos >= lo[:, None]) & (pos < hi[:, None])
+        lin = qidx[:, None] * n_rows + docs  # flat accumulator index [U, TILE]
+        model_fn = SCORING_MODELS[model]
+
+        def score_with(p):
+            s = model_fn(tfs, dl, w1[:, None], w2[:, None], p, d.stats)
+            s = jnp.where(mask, s, 0.0)
+            acc = jnp.zeros(num_queries * n_rows, dtype=jnp.float32)
+            acc = acc.at[lin.reshape(-1)].add(s.reshape(-1), mode="drop")
+            scores = acc.reshape(num_queries, n_rows)[:, : d.num_docs]
+            return jax.lax.top_k(scores, topk)
+
+        # vmap over each grid-searched parameter axis (shared gathers);
+        # build inside-out so the first sorted param becomes the outermost result axis
+        fn = score_with
+        for axis_name in reversed(param_axes):
+            inner = fn
+
+            def fn(p, _inner=inner, _axis=axis_name):
+                return jax.vmap(lambda v: _inner({**p, _axis: v}))(p[_axis])
+
+        return fn(params)
+
+    # ------------------------------------------------------------------ public API
+    def search(
+        self,
+        term_lists: Sequence[Sequence[Tuple[int, float]]],
+        model: str = "bm25",
+        params: Dict[str, float] = None,
+        grid: Dict[str, Sequence[float]] = None,
+        topk: int = 1000,
+    ):
+        """Score a batch of queries; returns (scores, doc_ords) numpy arrays.
+
+        Without ``grid``: shapes [Q, topk]. With ``grid`` (param -> list of values):
+        shapes [len(v1), ..., len(vk), Q, topk] with axes ordered by sorted param name.
+        """
+        if model not in SCORING_MODELS:
+            raise ValueError(f"unknown scoring model {model!r}; known: {sorted(SCORING_MODELS)}")
+        params = dict(params or {})
+        grid = dict(grid or {})
+        num_queries = len(term_lists)
+        topk = min(topk, self.dindex.num_docs)
+
+        tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model)
+        u_pad = _bucket(max(n, 1))
+        pad = u_pad - n
+        if pad:
+            # padded units point at tile 0 with an empty [0, 0) range
+            tile_idx = np.concatenate([tile_idx, np.zeros(pad, np.int32)])
+            qidx = np.concatenate([qidx, np.zeros(pad, np.int32)])
+            w1 = np.concatenate([w1, np.zeros(pad, np.float32)])
+            w2 = np.concatenate([w2, np.ones(pad, np.float32)])
+            lo = np.concatenate([lo, np.zeros(pad, np.int32)])
+            hi = np.concatenate([hi, np.zeros(pad, np.int32)])
+
+        param_axes = tuple(sorted(grid))
+        device_params = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
+        for k in param_axes:
+            device_params[k] = jnp.asarray(np.asarray(grid[k], dtype=np.float32))
+
+        scores, doc_ords = self._score_and_topk(
+            model, num_queries, topk, param_axes, tile_idx, qidx, w1, w2, lo, hi, device_params
+        )
+        return np.asarray(scores), np.asarray(doc_ords)

@@ -1,0 +1,118 @@
+"""Tokenizer modules.
+
+Capability parity with /root/reference/capreolus/tokenizer/: ``lucene`` (the
+Anserini/Lucene analyzer, here implemented natively — also registered under the
+name ``anserini`` for config compatibility), ``bert`` (HuggingFace wordpiece), and
+``punkt`` (sentence segmentation).
+"""
+
+from __future__ import annotations
+
+from capreolus_tpu.analysis import get_analyzer
+from capreolus_tpu.core import ConfigOption, ModuleBase, import_all_modules, register_module_type
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+
+@register_module_type
+class Tokenizer(ModuleBase):
+    """Base class for Tokenizer modules."""
+
+    module_type = "tokenizer"
+
+    def tokenize(self, sentences):
+        raise NotImplementedError
+
+
+@Tokenizer.register
+class LuceneTokenizer(Tokenizer):
+    """English analyzer with Lucene semantics (parity:
+    /root/reference/capreolus/tokenizer/anserini.py:6-42)."""
+
+    module_name = "lucene"
+    config_spec = [
+        ConfigOption("keepstops", True, "keep stopwords"),
+        ConfigOption("stemmer", "none", "stemmer: porter or none"),
+    ]
+
+    def build(self):
+        self._analyzer = get_analyzer(stemmer=self.config["stemmer"], keep_stopwords=self.config["keepstops"])
+
+    def tokenize(self, sentences):
+        if not sentences or len(sentences) == 0:
+            return []
+        if isinstance(sentences, str):
+            return self._analyzer.analyze(sentences)
+        return [self._analyzer.analyze(s) for s in sentences]
+
+
+@Tokenizer.register
+class AnseriniTokenizerAlias(LuceneTokenizer):
+    """Alias so reference configs using tokenizer.name=anserini keep working."""
+
+    module_name = "anserini"
+
+
+@Tokenizer.register
+class BertTokenizer(Tokenizer):
+    """HuggingFace wordpiece tokenizer (parity: tokenizer/bert.py:11-42)."""
+
+    module_name = "berttokenizer"
+    config_spec = [ConfigOption("pretrained", "bert-base-uncased", "pretrained tokenizer name")]
+
+    def build(self):
+        self._bert_tokenizer = None
+
+    @property
+    def bert_tokenizer(self):
+        if self._bert_tokenizer is None:
+            from transformers import AutoTokenizer
+
+            self._bert_tokenizer = AutoTokenizer.from_pretrained(self.config["pretrained"], use_fast=True)
+        return self._bert_tokenizer
+
+    def convert_tokens_to_ids(self, tokens):
+        return self.bert_tokenizer.convert_tokens_to_ids(tokens)
+
+    def tokenize(self, sentences):
+        if not sentences or len(sentences) == 0:
+            return []
+        if isinstance(sentences, str):
+            return self.bert_tokenizer.tokenize(sentences)
+        return [self.bert_tokenizer.tokenize(s) for s in sentences]
+
+
+@Tokenizer.register
+class PunktTokenizer(Tokenizer):
+    """Sentence segmentation (parity: tokenizer/punkt.py:6-22). Uses NLTK punkt when
+    its data is available, else a regex sentence splitter."""
+
+    module_name = "punkt"
+
+    def build(self):
+        self._punkt = None
+        try:
+            import nltk
+
+            self._punkt = nltk.data.load("tokenizers/punkt/english.pickle")
+        except Exception:
+            logger.debug("nltk punkt data unavailable; using regex sentence splitter")
+
+    def tokenize(self, sentences):
+        if not sentences or len(sentences) == 0:
+            return []
+        if isinstance(sentences, str):
+            return self._split(sentences)
+        return [self._split(s) for s in sentences]
+
+    def _split(self, text):
+        if self._punkt is not None:
+            return self._punkt.tokenize(text)
+        import re
+
+        parts = re.split(r"(?<=[.!?])\s+", text.strip())
+        return [p for p in parts if p]
+
+
+import_all_modules(__file__, __package__)
