@@ -1,0 +1,99 @@
+"""Headline benchmark: BM25 first-stage throughput (queries/sec/chip).
+
+Run by the driver on real TPU hardware; prints ONE JSON line. Baseline target from
+BASELINE.json: >= 5,000 queries/sec/chip on v5e, at Robust04-like scale. Since the
+environment has no network access, the corpus is synthetic with Zipfian term
+statistics sized like a mid-size TREC collection.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_QPS = 5000.0
+
+NUM_DOCS = 200_000
+NUM_TERMS = 50_000
+AVG_UNIQUE_TERMS = 120
+NUM_QUERIES = 2048
+QUERY_TERMS = 4
+BATCH = 256
+TOPK = 1000
+
+
+def synth_index(seed=0):
+    from capreolus_tpu.index.smallfloat import quantize_lengths
+    from capreolus_tpu.index.tpu import IndexData
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    nnz = NUM_DOCS * AVG_UNIQUE_TERMS
+    # Zipfian term assignment
+    z = rng.zipf(1.3, size=nnz * 2)
+    z = z[z <= NUM_TERMS][:nnz]
+    term_ids = (z - 1).astype(np.int64)
+    doc_ords = rng.integers(0, NUM_DOCS, size=len(term_ids)).astype(np.int64)
+    # dedup (term, doc) pairs
+    key = term_ids * NUM_DOCS + doc_ords
+    key, inv_counts = np.unique(key, return_counts=True)
+    term_ids = (key // NUM_DOCS).astype(np.int64)
+    doc_ords = (key % NUM_DOCS).astype(np.int64)
+    tfs = np.minimum(inv_counts + rng.integers(0, 3, size=len(key)), 64).astype(np.int64)
+
+    order = np.lexsort((doc_ords, -tfs, term_ids))
+    term_ids, doc_ords, tfs = term_ids[order], doc_ords[order], tfs[order]
+    offsets = np.zeros(NUM_TERMS + 1, dtype=np.int64)
+    np.cumsum(np.bincount(term_ids, minlength=NUM_TERMS), out=offsets[1:])
+    doclens = np.bincount(doc_ords, weights=tfs, minlength=NUM_DOCS).astype(np.int32)
+    doclens = np.maximum(doclens, 1)
+    return IndexData(
+        term_offsets=offsets,
+        doc_ids=doc_ords.astype(np.int32),
+        tfs=tfs.astype(np.int32),
+        doclens=doclens,
+        norm_doclens=quantize_lengths(doclens).astype(np.int32),
+        docid_strings=None,  # not needed for scoring
+        vocab=None,
+    )
+
+
+def main():
+    from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+
+    data = synth_index()
+    engine = ScoringEngine(DeviceIndex(data))
+
+    rng = np.random.Generator(np.random.PCG64(1))
+    # queries sample mid-frequency terms (like title queries: informative words)
+    df = data.df_array
+    candidates = np.where((df > 50) & (df < NUM_DOCS // 10))[0]
+    queries = [
+        [(int(t), 1.0) for t in rng.choice(candidates, size=QUERY_TERMS, replace=False)]
+        for _ in range(NUM_QUERIES)
+    ]
+
+    # warmup / compile
+    engine.search(queries[:BATCH], model="bm25", params={"k1": 0.9, "b": 0.4}, topk=TOPK)
+
+    start = time.perf_counter()
+    for i in range(0, NUM_QUERIES, BATCH):
+        scores, ords = engine.search(
+            queries[i : i + BATCH], model="bm25", params={"k1": 0.9, "b": 0.4}, topk=TOPK
+        )
+    elapsed = time.perf_counter() - start
+    qps = NUM_QUERIES / elapsed
+
+    print(json.dumps({
+        "metric": "bm25_queries_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

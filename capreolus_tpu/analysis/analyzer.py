@@ -98,6 +98,8 @@ class WhitespaceAnalyzer:
 
 
 def get_analyzer(stemmer: str = "porter", keep_stopwords: bool = False):
+    if stemmer is None:
+        stemmer = "none"
     if stemmer == "krovetz":
         # krovetz is dictionary-based; porter is the reference default and our parity target
         from capreolus_tpu.utils.loginit import get_logger

@@ -177,50 +177,65 @@ class ScoringEngine:
 
     # ------------------------------------------------------------- work-unit building
     def _build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str):
-        """Flatten a batch of queries into per-(query, tile) work units.
+        """Flatten a batch of queries into per-(query, tile) work units (vectorized).
 
         term_lists[q] = [(term_id, query_weight), ...]
-        Returns numpy arrays (tile_idx, qidx, w1, w2, lo, hi) and the query count.
+        Returns numpy arrays (tile_idx, qidx, w1, w2, lo, hi) and the unit count.
         """
         d = self.dindex
-        tiles, qidxs, w1s, w2s, los, his = [], [], [], [], [], []
         w2_source = _W2_SOURCE[model]
-        for q, terms in enumerate(term_lists):
-            for tid, qweight in terms:
-                start = int(d.term_offsets[tid])
-                end = int(d.term_offsets[tid + 1])
-                if start == end:
-                    continue
-                if model == "bm25":
-                    w1 = qweight * d.idf[tid]
-                    w2 = 0.0
-                else:
-                    w1 = qweight
-                    if w2_source == "ptc":
-                        w2 = max(d.cf[tid], 1.0) / d.total_terms
-                    elif w2_source == "df":
-                        w2 = max(d.df[tid], 1.0)
-                    elif w2_source == "cf":
-                        w2 = max(d.cf[tid], 1.0)
-                    else:
-                        w2 = 0.0
-                t0, t1 = start // TILE, (end - 1) // TILE
-                for t in range(t0, t1 + 1):
-                    tiles.append(t)
-                    qidxs.append(q)
-                    w1s.append(w1)
-                    w2s.append(w2)
-                    los.append(max(0, start - t * TILE))
-                    his.append(min(TILE, end - t * TILE))
-        n = len(tiles)
+
+        # flatten (query, term) pairs
+        tids = np.fromiter((t for terms in term_lists for t, _ in terms), dtype=np.int64)
+        qw = np.fromiter((w for terms in term_lists for _, w in terms), dtype=np.float64)
+        qix = np.fromiter(
+            (q for q, terms in enumerate(term_lists) for _ in terms), dtype=np.int32, count=len(tids)
+        )
+        empty = (np.zeros(0, np.int32),) * 2 + (np.zeros(0, np.float32),) * 2 + (np.zeros(0, np.int32),) * 2
+        if len(tids) == 0:
+            return (*empty, 0)
+
+        starts = d.term_offsets[tids]
+        ends = d.term_offsets[tids + 1]
+        nonempty = ends > starts
+        tids, qw, qix, starts, ends = tids[nonempty], qw[nonempty], qix[nonempty], starts[nonempty], ends[nonempty]
+        if len(tids) == 0:
+            return (*empty, 0)
+
+        if model == "bm25":
+            w1 = (qw * d.idf[tids]).astype(np.float32)
+            w2 = np.zeros(len(tids), dtype=np.float32)
+        else:
+            w1 = qw.astype(np.float32)
+            if w2_source == "ptc":
+                w2 = (np.maximum(d.cf[tids], 1.0) / d.total_terms).astype(np.float32)
+            elif w2_source == "df":
+                w2 = np.maximum(d.df[tids], 1.0).astype(np.float32)
+            elif w2_source == "cf":
+                w2 = np.maximum(d.cf[tids], 1.0).astype(np.float32)
+            else:
+                w2 = np.zeros(len(tids), dtype=np.float32)
+
+        # expand each (query, term) into its covered tile range
+        t0 = starts // TILE
+        t1 = (ends - 1) // TILE
+        counts = (t1 - t0 + 1).astype(np.int64)
+        total = int(counts.sum())
+        group_start = np.cumsum(counts) - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(group_start, counts)
+        tile = (np.repeat(t0, counts) + within).astype(np.int64)
+        rs = np.repeat(starts, counts)
+        re = np.repeat(ends, counts)
+        lo = np.maximum(0, rs - tile * TILE).astype(np.int32)
+        hi = np.minimum(TILE, re - tile * TILE).astype(np.int32)
         return (
-            np.asarray(tiles, dtype=np.int32),
-            np.asarray(qidxs, dtype=np.int32),
-            np.asarray(w1s, dtype=np.float32),
-            np.asarray(w2s, dtype=np.float32),
-            np.asarray(los, dtype=np.int32),
-            np.asarray(his, dtype=np.int32),
-            n,
+            tile.astype(np.int32),
+            np.repeat(qix, counts),
+            np.repeat(w1, counts),
+            np.repeat(w2, counts),
+            lo,
+            hi,
+            total,
         )
 
     # ------------------------------------------------------------------ device kernels

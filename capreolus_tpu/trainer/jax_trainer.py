@@ -1,0 +1,406 @@
+"""The JAX trainer: one jit/pjit training loop for every reranker.
+
+Replaces both reference trainers (/root/reference/capreolus/trainer/pytorch.py and
+tensorflow.py) with a single implementation:
+
+- jitted train step with gradient accumulation via lax.scan over microbatches
+- data parallelism over a ``data`` mesh axis: batches are sharded with
+  NamedSharding, params replicated; XLA inserts the gradient allreduce over ICI
+  (the TPUStrategy equivalent, tensorflow.py:207-211)
+- dual learning rates: parameter paths containing "bert"/"electra" use ``bertlr``
+  with the warmup+decay schedule, everything else uses ``lr``
+  (parity: tensorflow.py:144-197's two Adam optimizers)
+- frozen parameters (reranker.trainable == False) get zero updates and are
+  excluded from checkpoints (parity: reranker/__init__.py:30-55)
+- early stopping on a dev metric every ``validatefreq`` iterations with dev.best
+  weights + metrics.json artifacts; loss.txt history; per-iteration weights and
+  ``fastforward`` resume (parity: pytorch.py:124-168, 256-300)
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from capreolus_tpu.core import ConfigOption
+from capreolus_tpu.evaluation import eval_runs
+from capreolus_tpu.reranker.common import LOSS_FUNCTIONS
+from capreolus_tpu.trainer import Trainer
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+ARRAY_KEYS = ("query", "query_idf", "posdoc", "negdoc", "label", "idfs")
+
+
+def _ext(path, suffix):
+    """Append a suffix without clobbering existing dots in the name (dev.best)."""
+    path = Path(path)
+    return path.parent / (path.name + suffix)
+
+
+def collate(samples, keys=None):
+    """Stack a list of extractor sample dicts into batched numpy arrays."""
+    out = {}
+    for key in samples[0]:
+        if keys is not None and key not in keys:
+            continue
+        values = [s[key] for s in samples]
+        if isinstance(values[0], np.ndarray) or np.isscalar(values[0]):
+            out[key] = np.stack(values)
+        else:
+            out[key] = values  # strings (qid/docid) stay as lists
+    return out
+
+
+@Trainer.register
+class JaxTrainer(Trainer):
+    module_name = "jax"
+    config_spec = [
+        ConfigOption("batch", 32, "batch size"),
+        ConfigOption("niters", 20, "number of iterations to train for"),
+        ConfigOption("itersize", 512, "number of training samples per iteration"),
+        ConfigOption("gradacc", 1, "number of gradient accumulation steps"),
+        ConfigOption("lr", 0.001, "learning rate"),
+        ConfigOption("bertlr", 0.00002, "learning rate for bert/electra parameters"),
+        ConfigOption("loss", "pairwise_hinge_loss", "pairwise_hinge_loss, pair_softmax_loss, crossentropy, or lce"),
+        ConfigOption("softmaxloss", False, "use softmax loss instead of hinge"),
+        ConfigOption("fastforward", False, "resume from per-iteration checkpoints"),
+        ConfigOption("validatefreq", 1, "validate every N iterations"),
+        ConfigOption("warmupiters", 0, "linear warmup iterations"),
+        ConfigOption("decay", 0.0, "decay factor"),
+        ConfigOption("decaytype", None, "decay type: exponential, linear, or None"),
+        ConfigOption("decayiters", 3, "iterations over which exponential decay spreads"),
+        ConfigOption("amp", False, "use bfloat16 mixed precision for the forward/backward pass"),
+        ConfigOption("boardname", "default", "experiment label for artifacts"),
+    ]
+    config_keys_not_in_path = ["fastforward", "boardname", "validatefreq"]
+
+    def build(self):
+        self._data_mesh = None
+        self._params = None
+        self._opt_state = None
+
+    # ------------------------------------------------------------------ setup
+    def _loss_fn(self):
+        if self.config["softmaxloss"]:
+            return LOSS_FUNCTIONS["pair_softmax_loss"]
+        loss = self.config["loss"]
+        if loss not in LOSS_FUNCTIONS:
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(f"unknown loss {loss!r}; valid losses: {sorted(LOSS_FUNCTIONS)}")
+        return LOSS_FUNCTIONS[loss]
+
+    def _mesh(self, batch_size):
+        """Data-parallel mesh over all addressable devices (batch must divide)."""
+        devices = jax.devices()
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        if n <= 1:
+            return None
+        return jax.sharding.Mesh(np.array(devices[:n]), ("data",))
+
+    def _shard_batch(self, batches, leading_dims=2):
+        """Place a [gradacc, batch, ...] pytree with the batch axis sharded over 'data'."""
+        if self._data_mesh is None:
+            return batches
+        P = jax.sharding.PartitionSpec
+        spec = P(None, "data") if leading_dims == 2 else P("data")
+        sharding = jax.sharding.NamedSharding(self._data_mesh, spec)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batches)
+
+    def _replicate(self, tree):
+        if self._data_mesh is None:
+            return tree
+        sharding = jax.sharding.NamedSharding(self._data_mesh, jax.sharding.PartitionSpec())
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+    def _label_params(self, reranker, params):
+        """Map each param path to an optimizer group: frozen / bert / other."""
+
+        def label(path, value):
+            name = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path).lower()
+            if not reranker.trainable(tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path), value):
+                return "frozen"
+            if "bert" in name or "electra" in name:
+                return "bert"
+            return "other"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    @property
+    def steps_per_iter(self):
+        """Optimizer steps per iteration (batches per iter / gradient accumulation)."""
+        return max(1, self.n_batch_per_iter // self.config["gradacc"])
+
+    def _make_optimizer(self, reranker, params):
+        warmup_steps = self.config["warmupiters"] * self.steps_per_iter
+        decaytype = self.config["decaytype"]
+        decay = self.config["decay"]
+        decay_steps = max(1, self.config["decayiters"] * self.steps_per_iter)
+        per_iter = self.steps_per_iter
+
+        def schedule(base_lr):
+            def fn(step):
+                step = jnp.asarray(step, dtype=jnp.float32)
+                mult = jnp.asarray(1.0, dtype=jnp.float32)
+                if decaytype == "exponential" and decay:
+                    mult = jnp.power(decay, (step - warmup_steps) / decay_steps)
+                elif decaytype == "linear" and decay:
+                    mult = 1.0 / (1.0 + decay * (step - warmup_steps) / per_iter)
+                if warmup_steps:
+                    warm = jnp.minimum((step + 1.0) / warmup_steps, 1.0)
+                    mult = jnp.where(step <= warmup_steps, warm, mult)
+                return base_lr * mult
+
+            return fn
+
+        labels = self._label_params(reranker, params)
+        tx = optax.multi_transform(
+            {
+                "other": optax.adam(schedule(self.config["lr"])),
+                "bert": optax.adam(schedule(self.config["bertlr"])),
+                "frozen": optax.set_to_zero(),
+            },
+            labels,
+        )
+        return tx
+
+    # ------------------------------------------------------------------ train step
+    def _build_train_step(self, reranker, tx, loss_fn):
+        amp = self.config["amp"]
+
+        def compute_loss(params, micro):
+            if amp:
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+                )
+            if self.config["loss"] == "lce":
+                scores = reranker.score_lce(params, micro)
+                loss = loss_fn(scores, micro.get("label"))
+            elif self.config["loss"] == "crossentropy":
+                pos, neg = reranker.score(params, micro)
+                loss = loss_fn(jnp.stack([neg, pos], axis=1).astype(jnp.float32), micro["label"])
+            else:
+                pos, neg = reranker.score(params, micro)
+                loss = loss_fn([pos.astype(jnp.float32), neg.astype(jnp.float32)])
+            return loss
+
+        @jax.jit
+        def train_step(params, opt_state, batches):
+            # batches: pytree with leading [gradacc, batch, ...] axes
+            def micro_grads(carry, micro):
+                loss, grads = jax.value_and_grad(compute_loss)(params, micro)
+                acc_loss, acc_grads = carry
+                return (acc_loss + loss, jax.tree_util.tree_map(jnp.add, acc_grads, grads)), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (loss_sum, grads), _ = jax.lax.scan(micro_grads, (0.0, zero_grads), batches)
+            gradacc = self.config["gradacc"]
+            grads = jax.tree_util.tree_map(lambda g: (g / gradacc).astype(jnp.float32), grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss_sum / gradacc
+
+        return train_step
+
+    # ------------------------------------------------------------------ public API
+    def train(self, reranker, train_dataset, train_output_path, dev_data, dev_output_path,
+              qrels, metric="map", relevance_level=1):
+        train_output_path = Path(train_output_path)
+        dev_output_path = Path(dev_output_path)
+        (dev_best_fn, weights_path, info_path, loss_fn_path, metrics_fn) = self.get_paths_for_early_stopping(
+            train_output_path, dev_output_path
+        )
+
+        model = reranker.build_model()
+        loss_fn = self._loss_fn()
+        batch_size = self.config["batch"]
+        gradacc = self.config["gradacc"]
+
+        train_iter = iter(train_dataset)
+        first_samples = [next(train_iter) for _ in range(batch_size)]
+        init_batch = collate(first_samples, ARRAY_KEYS)
+        params = reranker.init_params(jax.random.PRNGKey(self.config["seed"]), init_batch)
+
+        # data parallelism: batch axis sharded over the mesh, params replicated;
+        # XLA inserts the gradient allreduce (TPUStrategy equivalent)
+        self._data_mesh = self._mesh(batch_size)
+        if self._data_mesh is not None:
+            logger.info("data-parallel training over %d devices", self._data_mesh.devices.size)
+            params = self._replicate(params)
+
+        tx = self._make_optimizer(reranker, params)
+        opt_state = tx.init(params)
+        train_step = self._build_train_step(reranker, tx, loss_fn)
+
+        # fastforward resume (parity: pytorch.py:124-168)
+        initial_iter = 0
+        train_loss = []
+        if self.config["fastforward"]:
+            initial_iter, params, opt_state, train_loss = self._fastforward(
+                weights_path, loss_fn_path, params, opt_state, reranker
+            )
+            if initial_iter > 0:
+                logger.info("fastforwarding to iteration %d", initial_iter)
+                # the stream already yielded batch_size samples for init; skip the rest
+                remaining = initial_iter * self.steps_per_iter * gradacc * batch_size - batch_size
+                for _ in range(max(0, remaining)):
+                    next(train_iter)
+
+        pending = first_samples if initial_iter == 0 else []
+        best_metric = -np.inf
+        if metrics_fn.exists():
+            best_metric = self.load_best_metric(metrics_fn, metric)
+        dev_best_metrics = {}
+
+        import time
+
+        for niter in range(initial_iter, self.config["niters"]):
+            iter_start = time.time()
+            iter_loss = []
+            for _ in range(self.steps_per_iter):
+                need = gradacc * batch_size
+                while len(pending) < need:
+                    pending.append(next(train_iter))
+                batch = collate(pending[:need], ARRAY_KEYS)
+                pending = pending[need:]
+                batches = {k: v.reshape((gradacc, batch_size) + v.shape[1:]) for k, v in batch.items()}
+                batches = self._shard_batch(batches)
+                params, opt_state, loss = train_step(params, opt_state, batches)
+                iter_loss.append(float(loss))
+            train_loss.append(float(np.mean(iter_loss)))
+            logger.info("iter=%d loss=%.6f (%.1fs)", niter, train_loss[-1], time.time() - iter_start)
+
+            if self.config["fastforward"]:
+                self.save_checkpoint(weights_path / f"{niter}", params, opt_state, reranker)
+            self.write_to_loss_file(loss_fn_path, train_loss)
+
+            if (niter + 1) % self.config["validatefreq"] == 0 and dev_data is not None:
+                preds = self.predict(reranker, dev_data, params=params)
+                metrics = eval_runs(preds, qrels, self._validation_metrics(metric), relevance_level)
+                logger.info("dev metrics: %s", " ".join(f"{k}={v:0.3f}" for k, v in sorted(metrics.items())))
+                if metrics[metric] > best_metric:
+                    best_metric = metrics[metric]
+                    logger.info("new best dev metric: %s=%0.3f", metric, best_metric)
+                    dev_best_metrics = metrics
+                    self.write_to_metric_file(metrics_fn, metrics)
+                    self.save_checkpoint(dev_best_fn, params, opt_state, reranker)
+
+        self._params = params
+        self._opt_state = opt_state
+        return dev_best_metrics
+
+    @staticmethod
+    def _validation_metrics(metric):
+        base = ["map", "P_20", "ndcg_cut_20"]
+        return base if metric in base else base + [metric]
+
+    def predict(self, reranker, pred_data, pred_fn=None, params=None):
+        """Score all (qid, docid) pairs in a PredSampler; returns {qid: {docid: score}}
+        and writes a TREC run file to pred_fn when given (parity: pytorch.py:310-377)."""
+        if params is None:
+            params = self._params
+        model = reranker.build_model()
+        batch_size = self.config["batch"]
+
+        @jax.jit
+        def test_step(p, batch):
+            return reranker.test(p, batch)
+
+        preds = {}
+        samples = []
+        pairs = []
+        for sample in pred_data:
+            samples.append(sample)
+        pairs = [(s["qid"], s["posdocid"]) for s in samples]
+
+        for start in range(0, len(samples), batch_size):
+            chunk = samples[start : start + batch_size]
+            valid = len(chunk)
+            while len(chunk) < batch_size:  # pad to avoid recompilation
+                chunk.append(chunk[-1])
+            batch = collate(chunk, ARRAY_KEYS)
+            scores = np.asarray(test_step(params, batch))[:valid]
+            for (qid, docid), score in zip(pairs[start : start + valid], scores):
+                preds.setdefault(qid, {})[docid] = float(score)
+
+        if pred_fn is not None:
+            pred_fn = Path(pred_fn)
+            pred_fn.parent.mkdir(parents=True, exist_ok=True)
+            from capreolus_tpu.utils.trec import write_trec_run
+
+            write_trec_run(preds, pred_fn)
+        return preds
+
+    # ------------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, path, params, opt_state, reranker):
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        saveable = self._strip_frozen(reranker, params)
+        _ext(path, ".params").write_bytes(serialization.to_bytes(saveable))
+        _ext(path, ".optstate").write_bytes(serialization.to_bytes(opt_state))
+        _ext(path, ".done").write_text("done")
+
+    def load_checkpoint(self, path, params, opt_state=None, reranker=None):
+        path = Path(path)
+        saveable = self._strip_frozen(reranker, params)
+        loaded = serialization.from_bytes(saveable, _ext(path, ".params").read_bytes())
+        params = self._merge_frozen(reranker, params, loaded)
+        if opt_state is not None and _ext(path, ".optstate").exists():
+            opt_state = serialization.from_bytes(opt_state, _ext(path, ".optstate").read_bytes())
+        return params, opt_state
+
+    def _strip_frozen(self, reranker, params):
+        """Replace frozen leaves with empty arrays so checkpoints skip them
+        (parity with the reference excluding embedding.weight)."""
+        if reranker is None:
+            return params
+
+        def strip(path, value):
+            keys = tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+            return value if reranker.trainable(keys, value) else np.zeros(0, dtype=np.float32)
+
+        return jax.tree_util.tree_map_with_path(strip, params)
+
+    def _merge_frozen(self, reranker, params, loaded):
+        if reranker is None:
+            return loaded
+
+        def merge(path, current, new):
+            keys = tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+            return new if reranker.trainable(keys, current) else current
+
+        return jax.tree_util.tree_map_with_path(merge, params, loaded)
+
+    def _fastforward(self, weights_path, loss_fn_path, params, opt_state, reranker):
+        if not loss_fn_path.exists():
+            return 0, params, opt_state, []
+        try:
+            losses = self.load_loss_file(loss_fn_path)
+        except IOError as e:
+            logger.warning("%s", e)
+            return 0, params, opt_state, []
+        for niter in range(len(losses) - 1, -1, -1):
+            ckpt = weights_path / f"{niter}"
+            if _ext(ckpt, ".done").exists():
+                params, opt_state = self.load_checkpoint(ckpt, params, opt_state, reranker=reranker)
+                return niter + 1, params, opt_state, losses[: niter + 1]
+        return 0, params, opt_state, []
+
+    def load_best_model(self, reranker, train_output_path, params=None):
+        """Load dev.best weights (parity: pytorch.py load_best_model)."""
+        train_output_path = Path(train_output_path)
+        if params is None:
+            params = self._params
+        params, _ = self.load_checkpoint(train_output_path / "dev.best", params, reranker=reranker)
+        self._params = params
+        return params

@@ -7,14 +7,22 @@ exercised in CI without TPU hardware. Env vars must be set before jax initialize
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force the CPU backend regardless of the ambient platform (the driver environment
+# presets JAX_PLATFORMS=axon/tpu and preloads jax at interpreter startup, so plain
+# env vars are too late — use jax.config.update before any backend is initialized);
+# tests must run on the virtual 8-device mesh
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("CAPREOLUS_OFFLINE", "1")
-# persistent XLA compilation cache: repeated test runs skip recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/capreolus_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax
+
+if os.environ.get("CAPREOLUS_TEST_TPU", "") != "1":
+    jax.config.update("jax_platforms", "cpu")
+# persistent XLA compilation cache: repeated test runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/capreolus_tpu_jax_cache")
 
 import pytest
 

@@ -1,0 +1,107 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import capreolus_tpu
+
+capreolus_tpu.load_all_modules()
+
+from capreolus_tpu.index.tpu import IndexData
+from capreolus_tpu.index.smallfloat import quantize_lengths
+from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+
+
+def make_synthetic_index(num_docs=200, num_terms=40, seed=0):
+    """Random small corpus as IndexData (no disk)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    doclens = rng.integers(5, 60, size=num_docs)
+    term_ids, doc_ords, tfs = [], [], []
+    for d in range(num_docs):
+        terms = rng.choice(num_terms, size=min(num_terms, int(doclens[d])), replace=False)
+        for t in terms:
+            term_ids.append(t)
+            doc_ords.append(d)
+            tfs.append(int(rng.integers(1, 5)))
+    term_ids = np.asarray(term_ids)
+    doc_ords = np.asarray(doc_ords)
+    tfs = np.asarray(tfs)
+    order = np.lexsort((doc_ords, -tfs, term_ids))
+    term_ids, doc_ords, tfs = term_ids[order], doc_ords[order], tfs[order]
+    offsets = np.zeros(num_terms + 1, dtype=np.int64)
+    np.cumsum(np.bincount(term_ids, minlength=num_terms), out=offsets[1:])
+    real_lens = np.bincount(doc_ords, weights=tfs, minlength=num_docs).astype(np.int32)
+    return IndexData(
+        term_offsets=offsets,
+        doc_ids=doc_ords.astype(np.int32),
+        tfs=tfs.astype(np.int32),
+        doclens=real_lens,
+        norm_doclens=quantize_lengths(real_lens).astype(np.int32),
+        docid_strings=[f"d{i}" for i in range(num_docs)],
+        vocab={f"t{i}": i for i in range(num_terms)},
+    )
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_search_matches_single_device():
+    from jax.sharding import Mesh
+    from capreolus_tpu.parallel import ShardedDeviceIndex, sharded_bm25_topk
+
+    data = make_synthetic_index()
+    engine = ScoringEngine(DeviceIndex(data))
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    term_lists = [
+        [(int(t), 1.0) for t in rng.choice(data.num_terms, size=3, replace=False)] for _ in range(5)
+    ]
+    ref_scores, ref_ords = engine.search(term_lists, model="bm25", params={"k1": 0.9, "b": 0.4}, topk=20)
+
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    sindex = ShardedDeviceIndex(data, mesh)
+    units = sindex.build_work_units(term_lists)
+    scores, ords = sharded_bm25_topk(sindex, units, num_queries=len(term_lists), topk=20)
+
+    for q in range(len(term_lists)):
+        # compare score-sorted sets (tie order may differ across shard boundaries)
+        np.testing.assert_allclose(np.sort(scores[q]), np.sort(ref_scores[q]), rtol=1e-5)
+        valid = ref_scores[q] > 0
+        assert set(ords[q][valid]) == set(ref_ords[q][valid])
+
+
+def test_data_parallel_training_runs(tmpdir_as_cache, tmp_path):
+    """KNRM training with batch=8 sharded over the 8-device mesh."""
+    from capreolus_tpu.reranker import Reranker
+
+    reranker = Reranker.create(
+        "KNRM",
+        {
+            "extractor": {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 16,
+                          "index": {"collection": {"name": "dummy"}}},
+            "trainer": {"niters": 1, "itersize": 16, "batch": 8, "validatefreq": 1},
+        },
+    )
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.sampler import Sampler
+
+    benchmark = Benchmark.create("dummy")
+    extractor = reranker.extractor
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    extractor.preprocess(list(run.keys()), {d for docs in run.values() for d in docs},
+                         benchmark.topics[benchmark.query_type])
+
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, extractor)
+
+    trainer = reranker.trainer
+    metrics = trainer.train(reranker, sampler, tmp_path / "train", dev, tmp_path / "dev",
+                            benchmark.qrels, metric="map")
+    assert (tmp_path / "train" / "dev.best.params").exists()
+    assert (tmp_path / "train" / "info" / "loss.txt").exists()
+    assert trainer._data_mesh is not None and trainer._data_mesh.devices.size == 8
+    assert metrics["map"] > 0
