@@ -1,0 +1,111 @@
+"""Pallas flash attention for the cross-encoder stack.
+
+IO-aware attention: Q/K/V tiles are streamed through VMEM with an online softmax so
+the [L, L] score matrix is never materialized in HBM. Used by the BERT encoder
+(capreolus_tpu.reranker.bert) for the per-passage transformer; passage decomposition
+keeps sequences short (maxseqlen 256 by default, extractor/bertpassage parity), so a
+single kv-block pass usually suffices — the kernel still tiles for longer sequences.
+
+Falls back to a fused XLA implementation off-TPU (tests run on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK_Q = 128
+BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _xla_attention(q, k, v, mask=None):
+    """Reference attention: [B, H, L, D] inputs, optional [B, L] key mask."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, seq_len: int):
+    """One (batch*head, q-block) program: stream kv blocks with online softmax."""
+    from jax.experimental import pallas as pl
+
+    q = q_ref[0]  # [BLOCK_Q, D]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    q = (q * scale).astype(jnp.float32)
+
+    num_kv = seq_len // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # [BK, D]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        kv_mask = mask_ref[0, pl.ds(i * block_k, block_k)]  # [BK]
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [BQ, BK]
+        s = jnp.where(kv_mask[None, :] != 0, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=1)  # [BQ]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])  # [BQ, BK]
+        l_new = l_prev * alpha + p.sum(axis=1)
+        acc = acc * alpha[:, None] + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((q.shape[0], v_ref.shape[-1]), dtype=jnp.float32)
+    m0 = jnp.full((q.shape[0],), NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((q.shape[0],), dtype=jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_attention_tpu(q, k, v, mask, block_q=BLOCK_Q, block_k=BLOCK_K):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, l, d = q.shape
+    bh = b * h
+    q_ = q.reshape(bh, l, d)
+    k_ = k.reshape(bh, l, d)
+    v_ = v.reshape(bh, l, d)
+    mask_ = jnp.broadcast_to(mask[:, None, :], (b, h, l)).reshape(bh, l).astype(jnp.int32)
+
+    grid = (bh, l // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, seq_len=l),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, l), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, l, d), q.dtype),
+    )(q_, k_, v_, mask_)
+    return out.reshape(b, h, l, d)
+
+
+def multihead_attention(q, k, v, mask=None, use_pallas=None):
+    """Multi-head attention [B, H, L, D] with optional [B, L] key mask.
+
+    use_pallas=None auto-selects the Pallas kernel on TPU when shapes tile cleanly.
+    """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and q.shape[2] % BLOCK_Q == 0
+            and q.shape[3] in (32, 64, 128, 256)
+        )
+    if use_pallas and mask is not None:
+        return _flash_attention_tpu(q, k, v, mask)
+    return _xla_attention(q, k, v, mask)

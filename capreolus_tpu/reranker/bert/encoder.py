@@ -1,0 +1,239 @@
+"""Flax BERT/ELECTRA encoder for cross-encoder rerankers.
+
+From-scratch transformer encoder (not a port of HF's modeling code): embeddings +
+post-LN transformer blocks + pooler, with attention routed through the Pallas flash
+attention kernel on TPU (capreolus_tpu.ops.flash_attention). Supports loading
+HuggingFace BERT/ELECTRA checkpoints via convert_hf_weights (torch state_dict ->
+param pytree), which is how the reference's pretrained models
+(bert-base-uncased, Capreolus/bert-base-msmarco, ELECTRA variants —
+/root/reference/capreolus/reranker/TFBERTMaxP.py:111) are reproduced.
+
+bfloat16 activations by default on TPU (parity with the reference's mixed_bfloat16
+policy, trainer/tensorflow.py:107-109) with float32 layernorm statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from capreolus_tpu.ops.flash_attention import multihead_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    dtype: str = "float32"
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+
+# named configs the reference uses (electra discriminators share BERT's encoder shape)
+KNOWN_CONFIGS = {
+    "tiny": BertConfig(vocab_size=1024, hidden_size=64, num_layers=2, num_heads=2,
+                       intermediate_size=128, max_position=512),
+    "bert-base-uncased": BertConfig(),
+    "Capreolus/bert-base-msmarco": BertConfig(),
+    "bert-large-uncased": BertConfig(hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096),
+    "google/electra-base-discriminator": BertConfig(),
+    "Capreolus/electra-base-msmarco": BertConfig(),
+}
+
+
+def get_bert_config(name: str) -> BertConfig:
+    if name in KNOWN_CONFIGS:
+        return KNOWN_CONFIGS[name]
+    return BertConfig()
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden, mask):
+        c = self.config
+        dtype = jnp.dtype(c.dtype)
+        b, l, _ = hidden.shape
+        q = nn.Dense(c.hidden_size, name="query", dtype=dtype)(hidden)
+        k = nn.Dense(c.hidden_size, name="key", dtype=dtype)(hidden)
+        v = nn.Dense(c.hidden_size, name="value", dtype=dtype)(hidden)
+
+        def split(x):
+            return x.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
+
+        out = multihead_attention(split(q), split(k), split(v), mask=mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, c.hidden_size)
+        return nn.Dense(c.hidden_size, name="output", dtype=dtype)(out)
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, hidden, mask):
+        c = self.config
+        dtype = jnp.dtype(c.dtype)
+        attn = BertSelfAttention(c, name="attention")(hidden, mask)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln", dtype=jnp.float32)(
+            (hidden + attn).astype(jnp.float32)
+        ).astype(dtype)
+        ff = nn.Dense(c.intermediate_size, name="intermediate", dtype=dtype)(hidden)
+        ff = nn.gelu(ff, approximate=False)
+        ff = nn.Dense(c.hidden_size, name="ffn_output", dtype=dtype)(ff)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln", dtype=jnp.float32)(
+            (hidden + ff).astype(jnp.float32)
+        ).astype(dtype)
+        return hidden
+
+
+class BertEncoder(nn.Module):
+    """Returns (sequence_output, pooled_output, all_hidden_states)."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids=None, output_hidden_states=False):
+        c = self.config
+        dtype = jnp.dtype(c.dtype)
+        b, l = input_ids.shape
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        word_emb = self.param("word_embeddings",
+                              nn.initializers.normal(0.02), (c.vocab_size, c.hidden_size), jnp.float32)
+        pos_emb = self.param("position_embeddings",
+                             nn.initializers.normal(0.02), (c.max_position, c.hidden_size), jnp.float32)
+        type_emb = self.param("token_type_embeddings",
+                              nn.initializers.normal(0.02), (c.type_vocab_size, c.hidden_size), jnp.float32)
+
+        # ids are taken mod vocab: identity for real checkpoints, keeps the offline
+        # hash-vocab fallback tokenizer in range for small test configs
+        hidden = (
+            jnp.take(word_emb, input_ids % c.vocab_size, axis=0)
+            + pos_emb[None, :l]
+            + jnp.take(type_emb, token_type_ids % c.type_vocab_size, axis=0)
+        )
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln", dtype=jnp.float32)(hidden)
+        hidden = hidden.astype(dtype)
+
+        mask = attention_mask.astype(jnp.bool_)
+        all_hidden = [hidden]
+        for i in range(c.num_layers):
+            hidden = BertLayer(c, name=f"layer_{i}")(hidden, mask)
+            if output_hidden_states:
+                all_hidden.append(hidden)
+
+        pooled = jnp.tanh(nn.Dense(c.hidden_size, name="pooler", dtype=dtype)(hidden[:, 0]))
+        return hidden, pooled, (all_hidden if output_hidden_states else None)
+
+
+# ------------------------------------------------------------------ HF weight loading
+def convert_hf_weights(state_dict, config: BertConfig):
+    """Convert a HuggingFace BERT/ELECTRA torch state_dict into a BertEncoder param tree.
+
+    Accepts both ``bert.`` and ``electra.`` prefixes.
+    """
+
+    def get(*names):
+        for name in names:
+            if name in state_dict:
+                return np.asarray(state_dict[name])
+        raise KeyError(f"none of {names} in checkpoint (keys like {list(state_dict)[:5]})")
+
+    def prefixed(suffix):
+        return (f"bert.{suffix}", f"electra.{suffix}", suffix)
+
+    params = {
+        "word_embeddings": get(*prefixed("embeddings.word_embeddings.weight")),
+        "position_embeddings": get(*prefixed("embeddings.position_embeddings.weight")),
+        "token_type_embeddings": get(*prefixed("embeddings.token_type_embeddings.weight")),
+        "embeddings_ln": {
+            "scale": get(*prefixed("embeddings.LayerNorm.weight")),
+            "bias": get(*prefixed("embeddings.LayerNorm.bias")),
+        },
+    }
+    for i in range(config.num_layers):
+        pre = f"encoder.layer.{i}."
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": _dense(get(*prefixed(pre + "attention.self.query.weight")),
+                                get(*prefixed(pre + "attention.self.query.bias"))),
+                "key": _dense(get(*prefixed(pre + "attention.self.key.weight")),
+                              get(*prefixed(pre + "attention.self.key.bias"))),
+                "value": _dense(get(*prefixed(pre + "attention.self.value.weight")),
+                                get(*prefixed(pre + "attention.self.value.bias"))),
+                "output": _dense(get(*prefixed(pre + "attention.output.dense.weight")),
+                                 get(*prefixed(pre + "attention.output.dense.bias"))),
+            },
+            "attention_ln": {
+                "scale": get(*prefixed(pre + "attention.output.LayerNorm.weight")),
+                "bias": get(*prefixed(pre + "attention.output.LayerNorm.bias")),
+            },
+            "intermediate": _dense(get(*prefixed(pre + "intermediate.dense.weight")),
+                                   get(*prefixed(pre + "intermediate.dense.bias"))),
+            "ffn_output": _dense(get(*prefixed(pre + "output.dense.weight")),
+                                 get(*prefixed(pre + "output.dense.bias"))),
+            "output_ln": {
+                "scale": get(*prefixed(pre + "output.LayerNorm.weight")),
+                "bias": get(*prefixed(pre + "output.LayerNorm.bias")),
+            },
+        }
+    # electra has no pooler; initialize one if missing
+    try:
+        params["pooler"] = _dense(get(*prefixed("pooler.dense.weight")),
+                                  get(*prefixed("pooler.dense.bias")))
+    except KeyError:
+        hs = config.hidden_size
+        params["pooler"] = {"kernel": np.eye(hs, dtype=np.float32), "bias": np.zeros(hs, dtype=np.float32)}
+    return params
+
+
+def _dense(weight, bias):
+    # torch Linear stores [out, in]; flax Dense expects [in, out]
+    return {"kernel": np.asarray(weight).T, "bias": np.asarray(bias)}
+
+
+def load_pretrained_encoder(name: str):
+    """Returns (BertConfig, params or None). Downloads via HF transformers when
+    online; offline returns None params (random init) for non-'tiny' names."""
+    config = get_bert_config(name)
+    if name == "tiny":
+        return config, None
+    try:
+        import torch  # noqa: F401
+        from transformers import AutoModel
+
+        model = AutoModel.from_pretrained(name)
+        hf_cfg = model.config
+        config = BertConfig(
+            vocab_size=hf_cfg.vocab_size,
+            hidden_size=hf_cfg.hidden_size,
+            num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            intermediate_size=hf_cfg.intermediate_size,
+            max_position=hf_cfg.max_position_embeddings,
+            type_vocab_size=hf_cfg.type_vocab_size,
+            dtype=config.dtype,
+        )
+        params = convert_hf_weights(model.state_dict(), config)
+        return config, params
+    except Exception as e:  # offline or unknown model
+        from capreolus_tpu.utils.loginit import get_logger
+
+        get_logger(__name__).warning(
+            "could not load pretrained %s (%s); using random initialization", name, e
+        )
+        return config, None

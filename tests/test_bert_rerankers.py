@@ -1,0 +1,184 @@
+"""BERT cross-encoder tests with the tiny offline config (random init)."""
+
+import numpy as np
+import pytest
+
+import capreolus_tpu
+
+capreolus_tpu.load_all_modules()
+
+from capreolus_tpu.reranker import Reranker
+
+TINY = {"pretrained": "tiny"}
+EXTRACTOR_TINY = {"maxseqlen": 64, "maxqlen": 8, "numpassages": 2, "passagelen": 20, "stride": 10}
+
+
+def make_reranker(name, reranker_overrides=None, extractor_name=None):
+    config = {
+        "extractor": dict(EXTRACTOR_TINY, **({"name": extractor_name} if extractor_name else {}),
+                          index={"collection": {"name": "dummy"}}),
+        "trainer": {"niters": 1, "itersize": 4, "batch": 2, "validatefreq": 1},
+        **TINY,
+        **(reranker_overrides or {}),
+    }
+    return Reranker.create(name, config)
+
+
+def prepared(reranker):
+    from capreolus_tpu.benchmark import Benchmark
+
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    return benchmark, run
+
+
+def test_bertpassage_features(tmpdir_as_cache):
+    reranker = make_reranker("BERTMaxP")
+    prepared(reranker)
+    ext = reranker.extractor
+    # training: single passage [L]; inference: all passages [P, L]
+    train_feat = ext.id2vec("301", "D001", "D002", label=[1, 0], training=True)
+    assert train_feat["pos_bert_input"].shape == (64,)
+    assert train_feat["pos_bert_input"][0] == ext.cls
+    assert train_feat["pos_mask"].max() == 1
+    dev_feat = ext.id2vec("301", "D001", label=[1, 0], training=False)
+    assert dev_feat["pos_bert_input"].shape == (2, 64)
+    # seg ids: query segment 0 then doc segment 1
+    seg = dev_feat["pos_seg"][0]
+    assert seg[0] == 0 and seg[-1] == 1
+
+
+@pytest.mark.parametrize("name,extractor", [
+    ("BERTMaxP", None),
+    ("TFVanillaBERT", None),
+    ("parade", None),
+    ("CEDRKNRM", None),
+    ("birch", None),
+])
+def test_bert_rerankers_forward(tmpdir_as_cache, name, extractor):
+    import jax
+
+    reranker = make_reranker(name, extractor_name=extractor)
+    benchmark, run = prepared(reranker)
+    reranker.build_model()
+    ext = reranker.extractor
+
+    train_samples = [ext.id2vec(qid, "D001", "D002", label=[1, 0], training=True) for qid in ("301", "302")]
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    batch = collate(train_samples, ARRAY_KEYS)
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    pos, neg = reranker.score(params, batch)
+    assert pos.shape == (2,) and neg.shape == (2,)
+    assert np.isfinite(np.asarray(pos)).all()
+
+    # inference shape [B, P, L]
+    dev_samples = [ext.id2vec(qid, "D001", label=[1, 0], training=False) for qid in ("301", "302")]
+    dev_batch = collate(dev_samples, ARRAY_KEYS)
+    scores = reranker.test(params, dev_batch)
+    assert scores.shape == (2,)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_bertmaxp_training_e2e(tmpdir_as_cache, tmp_path):
+    from capreolus_tpu.sampler import Sampler
+
+    reranker = make_reranker("BERTMaxP")
+    benchmark, run = prepared(reranker)
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                                     benchmark.qrels, metric="map")
+    assert (tmp_path / "t" / "dev.best.params").exists()
+    assert metrics["map"] > 0
+
+
+def test_lce_training(tmpdir_as_cache, tmp_path):
+    from capreolus_tpu.sampler import Sampler
+
+    reranker = make_reranker("BERTMaxP", extractor_name="LCEbertpassage")
+    reranker.trainer.config["loss"] = "lce"
+    benchmark, run = prepared(reranker)
+    sampler = Sampler.create("LCE", {"nneg": 2})
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                                     benchmark.qrels, metric="map")
+    assert (tmp_path / "t" / "info" / "loss.txt").exists()
+
+
+def test_hf_weight_conversion_shapes():
+    """convert_hf_weights maps a synthetic HF-style state_dict into the encoder tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from capreolus_tpu.reranker.bert.encoder import BertConfig, BertEncoder, convert_hf_weights
+
+    cfg = BertConfig(vocab_size=100, hidden_size=16, num_layers=1, num_heads=2,
+                     intermediate_size=32, max_position=64, type_vocab_size=2)
+    rng = np.random.Generator(np.random.PCG64(0))
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    sd = {
+        "bert.embeddings.word_embeddings.weight": t(100, 16),
+        "bert.embeddings.position_embeddings.weight": t(64, 16),
+        "bert.embeddings.token_type_embeddings.weight": t(2, 16),
+        "bert.embeddings.LayerNorm.weight": t(16),
+        "bert.embeddings.LayerNorm.bias": t(16),
+        "bert.pooler.dense.weight": t(16, 16),
+        "bert.pooler.dense.bias": t(16),
+    }
+    pre = "bert.encoder.layer.0."
+    for part in ("attention.self.query", "attention.self.key", "attention.self.value", "attention.output.dense"):
+        sd[pre + part + ".weight"] = t(16, 16)
+        sd[pre + part + ".bias"] = t(16)
+    sd[pre + "attention.output.LayerNorm.weight"] = t(16)
+    sd[pre + "attention.output.LayerNorm.bias"] = t(16)
+    sd[pre + "intermediate.dense.weight"] = t(32, 16)
+    sd[pre + "intermediate.dense.bias"] = t(32)
+    sd[pre + "output.dense.weight"] = t(16, 32)
+    sd[pre + "output.dense.bias"] = t(16)
+    sd[pre + "output.LayerNorm.weight"] = t(16)
+    sd[pre + "output.LayerNorm.bias"] = t(16)
+
+    params = convert_hf_weights(sd, cfg)
+    # converted params must be apply-able by the encoder
+    model = BertEncoder(cfg)
+    ids = np.ones((2, 8), dtype=np.int32)
+    mask = np.ones((2, 8), dtype=np.int32)
+    init_params = model.init(jax.random.PRNGKey(0), ids, mask)
+    # structure compatibility: same keys
+    assert set(init_params["params"].keys()) == set(params.keys())
+    out, pooled, _ = model.apply({"params": params}, ids, mask)
+    assert out.shape == (2, 8, 16) and pooled.shape == (2, 16)
+    # dense transpose check: kernel is [in, out]
+    assert params["layer_0"]["intermediate"]["kernel"].shape == (16, 32)
+
+
+def test_flash_attention_matches_xla():
+    import jax
+
+    from capreolus_tpu.ops.flash_attention import _xla_attention, multihead_attention
+
+    rng = np.random.Generator(np.random.PCG64(0))
+    q = rng.standard_normal((2, 2, 128, 32)).astype(np.float32)
+    k = rng.standard_normal((2, 2, 128, 32)).astype(np.float32)
+    v = rng.standard_normal((2, 2, 128, 32)).astype(np.float32)
+    mask = np.ones((2, 128), dtype=bool)
+    mask[0, 100:] = False
+
+    ref = _xla_attention(q, k, v, mask)
+    # interpret-mode pallas on CPU
+    from capreolus_tpu.ops import flash_attention as fa
+    import functools
+    from unittest import mock
+
+    out = fa.multihead_attention(q, k, v, mask, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
