@@ -65,6 +65,14 @@ class EnglishAnalyzer:
         self.keep_stopwords = keep_stopwords
 
     def analyze(self, text: str) -> List[str]:
+        # the native C++ path handles ASCII text (the overwhelming majority of TREC
+        # corpora); unicode falls through to the pure-Python pipeline
+        if text.isascii():
+            from capreolus_tpu.native import native_analyze
+
+            result = native_analyze(text, self.stemmer == "porter", self.keep_stopwords)
+            if result is not None:
+                return result
         tokens = []
         stem = porter_stem if self.stemmer == "porter" else None
         for raw in standard_tokenize(text):

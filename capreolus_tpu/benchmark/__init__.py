@@ -125,7 +125,12 @@ class Benchmark(ModuleBase):
                     logger.warning("%d fold qids missing from topics (e.g. %s)", len(unknown), sorted(unknown)[:3])
 
     def build(self):
-        self.validate()
+        try:
+            self.validate()
+        except Exception as e:
+            # data may require a download or a user-supplied path; surface the
+            # actionable error on first use instead of at module creation
+            logger.debug("deferring benchmark validation for %s: %s", self.module_name, e)
 
 
 import_all_modules(__file__, __package__)

@@ -1,0 +1,167 @@
+"""Standard benchmark definitions.
+
+Capability parity with the reference's benchmark zoo (SURVEY.md §2.5): antique,
+cds(.desc), core17(.desc), core18(.desc), covid, covidabstract, genomics, gov2(.desc),
+msmarcopsg, codesearchnet_corpus/challenge. Topics/qrels come from their public
+sources; static fold splits the reference ships are fetched from the public
+capreolus repository (all downloads gated offline with actionable errors).
+"""
+
+from __future__ import annotations
+
+from capreolus_tpu.benchmark import Benchmark
+from capreolus_tpu.benchmark.downloadable import DownloadableBenchmark
+from capreolus_tpu.core import ConfigOption, Dependency
+
+_CAPREOLUS_RAW = "https://raw.githubusercontent.com/capreolus-ir/capreolus/master/capreolus/data"
+_TREC = "https://trec.nist.gov/data"
+
+
+@Benchmark.register
+class Antique(DownloadableBenchmark):
+    """ANTIQUE non-factoid QA (parity: benchmark/antique.py:17; relevance_level=2)."""
+
+    module_name = "antique"
+    dependencies = [Dependency(key="collection", module="collection", name="antique")]
+    relevance_level = 2
+    topic_url = f"{_CAPREOLUS_RAW}/topics.antique.txt"
+    qrel_url = f"{_CAPREOLUS_RAW}/qrels.antique.txt"
+    fold_url = f"{_CAPREOLUS_RAW}/antique.json"
+
+
+@Benchmark.register
+class Core17(DownloadableBenchmark):
+    """TREC Common Core 2017 over NYT (parity: benchmark/core17.py:10)."""
+
+    module_name = "core17"
+    dependencies = [Dependency(key="collection", module="collection", name="nyt")]
+    topic_url = f"{_TREC}/core/core_nist.txt"
+    qrel_url = f"{_TREC}/core/qrels.txt"
+    fold_url = f"{_CAPREOLUS_RAW}/core17_birch_folds.json"
+
+
+@Benchmark.register
+class Core17Desc(Core17):
+    module_name = "core17.desc"
+    query_type = "desc"
+
+
+@Benchmark.register
+class Core18(DownloadableBenchmark):
+    """TREC Common Core 2018 over WaPo (parity: benchmark/core18.py:10)."""
+
+    module_name = "core18"
+    dependencies = [Dependency(key="collection", module="collection", name="wapo")]
+    topic_url = f"{_TREC}/core/topics2018.txt"
+    qrel_url = f"{_TREC}/core/qrels2018.txt"
+    fold_url = f"{_CAPREOLUS_RAW}/core18_title_folds.json"
+
+
+@Benchmark.register
+class Core18Desc(Core18):
+    module_name = "core18.desc"
+    query_type = "desc"
+    fold_url = f"{_CAPREOLUS_RAW}/core18_desc_folds.json"
+
+
+@Benchmark.register
+class Gov2Benchmark(DownloadableBenchmark):
+    """TREC Terabyte (GOV2) (parity: benchmark/gov2.py:10)."""
+
+    module_name = "gov2"
+    dependencies = [Dependency(key="collection", module="collection", name="gov2")]
+    topic_url = f"{_CAPREOLUS_RAW}/gov2.topics.701-850.txt"
+    qrel_url = f"{_CAPREOLUS_RAW}/gov2.qrels.701-850.txt"
+
+
+@Benchmark.register
+class Gov2Desc(Gov2Benchmark):
+    module_name = "gov2.desc"
+    query_type = "desc"
+
+
+@Benchmark.register
+class CDS(DownloadableBenchmark):
+    """TREC Clinical Decision Support (parity: benchmark/cds.py:12)."""
+
+    module_name = "cds"
+    dependencies = [Dependency(key="collection", module="collection", name="cds")]
+    topic_url = f"{_CAPREOLUS_RAW}/topics.cds.txt"
+    qrel_url = f"{_CAPREOLUS_RAW}/qrels.cds.txt"
+    fold_url = f"{_CAPREOLUS_RAW}/cds_5folds.json"
+
+
+@Benchmark.register
+class CDSDesc(CDS):
+    module_name = "cds.desc"
+    query_type = "desc"
+
+
+@Benchmark.register
+class Genomics(DownloadableBenchmark):
+    """TREC Genomics 2004-05 (parity: benchmark/genomics.py:10)."""
+
+    module_name = "genomics"
+    dependencies = [Dependency(key="collection", module="collection", name="highwire")]
+    topic_url = f"{_CAPREOLUS_RAW}/topics.genomics.txt"
+    qrel_url = f"{_CAPREOLUS_RAW}/qrels.genomics.txt"
+
+
+@Benchmark.register
+class Covid(DownloadableBenchmark):
+    """TREC-COVID with round-based topics/qrels and optional udel query expansion
+    (parity: benchmark/covid.py:22-31)."""
+
+    module_name = "covid"
+    dependencies = [Dependency(key="collection", module="collection", name="covid")]
+    config_spec = DownloadableBenchmark.config_spec + [
+        ConfigOption("round", 3, "TREC-COVID round"),
+        ConfigOption("udelqexpand", False, "expand queries with the udel method"),
+        ConfigOption("useprevqrels", True, "include qrels from previous rounds"),
+    ]
+    query_type = "query"
+
+    @property
+    def topic_url(self):
+        return f"https://ir.nist.gov/covidSubmit/data/topics-rnd{self.config['round']}.xml"
+
+    @property
+    def qrel_url(self):
+        rnd = self.config["round"]
+        return f"https://ir.nist.gov/covidSubmit/data/qrels-covid_d{rnd}_j0.5-{rnd}.txt"
+
+
+@Benchmark.register
+class CovidAbstract(Covid):
+    """TREC-COVID over abstracts (parity: benchmark/covidabstract.py:10)."""
+
+    module_name = "covidabstract"
+    dependencies = [Dependency(key="collection", module="collection", name="covidabstract")]
+
+
+@Benchmark.register
+class CovidQA(DownloadableBenchmark):
+    """CovidQA (parity: benchmark/covid.py:185)."""
+
+    module_name = "covidqa"
+    dependencies = [Dependency(key="collection", module="collection", name="covid")]
+    topic_url = "https://raw.githubusercontent.com/castorini/pygaggle/master/data/kaggle-lit-review-0.2.json"
+
+
+@Benchmark.register
+class CodeSearchNetCorpus(DownloadableBenchmark):
+    """CodeSearchNet corpus benchmark, per-language (parity: benchmark/codesearchnet.py:28)."""
+
+    module_name = "codesearchnet_corpus"
+    dependencies = [Dependency(key="collection", module="collection", name="codesearchnet")]
+    config_spec = DownloadableBenchmark.config_spec + [
+        ConfigOption("lang", "ruby", "language: ruby, go, java, javascript, php, or python"),
+    ]
+
+
+@Benchmark.register
+class CodeSearchNetChallenge(CodeSearchNetCorpus):
+    """CodeSearchNet challenge queries (parity: benchmark/codesearchnet.py:189)."""
+
+    module_name = "codesearchnet_challenge"
+    topic_url = "https://raw.githubusercontent.com/github/CodeSearchNet/master/resources/queries.csv"

@@ -95,6 +95,8 @@ class TpuIndex(Index):
     config_spec = [
         ConfigOption("indexstops", False, "index stopwords (True) or remove them (False)"),
         ConfigOption("stemmer", "porter", "stemmer: porter or none"),
+        ConfigOption("storepositions", False, "store the positional forward index "
+                     "(per-doc token-id sequences; required by SDM)"),
     ]
 
     def _analyzer(self):
@@ -114,6 +116,9 @@ class TpuIndex(Index):
         term_chunks, doc_chunks, tf_chunks = [], [], []
         doc_byte_offsets = [0]
         docs_bin = open(index_path / "docs.bin", "wb")
+        store_positions = self.config["storepositions"]
+        docterms_bin = open(index_path / "docterms.bin", "wb") if store_positions else None
+        docterm_offsets = [0]
 
         for doc_ord, (docid, contents) in enumerate(self.collection.get_doc_iterator()):
             tokens = analyzer.analyze(contents)
@@ -123,6 +128,11 @@ class TpuIndex(Index):
             data = contents.encode("utf-8")
             docs_bin.write(data)
             doc_byte_offsets.append(doc_byte_offsets[-1] + len(data))
+            if store_positions:
+                seq = np.fromiter((vocab.setdefault(t, len(vocab)) for t in tokens),
+                                  dtype=np.int32, count=len(tokens))
+                docterms_bin.write(seq.tobytes())
+                docterm_offsets.append(docterm_offsets[-1] + len(seq))
             if counts:
                 tids = np.fromiter(
                     (vocab.setdefault(t, len(vocab)) for t in counts), dtype=np.int64, count=len(counts)
@@ -135,6 +145,9 @@ class TpuIndex(Index):
 
         docs_bin.close()
         np.save(index_path / "doc_offsets.npy", np.asarray(doc_byte_offsets, dtype=np.int64))
+        if store_positions:
+            docterms_bin.close()
+            np.save(index_path / "docterm_offsets.npy", np.asarray(docterm_offsets, dtype=np.int64))
         num_docs = len(docid_strings)
         if num_docs == 0:
             raise IOError(f"collection {self.collection.module_name} yielded no documents")
@@ -224,6 +237,11 @@ class TpuIndex(Index):
         self._docid_to_ord = {d: i for i, d in enumerate(docid_strings)}
         self._doc_offsets = np.load(index_path / "doc_offsets.npy")
         self._docs_bin = np.memmap(index_path / "docs.bin", dtype=np.uint8, mode="r")
+        if (index_path / "docterms.bin").exists():
+            self._docterm_offsets = np.load(index_path / "docterm_offsets.npy")
+            self._docterms_bin = np.memmap(index_path / "docterms.bin", dtype=np.int32, mode="r")
+        else:
+            self._docterm_offsets = None
         return self._data
 
     @property
@@ -254,6 +272,15 @@ class TpuIndex(Index):
             return 0.0
         n = self._load().num_docs
         return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def get_doc_term_ids(self, doc_ord: int):
+        """Positional forward index: the doc's analyzed token-id sequence
+        (requires storepositions=True)."""
+        self._load()
+        if self._docterm_offsets is None:
+            raise ValueError("index was built without storepositions=True")
+        s, e = self._docterm_offsets[doc_ord], self._docterm_offsets[doc_ord + 1]
+        return np.asarray(self._docterms_bin[s:e])
 
     def analyze(self, text):
         return self._analyzer().analyze(text)

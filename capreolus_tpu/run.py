@@ -74,7 +74,19 @@ def main(argv=None):
         return 0
 
     loglevel = None
-    argv = [a for a in argv if not (a.startswith("--loglevel=") and (loglevel := a.split("=", 1)[1]))]
+    queue = False
+    priority = 0
+    kept = []
+    for a in argv:
+        if a.startswith("--loglevel="):
+            loglevel = a.split("=", 1)[1]
+        elif a in ("-q", "--queue"):
+            queue = True
+        elif a.startswith("--priority="):
+            priority = int(a.split("=", 1)[1])
+        else:
+            kept.append(a)
+    argv = kept
     if loglevel:
         set_log_level(loglevel)
 
@@ -90,12 +102,44 @@ def main(argv=None):
         else:
             expanded.append(pair)
 
-    load_all_modules()
     config = config_list_to_dict(expanded)
+
+    if queue:
+        # enqueue instead of running (parity: run.py:98-103 / DBManager)
+        from capreolus_tpu.core.queue import DBManager
+
+        DBManager().queue_run(fullcommand, config, priority)
+        return 0
+
+    if fullcommand == "worker":
+        return _run_worker()
+
+    load_all_modules()
     task, command_fn = prepare_task(fullcommand, config)
     logger.info("running %s with config %s", fullcommand, config)
     command_fn()
     return 0
+
+
+def _run_worker():
+    """Process queued runs until the queue is empty."""
+    from capreolus_tpu.core.queue import DBManager
+
+    load_all_modules()
+    db = DBManager()
+    while True:
+        item = db.claim_next()
+        if item is None:
+            logger.info("queue empty")
+            return 0
+        logger.info("running queued run %d: %s", item["id"], item["command"])
+        try:
+            task, command_fn = prepare_task(item["command"], item["config"])
+            command_fn()
+            db.mark_done(item["id"], "done")
+        except Exception as e:
+            logger.exception("queued run %d failed: %s", item["id"], e)
+            db.mark_done(item["id"], "failed")
 
 
 if __name__ == "__main__":

@@ -250,3 +250,26 @@ def topic_to_trectxt(qid, title, desc=None, narr=None):
 
 def document_to_trectxt(docid, text):
     return f"<DOC>\n<DOCNO> {docid} </DOCNO>\n<TEXT>\n{text}\n</TEXT>\n</DOC>\n"
+
+
+def index_to_trec_docs(index, output_dir, max_docs_per_file=100000):
+    """Export an index's stored documents as TREC-format files.
+
+    Parity with anserini_index_to_trec_docs (/root/reference/capreolus/utils/trec.py:164-205),
+    which the reference uses to reconstruct the robust04 corpus from a prebuilt index.
+    """
+    from pathlib import Path
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    data = index.data
+    out = None
+    for i, docid in enumerate(data.docid_strings):
+        if i % max_docs_per_file == 0:
+            if out:
+                out.close()
+            out = open(output_dir / f"docs_{i // max_docs_per_file:04d}.trectxt", "wt", encoding="utf-8")
+        out.write(document_to_trectxt(docid, index.get_doc(docid)))
+    if out:
+        out.close()
+    return output_dir

@@ -1,0 +1,114 @@
+"""Forward/gradient smoke tests for sequence models + new searchers + registry sweep."""
+
+import numpy as np
+import pytest
+
+import capreolus_tpu
+
+capreolus_tpu.load_all_modules()
+
+from capreolus_tpu.core import module_registry
+from capreolus_tpu.reranker import Reranker
+from capreolus_tpu.searcher import Searcher
+
+SMALL_EXT = {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 32, "index": {"collection": {"name": "dummy"}}}
+
+
+def prepare(reranker):
+    from capreolus_tpu.benchmark import Benchmark
+
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    return benchmark, run
+
+
+@pytest.mark.parametrize("name", ["DUET", "POSITDRMM", "HINT", "TK", "DeepTileBar"])
+def test_sequence_model_forward(tmpdir_as_cache, name):
+    import jax
+
+    extractor_cfg = dict(SMALL_EXT)
+    if name == "DeepTileBar":
+        extractor_cfg = {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 32, "slicelen": 8,
+                         "passagelen": 4, "index": {"collection": {"name": "dummy"}}}
+    reranker = Reranker.create(name, {"extractor": extractor_cfg,
+                                      "trainer": {"niters": 1, "itersize": 4, "batch": 2}})
+    prepare(reranker)
+    reranker.build_model()
+    ext = reranker.extractor
+
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    samples = [ext.id2vec(qid, "D001", "D002", label=[1, 0]) for qid in ("301", "302")]
+    batch = collate(samples, ARRAY_KEYS)
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    pos, neg = reranker.score(params, batch)
+    assert pos.shape == (2,) and np.isfinite(np.asarray(pos)).all(), name
+
+    from capreolus_tpu.reranker.common import pair_hinge_loss
+
+    grads = jax.grad(lambda p: pair_hinge_loss(reranker.score(p, batch)))(params)
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in jax.tree_util.tree_leaves(grads)), name
+
+
+def test_all_rerankers_creatable(tmpdir_as_cache):
+    """Registry sweep (parity: reference reranker/tests/test_rerankers.py:33-41)."""
+    for name in module_registry.get_module_names("reranker"):
+        reranker = Reranker.create(name, {"trainer": {"niters": 1}})
+        assert reranker.module_name == name
+
+
+def test_all_extractors_creatable(tmpdir_as_cache):
+    from capreolus_tpu.extractor import Extractor
+
+    for name in module_registry.get_module_names("extractor"):
+        ext = Extractor.create(name, {"index": {"collection": {"name": "dummy"}}})
+        assert ext.module_name == name
+
+
+@pytest.mark.parametrize("name", ["BM25Postprocess", "DirichletQL", "BM25PRF", "axiomatic"])
+def test_new_searchers_run(tmpdir_as_cache, tmp_path, name):
+    config = {"index": {"collection": {"name": "dummy"}}}
+    if name == "BM25PRF":
+        config.update({"k1": [0.9], "b": [0.4], "fbTerms": [5], "fbDocs": [2], "newTermWeight": [0.2]})
+    searcher = Searcher.create(name, config)
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("1\ttelescope galaxies\n2\twhales ocean\n")
+    outdir = tmp_path / "out"
+    searcher.query_from_file(topicsfn, outdir)
+    runs = [f for f in outdir.iterdir() if f.name != "done"]
+    assert runs
+    from capreolus_tpu.utils.trec import load_trec_run
+
+    run = load_trec_run(runs[0])
+    assert run.get("1"), f"{name} returned no docs"
+
+
+def test_sdm_with_positions(tmpdir_as_cache, tmp_path):
+    searcher = Searcher.create("SDM", {"index": {"collection": {"name": "dummy"}}})
+    assert searcher.index.config["storepositions"] is True
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("1\tdistant galaxies\n")
+    outdir = tmp_path / "out"
+    searcher.query_from_file(topicsfn, outdir)
+    from capreolus_tpu.utils.trec import load_trec_run
+
+    runs = [f for f in outdir.iterdir() if f.name != "done"]
+    run = load_trec_run(runs[0])
+    # D001 contains the ordered phrase "distant galaxies" -> must rank first
+    ranked = sorted(run["1"].items(), key=lambda kv: -kv[1])
+    assert ranked[0][0] == "D001"
+
+
+def test_index_positions(tmpdir_as_cache):
+    from capreolus_tpu.index import Index
+
+    index = Index.create("tpu", {"storepositions": True, "collection": {"name": "dummy"}})
+    index.create_index()
+    tokens = index.get_doc_term_ids(0)
+    assert len(tokens) == index.data.doclens[0]
+    # the sequence must decode back to the analyzed doc
+    vocab_inv = {v: k for k, v in index.data.vocab.items()}
+    decoded = [vocab_inv[int(t)] for t in tokens]
+    assert decoded[:2] == ["januari", "orbit"]
