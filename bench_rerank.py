@@ -1,0 +1,68 @@
+"""Secondary benchmark: monoBERT reranking throughput (docs/sec/chip).
+
+BASELINE.json target: >= 2,000 docs/sec/chip on v5e. One doc = one 256-token
+[CLS] q [SEP] passage [SEP] sequence through BERT-base (bf16, flash attention)
+plus the relevance head — the MS MARCO passage configuration. Prints one JSON line
+(same shape as bench.py; the driver's headline metric remains bench.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_DPS = 2000.0
+BATCH = 128
+SEQLEN = 256
+NUM_DOCS = 4096
+
+
+def main():
+    import jax
+
+    from capreolus_tpu.reranker.bert.encoder import BertConfig
+    from capreolus_tpu.reranker.bert_rerankers import _BertScorer
+
+    config = BertConfig(dtype="bfloat16" if jax.default_backend() == "tpu" else "float32")
+    model = _BertScorer(config)
+
+    rng = np.random.Generator(np.random.PCG64(0))
+    def make_batch(seed):
+        r = np.random.Generator(np.random.PCG64(seed))
+        inp = r.integers(1000, config.vocab_size, size=(BATCH, SEQLEN)).astype(np.int32)
+        inp[:, 0] = 101
+        mask = np.ones((BATCH, SEQLEN), dtype=np.int32)
+        seg = np.zeros((BATCH, SEQLEN), dtype=np.int32)
+        seg[:, 8:] = 1
+        return inp, mask, seg
+
+    inp, mask, seg = make_batch(0)
+    params = model.init(jax.random.PRNGKey(0), inp[:2], mask[:2], seg[:2])
+
+    @jax.jit
+    def score(params, inp, mask, seg):
+        return model.apply(params, inp, mask, seg)
+
+    batches = [make_batch(i) for i in range(NUM_DOCS // BATCH)]
+    score(params, *batches[0]).block_until_ready()  # compile
+
+    start = time.perf_counter()
+    pending = [score(params, *b) for b in batches]
+    jax.block_until_ready(pending)
+    elapsed = time.perf_counter() - start
+    dps = NUM_DOCS / elapsed
+
+    print(json.dumps({
+        "metric": "monobert_rerank_docs_per_sec_per_chip",
+        "value": round(dps, 1),
+        "unit": "docs/sec",
+        "vs_baseline": round(dps / BASELINE_DPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,15 +22,27 @@ class KNRMModel(nn.Module):
     gradkernels: bool = True
     singlefc: bool = True
     scoretanh: bool = False
+    finetune: bool = False
 
     @nn.compact
     def __call__(self, querytoks, doctoks, query_idf=None):
+        import jax
+
         embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
         mus = self.param("mus", lambda rng: jnp.asarray(KNRM_MUS, dtype=jnp.float32))
         sigmas = self.param("sigmas", lambda rng: jnp.asarray(KNRM_SIGMAS, dtype=jnp.float32))
 
-        simmat = similarity_matrix(embedding, querytoks, doctoks)  # [B, Q, D]
-        pooled = knrm_pool(simmat, mus, sigmas)  # [B, K]
+        if jax.default_backend() == "tpu" and not self.gradkernels and not self.finetune:
+            # fused Pallas simmat + kernel pooling (no [B, K, Q, D] in HBM). The
+            # kernel has no VJP; with kernels and embeddings frozen no gradient
+            # flows through it, so inputs are stop_gradient-wrapped explicitly.
+            from capreolus_tpu.ops.simmat import knrm_simmat_pool
+
+            sg = jax.lax.stop_gradient
+            pooled = knrm_simmat_pool(sg(embedding), querytoks, doctoks, sg(mus), sg(sigmas))
+        else:
+            simmat = similarity_matrix(embedding, querytoks, doctoks)  # [B, Q, D]
+            pooled = knrm_pool(simmat, mus, sigmas)  # [B, K]
 
         if self.singlefc:
             scores = nn.Dense(1, name="combine")(pooled)
@@ -62,6 +74,7 @@ class KNRM(Reranker):
                 gradkernels=self.config["gradkernels"],
                 singlefc=self.config["singlefc"],
                 scoretanh=self.config["scoretanh"],
+                finetune=self.config["finetune"],
             )
         return self.model
 

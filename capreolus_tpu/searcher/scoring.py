@@ -242,9 +242,20 @@ class ScoringEngine:
         )
 
     # ------------------------------------------------------------------ device kernels
-    @functools.partial(jax.jit, static_argnames=("self", "model", "num_queries", "topk", "param_axes", "exact"))
-    def _score_and_topk(self, model, num_queries, topk, param_axes, exact, tile_idx, qidx, w1, w2, lo, hi, params):
-        """Returns (scores [*param_axes, Q, topk], doc_ords [*param_axes, Q, topk])."""
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "model", "num_queries", "topk", "param_axes", "exact", "cand_pad"))
+    def _score_and_topk(self, model, num_queries, topk, param_axes, exact, cand_pad,
+                        tile_idx, qidx, w1, w2, lo, hi, dest_base, params):
+        """Returns (scores [*param_axes, Q, topk], doc_ords [*param_axes, Q, topk]).
+
+        Two top-k strategies:
+          exact: dense [Q, N] accumulator + lax.top_k (small corpora / parity tests)
+          compact: the dense accumulator holds the summed scores, but top-k runs
+            over the per-query *candidate* layout [Q, cand_pad] (each work unit owns
+            a TILE-wide column block) — orders of magnitude fewer elements than N.
+            Duplicate (query, doc) candidates from multi-term matches are resolved
+            on device with a scatter-max ownership pass.
+        """
         d = self.dindex
         n_rows = d.num_docs + 1  # +1 sentinel slot for padding docids
 
@@ -256,17 +267,43 @@ class ScoringEngine:
         lin = qidx[:, None] * n_rows + docs  # flat accumulator index [U, TILE]
         model_fn = SCORING_MODELS[model]
 
+        if not exact:
+            cand_lin = dest_base[:, None] + pos  # [U, TILE] unique candidate slots
+            # ownership: the highest cand_lin among duplicates of a (q, doc) wins
+            owner = jnp.zeros(num_queries * n_rows, dtype=jnp.int32)
+            owner = owner.at[lin.reshape(-1)].max(
+                jnp.where(mask, cand_lin + 1, 0).reshape(-1), mode="drop"
+            )
+
         def score_with(p):
             s = model_fn(tfs, dl, w1[:, None], w2[:, None], p, d.stats)
             s = jnp.where(mask, s, 0.0)
             acc = jnp.zeros(num_queries * n_rows, dtype=jnp.float32)
             acc = acc.at[lin.reshape(-1)].add(s.reshape(-1), mode="drop")
-            scores = acc.reshape(num_queries, n_rows)[:, : d.num_docs]
             if exact:
+                scores = acc.reshape(num_queries, n_rows)[:, : d.num_docs]
                 return jax.lax.top_k(scores, topk)
-            # TPU-optimized approximate top-k (recall ~0.99 at depth 1000); exact
-            # mode is used automatically for small corpora / parity evaluation
-            return jax.lax.approx_max_k(scores, topk, recall_target=0.99)
+
+            summed = jnp.take(acc, lin.reshape(-1), axis=0).reshape(lin.shape)  # [U, TILE]
+            keep = mask & (jnp.take(owner, lin.reshape(-1), axis=0).reshape(lin.shape) == cand_lin + 1)
+            vals = jnp.where(keep, summed, -1.0)
+
+            cand = jnp.full(num_queries * cand_pad, -1.0, dtype=jnp.float32)
+            cand = cand.at[cand_lin.reshape(-1)].set(vals.reshape(-1), mode="drop", unique_indices=True)
+            cand_docs = jnp.full(num_queries * cand_pad, d.num_docs, dtype=jnp.int32)
+            cand_docs = cand_docs.at[cand_lin.reshape(-1)].set(docs.reshape(-1), mode="drop", unique_indices=True)
+
+            cand = cand.reshape(num_queries, cand_pad)
+            cand_docs = cand_docs.reshape(num_queries, cand_pad)
+            k = min(topk, cand_pad)
+            top_scores, top_pos = jax.lax.top_k(cand, k)
+            top_docs = jnp.take_along_axis(cand_docs, top_pos, axis=1)
+            if k < topk:  # pad out to the requested depth
+                pad_n = topk - k
+                top_scores = jnp.concatenate([top_scores, jnp.full((num_queries, pad_n), -1.0)], axis=1)
+                top_docs = jnp.concatenate(
+                    [top_docs, jnp.full((num_queries, pad_n), d.num_docs, dtype=jnp.int32)], axis=1)
+            return top_scores, top_docs
 
         # vmap over each grid-searched parameter axis (shared gathers);
         # build inside-out so the first sorted param becomes the outermost result axis
@@ -288,6 +325,7 @@ class ScoringEngine:
         grid: Dict[str, Sequence[float]] = None,
         topk: int = 1000,
         exact_topk: bool = None,
+        materialize: bool = True,
     ):
         """Score a batch of queries; returns (scores, doc_ords) numpy arrays.
 
@@ -314,9 +352,24 @@ class ScoringEngine:
             hi = np.concatenate([hi, np.zeros(pad, np.int32)])
 
         if exact_topk is None:
-            # exact for small corpora (cheap + needed for parity tests); approximate
-            # (recall ~0.99) on large corpora where exact top_k dominates latency
-            exact_topk = self.dindex.num_docs <= 65536 or jax.default_backend() != "tpu"
+            # exact dense top-k for small corpora (cheap + parity tests); the compact
+            # candidate layout on large corpora where dense top_k dominates latency
+            exact_topk = self.dindex.num_docs <= 65536
+
+        # candidate layout: each work unit owns a TILE-wide column block within its query
+        if exact_topk:
+            dest_base = np.zeros(u_pad, dtype=np.int32)
+            cand_pad = TILE
+        else:
+            unit_rank = np.arange(n, dtype=np.int64) - np.searchsorted(qidx[:n], qidx[:n])
+            cols_per_query = int(unit_rank.max() + 1) if n else 1
+            cand_pad = _bucket(max(cols_per_query * TILE, topk), minimum=TILE)
+            dest_base = np.zeros(u_pad, dtype=np.int64)
+            dest_base[:n] = qidx[:n].astype(np.int64) * cand_pad + unit_rank * TILE
+            if pad:
+                # padded units target out-of-range slots; scatter mode="drop" discards them
+                dest_base[n:] = num_queries * cand_pad
+            dest_base = dest_base.astype(np.int32)
 
         param_axes = tuple(sorted(grid))
         device_params = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
@@ -324,6 +377,11 @@ class ScoringEngine:
             device_params[k] = jnp.asarray(np.asarray(grid[k], dtype=np.float32))
 
         scores, doc_ords = self._score_and_topk(
-            model, num_queries, topk, param_axes, bool(exact_topk), tile_idx, qidx, w1, w2, lo, hi, device_params
+            model, num_queries, topk, param_axes, bool(exact_topk), int(cand_pad),
+            tile_idx, qidx, w1, w2, lo, hi, dest_base, device_params
         )
+        if not materialize:
+            # async: return device arrays so callers can pipeline batches (jax
+            # dispatch is non-blocking; np.asarray forces a sync)
+            return scores, doc_ords
         return np.asarray(scores), np.asarray(doc_ords)

@@ -49,6 +49,24 @@ def _ext(path, suffix):
     return path.parent / (path.name + suffix)
 
 
+def _plot_loss(losses, path):
+    """Loss curve artifact (parity: utils/common.py plot_loss usage in the trainers)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.plot(range(len(losses)), losses)
+        ax.set_xlabel("iteration")
+        ax.set_ylabel("loss")
+        fig.savefig(path, dpi=80)
+        plt.close(fig)
+    except Exception:
+        pass  # plotting is best-effort
+
+
 def collate(samples, keys=None):
     """Stack a list of extractor sample dicts into batched numpy arrays."""
     out = {}
@@ -83,8 +101,9 @@ class JaxTrainer(Trainer):
         ConfigOption("decayiters", 3, "iterations over which exponential decay spreads"),
         ConfigOption("amp", False, "use bfloat16 mixed precision for the forward/backward pass"),
         ConfigOption("boardname", "default", "experiment label for artifacts"),
+        ConfigOption("profile", False, "capture a jax profiler trace of the first iteration"),
     ]
-    config_keys_not_in_path = ["fastforward", "boardname", "validatefreq"]
+    config_keys_not_in_path = ["fastforward", "boardname", "validatefreq", "profile"]
 
     def build(self):
         self._data_mesh = None
@@ -198,7 +217,7 @@ class JaxTrainer(Trainer):
                 loss = loss_fn([pos.astype(jnp.float32), neg.astype(jnp.float32)])
             return loss
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batches):
             # batches: pytree with leading [gradacc, batch, ...] axes
             def micro_grads(carry, micro):
@@ -268,7 +287,13 @@ class JaxTrainer(Trainer):
 
         import time
 
+        profiling = False
         for niter in range(initial_iter, self.config["niters"]):
+            if self.config["profile"] and niter == initial_iter:
+                # tracing/profiling parity: the reference's closest facility is
+                # TensorBoard scalars; here a real device trace is captured
+                jax.profiler.start_trace(str(info_path / "profile"))
+                profiling = True
             iter_start = time.time()
             iter_loss = []
             for _ in range(self.steps_per_iter):
@@ -283,10 +308,15 @@ class JaxTrainer(Trainer):
                 iter_loss.append(float(loss))
             train_loss.append(float(np.mean(iter_loss)))
             logger.info("iter=%d loss=%.6f (%.1fs)", niter, train_loss[-1], time.time() - iter_start)
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace written to %s", info_path / "profile")
 
             if self.config["fastforward"]:
                 self.save_checkpoint(weights_path / f"{niter}", params, opt_state, reranker)
             self.write_to_loss_file(loss_fn_path, train_loss)
+            _plot_loss(train_loss, info_path / "loss.png")
 
             if (niter + 1) % self.config["validatefreq"] == 0 and dev_data is not None:
                 preds = self.predict(reranker, dev_data, params=params)

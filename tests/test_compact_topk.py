@@ -1,0 +1,48 @@
+"""The compact-candidate top-k path must match the exact dense path."""
+
+import numpy as np
+import pytest
+
+import capreolus_tpu
+
+capreolus_tpu.load_all_modules()
+
+from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+from tests.test_parallel import make_synthetic_index
+
+
+@pytest.mark.parametrize("model", ["bm25", "qld"])
+def test_compact_matches_exact(model):
+    data = make_synthetic_index(num_docs=500, num_terms=60, seed=3)
+    engine = ScoringEngine(DeviceIndex(data))
+    rng = np.random.Generator(np.random.PCG64(0))
+    queries = [
+        [(int(t), 1.0 + i % 2) for i, t in enumerate(rng.choice(60, size=5, replace=False))]
+        for _ in range(7)
+    ] + [[]]  # empty query must not break anything
+    params = {"k1": 0.9, "b": 0.4} if model == "bm25" else {"mu": 500.0}
+
+    s_exact, d_exact = engine.search(queries, model=model, params=params, topk=50, exact_topk=True)
+    s_comp, d_comp = engine.search(queries, model=model, params=params, topk=50, exact_topk=False)
+
+    for q in range(len(queries)):
+        exact_valid = s_exact[q] > 0
+        comp_valid = s_comp[q] > 0
+        assert exact_valid.sum() == comp_valid.sum(), f"query {q}: candidate counts differ"
+        np.testing.assert_allclose(s_comp[q][comp_valid], s_exact[q][exact_valid], rtol=1e-5)
+        # same docs at each (tie-broken) score level: compare sets per distinct score
+        assert set(d_comp[q][comp_valid]) == set(d_exact[q][exact_valid]), f"query {q}"
+
+
+def test_compact_with_grid():
+    data = make_synthetic_index(num_docs=300, num_terms=40, seed=1)
+    engine = ScoringEngine(DeviceIndex(data))
+    queries = [[(1, 1.0), (2, 1.0)], [(3, 2.0)]]
+    grid = {"k1": [0.9, 1.2], "b": [0.4]}
+    s_exact, d_exact = engine.search(queries, grid=grid, topk=20, exact_topk=True)
+    s_comp, d_comp = engine.search(queries, grid=grid, topk=20, exact_topk=False)
+    # axes ordered by sorted param name: b (1), k1 (2), then Q
+    assert s_exact.shape == s_comp.shape == (1, 2, 2, 20)
+    for idx in np.ndindex(1, 2, 2):
+        valid = s_exact[idx] > 0
+        np.testing.assert_allclose(s_comp[idx][valid], s_exact[idx][valid], rtol=1e-5)
