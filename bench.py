@@ -20,9 +20,9 @@ BASELINE_QPS = 5000.0
 NUM_DOCS = 200_000
 NUM_TERMS = 50_000
 AVG_UNIQUE_TERMS = 120
-NUM_QUERIES = 4096
+NUM_QUERIES = 2048
 QUERY_TERMS = 4
-BATCH = 1024
+BATCH = 256
 TOPK = 1000
 
 
@@ -62,6 +62,9 @@ def synth_index(seed=0):
 
 
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/capreolus_tpu_jax_cache")
     from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
 
     data = synth_index()

@@ -120,28 +120,47 @@ class TpuIndex(Index):
         docterms_bin = open(index_path / "docterms.bin", "wb") if store_positions else None
         docterm_offsets = [0]
 
-        for doc_ord, (docid, contents) in enumerate(self.collection.get_doc_iterator()):
-            tokens = analyzer.analyze(contents)
-            counts = Counter(tokens)
-            docid_strings.append(docid)
-            doclens.append(len(tokens))
-            data = contents.encode("utf-8")
-            docs_bin.write(data)
-            doc_byte_offsets.append(doc_byte_offsets[-1] + len(data))
-            if store_positions:
-                seq = np.fromiter((vocab.setdefault(t, len(vocab)) for t in tokens),
-                                  dtype=np.int32, count=len(tokens))
-                docterms_bin.write(seq.tobytes())
-                docterm_offsets.append(docterm_offsets[-1] + len(seq))
-            if counts:
-                tids = np.fromiter(
-                    (vocab.setdefault(t, len(vocab)) for t in counts), dtype=np.int64, count=len(counts)
-                )
-                term_chunks.append(tids)
-                doc_chunks.append(np.full(len(counts), doc_ord, dtype=np.int64))
-                tf_chunks.append(np.fromiter(counts.values(), dtype=np.int64, count=len(counts)))
-            if (doc_ord + 1) % 100000 == 0:
-                logger.info("tokenized %d docs (%d terms so far)", doc_ord + 1, len(vocab))
+        # tokenization runs on a thread pool: the native C++ analyzer releases the
+        # GIL during ctypes calls, so MAX_THREADS-way host parallelism is real
+        # (the reference gets this from Anserini's -threads, index/anserini.py:39-40)
+        from concurrent.futures import ThreadPoolExecutor
+        from itertools import islice
+
+        from capreolus_tpu.core import constants
+
+        doc_ord = 0
+        doc_iter = self.collection.get_doc_iterator()
+        pool = ThreadPoolExecutor(max_workers=max(1, constants["MAX_THREADS"]))
+        try:
+            while True:
+                chunk = list(islice(doc_iter, 1024))
+                if not chunk:
+                    break
+                token_lists = list(pool.map(analyzer.analyze, (c for _, c in chunk)))
+                for (docid, contents), tokens in zip(chunk, token_lists):
+                    counts = Counter(tokens)
+                    docid_strings.append(docid)
+                    doclens.append(len(tokens))
+                    data = contents.encode("utf-8")
+                    docs_bin.write(data)
+                    doc_byte_offsets.append(doc_byte_offsets[-1] + len(data))
+                    if store_positions:
+                        seq = np.fromiter((vocab.setdefault(t, len(vocab)) for t in tokens),
+                                          dtype=np.int32, count=len(tokens))
+                        docterms_bin.write(seq.tobytes())
+                        docterm_offsets.append(docterm_offsets[-1] + len(seq))
+                    if counts:
+                        tids = np.fromiter(
+                            (vocab.setdefault(t, len(vocab)) for t in counts), dtype=np.int64, count=len(counts)
+                        )
+                        term_chunks.append(tids)
+                        doc_chunks.append(np.full(len(counts), doc_ord, dtype=np.int64))
+                        tf_chunks.append(np.fromiter(counts.values(), dtype=np.int64, count=len(counts)))
+                    doc_ord += 1
+                    if doc_ord % 100000 == 0:
+                        logger.info("tokenized %d docs (%d terms so far)", doc_ord, len(vocab))
+        finally:
+            pool.shutdown()
 
         docs_bin.close()
         np.save(index_path / "doc_offsets.npy", np.asarray(doc_byte_offsets, dtype=np.int64))

@@ -34,7 +34,11 @@ def _xla_attention(q, k, v, mask=None):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, seq_len: int):
-    """One (batch*head, q-block) program: stream kv blocks with online softmax."""
+    """One (batch*head, q-block) program: stream kv blocks with online softmax.
+
+    The key mask arrives reshaped [1, seq_len/block_k, block_k] (Mosaic requires
+    full trailing block dims), one row per kv block.
+    """
     from jax.experimental import pallas as pl
 
     q = q_ref[0]  # [BLOCK_Q, D]
@@ -47,7 +51,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, seq_len
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # [BK, D]
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        kv_mask = mask_ref[0, pl.ds(i * block_k, block_k)]  # [BK]
+        kv_mask = mask_ref[0, i]  # [BK]
 
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [BQ, BK]
         s = jnp.where(kv_mask[None, :] != 0, s, NEG_INF)
@@ -77,7 +81,8 @@ def _flash_attention_tpu(q, k, v, mask, block_q=BLOCK_Q, block_k=BLOCK_K):
     q_ = q.reshape(bh, l, d)
     k_ = k.reshape(bh, l, d)
     v_ = v.reshape(bh, l, d)
-    mask_ = jnp.broadcast_to(mask[:, None, :], (b, h, l)).reshape(bh, l).astype(jnp.int32)
+    num_kv = l // block_k
+    mask_ = jnp.broadcast_to(mask[:, None, :], (b, h, l)).reshape(bh, num_kv, block_k).astype(jnp.int32)
 
     grid = (bh, l // block_q)
     out = pl.pallas_call(
@@ -87,7 +92,7 @@ def _flash_attention_tpu(q, k, v, mask, block_q=BLOCK_Q, block_k=BLOCK_K):
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, l), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, num_kv, block_k), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, l, d), q.dtype),
@@ -101,11 +106,22 @@ def multihead_attention(q, k, v, mask=None, use_pallas=None):
     use_pallas=None auto-selects the Pallas kernel on TPU when shapes tile cleanly.
     """
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and q.shape[2] % BLOCK_Q == 0
-            and q.shape[3] in (32, 64, 128, 256)
-        )
+        import os
+
+        # At passage lengths (<=512) XLA's batched attention keeps the MXU busier
+        # than many small flash-kernel programs; the flash kernel wins when the
+        # [L, L] score matrix stops fitting (long sequences). Auto-select by length,
+        # overridable with CAPREOLUS_FLASH_ATTENTION=1/0.
+        env = os.environ.get("CAPREOLUS_FLASH_ATTENTION", "")
+        if env in ("0", "false"):
+            use_pallas = False
+        else:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and (env in ("1", "true") or q.shape[2] > 512)
+                and q.shape[2] % BLOCK_Q == 0
+                and q.shape[3] in (32, 64, 128, 256)
+            )
     if use_pallas and mask is not None:
         return _flash_attention_tpu(q, k, v, mask)
     return _xla_attention(q, k, v, mask)

@@ -39,7 +39,7 @@ class RerankTask(Task):
         Dependency(key="reranker", module="reranker", name="KNRM"),
         Dependency(key="sampler", module="sampler", name="triplet"),
     ]
-    commands = ["train", "evaluate", "traineval", "predict"]
+    commands = ["train", "evaluate", "traineval", "predict", "bircheval"]
     default_command = "describe"
 
     def traineval(self):
@@ -204,6 +204,18 @@ class RerankTask(Task):
             "cv_metrics": cv_metrics,
             "interpolated_results": interpolated_results,
         }
+
+    def bircheval(self):
+        """Evaluate pre-computed birch test runs across folds (parity: task/rerank.py:174-182)."""
+        fold = self.config["fold"]
+        _, reranker_runs = self.find_crossvalidated_results()
+        if fold not in reranker_runs:
+            raise ValueError("could not find birch predictions; run the train command first")
+        metrics = eval_runs(reranker_runs[fold]["test"], self.benchmark.qrels, DEFAULT_METRICS,
+                            self.benchmark.relevance_level)
+        logger.info("rerank: fold=%s test metrics: %s", fold,
+                    " ".join(f"{m}={v:0.3f}" for m, v in sorted(metrics.items())))
+        return metrics
 
     def find_crossvalidated_results(self):
         """Collect searcher + reranker runs for every fold by substituting the fold
