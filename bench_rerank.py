@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_DPS = 2000.0
-BATCH = 128
+BATCH = 256
 SEQLEN = 256
 NUM_DOCS = 2048
 
@@ -52,7 +52,9 @@ def main():
         return model.apply(params, inp, mask, seg)
 
     batches = [make_batch(i) for i in range(NUM_DOCS // BATCH)]
-    score(params, *batches[0]).block_until_ready()  # compile
+    # np.asarray is the only reliable sync on every platform (block_until_ready
+    # can no-op on experimental backends, leaking compile time into the timing)
+    np.asarray(score(params, *batches[0]))
 
     start = time.perf_counter()
     pending = [score(params, *b) for b in batches]

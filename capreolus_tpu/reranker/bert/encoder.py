@@ -67,6 +67,8 @@ class BertSelfAttention(nn.Module):
         c = self.config
         dtype = jnp.dtype(c.dtype)
         b, l, _ = hidden.shape
+        # separate q/k/v projections measured faster than a fused [H, 3H] matmul on
+        # v5e (the split output forces an extra copy that outweighs the MXU win)
         q = nn.Dense(c.hidden_size, name="query", dtype=dtype)(hidden)
         k = nn.Dense(c.hidden_size, name="key", dtype=dtype)(hidden)
         v = nn.Dense(c.hidden_size, name="value", dtype=dtype)(hidden)

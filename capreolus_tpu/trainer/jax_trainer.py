@@ -287,6 +287,33 @@ class JaxTrainer(Trainer):
 
         import time
 
+        # background prefetch: host sample generation + collation overlaps device
+        # steps (the role TFRecord staging plays in the reference, tensorflow.py:326-488)
+        import queue as _queue
+        import threading
+
+        batch_queue: _queue.Queue = _queue.Queue(maxsize=4)
+        total_steps = (self.config["niters"] - initial_iter) * self.steps_per_iter
+        stop_flag = []
+
+        def _producer():
+            try:
+                pending_local = list(pending)
+                need = gradacc * batch_size
+                for _ in range(total_steps):
+                    if stop_flag:
+                        return
+                    while len(pending_local) < need:
+                        pending_local.append(next(train_iter))
+                    batch = collate(pending_local[:need], ARRAY_KEYS)
+                    del pending_local[:need]
+                    batch_queue.put({k: v.reshape((gradacc, batch_size) + v.shape[1:]) for k, v in batch.items()})
+            except BaseException as e:  # surface producer failures to the train loop
+                batch_queue.put(e)
+
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+
         profiling = False
         for niter in range(initial_iter, self.config["niters"]):
             if self.config["profile"] and niter == initial_iter:
@@ -297,13 +324,10 @@ class JaxTrainer(Trainer):
             iter_start = time.time()
             iter_loss = []
             for _ in range(self.steps_per_iter):
-                need = gradacc * batch_size
-                while len(pending) < need:
-                    pending.append(next(train_iter))
-                batch = collate(pending[:need], ARRAY_KEYS)
-                pending = pending[need:]
-                batches = {k: v.reshape((gradacc, batch_size) + v.shape[1:]) for k, v in batch.items()}
-                batches = self._shard_batch(batches)
+                item = batch_queue.get()
+                if isinstance(item, BaseException):
+                    raise item
+                batches = self._shard_batch(item)
                 params, opt_state, loss = train_step(params, opt_state, batches)
                 iter_loss.append(float(loss))
             train_loss.append(float(np.mean(iter_loss)))
@@ -329,6 +353,7 @@ class JaxTrainer(Trainer):
                     self.write_to_metric_file(metrics_fn, metrics)
                     self.save_checkpoint(dev_best_fn, params, opt_state, reranker)
 
+        stop_flag.append(True)
         self._params = params
         self._opt_state = opt_state
         return dev_best_metrics
@@ -351,10 +376,15 @@ class JaxTrainer(Trainer):
             return reranker.test(p, batch)
 
         preds = {}
-        samples = []
-        pairs = []
-        for sample in pred_data:
-            samples.append(sample)
+        # feature extraction for the dev set is expensive (per-passage encoding);
+        # cache the materialized samples on the sampler across validation rounds
+        samples = getattr(pred_data, "_materialized_samples", None)
+        if samples is None:
+            samples = list(pred_data)
+            try:
+                pred_data._materialized_samples = samples
+            except AttributeError:
+                pass
         pairs = [(s["qid"], s["posdocid"]) for s in samples]
 
         for start in range(0, len(samples), batch_size):

@@ -1,0 +1,71 @@
+"""Registry sweep: every benchmark/collection is creatable with actionable offline errors
+(mirrors the reference's registry smoke tests, SURVEY.md §4)."""
+
+import pytest
+
+import capreolus_tpu
+
+capreolus_tpu.load_all_modules()
+
+from capreolus_tpu.benchmark import Benchmark
+from capreolus_tpu.collection import Collection
+from capreolus_tpu.core import module_registry
+
+
+@pytest.mark.parametrize("name", module_registry.get_module_names("benchmark"))
+def test_benchmark_creatable(tmpdir_as_cache, name):
+    benchmark = Benchmark.create(name)
+    assert benchmark.module_name == name
+    assert benchmark.query_type
+    assert hasattr(benchmark, "collection")
+
+
+@pytest.mark.parametrize("name", module_registry.get_module_names("collection"))
+def test_collection_creatable(tmpdir_as_cache, name):
+    coll = Collection.create(name)
+    assert coll.module_name == name
+
+
+def test_dummy_benchmark_data(tmpdir_as_cache):
+    b = Benchmark.create("dummy")
+    assert b.topics["title"]["301"]
+    assert b.qrels["301"]["D001"] == 1
+    assert b.folds["s1"]["train_qids"] == ["301", "302"]
+    assert b.non_nn_dev["s1"] == ["301", "302", "301", "302"]  # dev + train (use_train_as_dev)
+    fn = b.get_topics_file()
+    lines = open(fn).read().strip().splitlines()
+    assert len(lines) == 2 and lines[0].startswith("301\t")
+    # cached: second call returns the same file
+    assert b.get_topics_file() == fn
+    # subset export
+    fn_dev = b.get_topics_file(["dev"])
+    assert "dev" in fn_dev.name
+
+
+def test_licensed_collection_errors(tmpdir_as_cache):
+    coll = Collection.create("robust04")
+    with pytest.raises(IOError, match="licensed"):
+        coll.get_path()
+    # configured path wins
+    coll2 = Collection.create("robust04", {"path": "/tmp"})
+    assert str(coll2.get_path()) == "/tmp"
+
+
+def test_offline_download_benchmark_errors(tmpdir_as_cache):
+    from capreolus_tpu.utils.common import OfflineEnvironmentError
+
+    b = Benchmark.create("robust04.yang19")
+    with pytest.raises(OfflineEnvironmentError, match="offline"):
+        _ = b.topics
+
+
+def test_static_run_searcher_with_local_file(tmpdir_as_cache, tmp_path):
+    from capreolus_tpu.searcher import Searcher
+    from capreolus_tpu.utils.trec import write_trec_run
+
+    runfile = tmp_path / "canned.run"
+    write_trec_run({"301": {"D001": 2.0}}, runfile)
+    s = Searcher.create("bm25staticcds", {"runfile": str(runfile)})
+    out = s.query_from_file(tmp_path / "unused.tsv", tmp_path / "out")
+    run = Searcher.load_trec_run(out / "static_run")
+    assert run["301"]["D001"] == 2.0
