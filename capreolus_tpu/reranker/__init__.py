@@ -53,6 +53,34 @@ class Reranker(ModuleBase):
         return model.init(rng, jnp.asarray(batch["query"]), jnp.asarray(batch["posdoc"]),
                           jnp.asarray(batch["query_idf"]))
 
+    def add_summary(self, params, niter, output_path):
+        """Write per-parameter statistics for iteration ``niter`` (the JSON analog of
+        the reference's TensorBoard weight histograms, reranker/__init__.py:22-28)."""
+        import json
+
+        import jax
+        import numpy as np
+
+        stats = {}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            name = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+            arr = np.asarray(leaf)
+            if arr.size == 0:
+                continue
+            stats[name] = {
+                "shape": list(arr.shape),
+                "mean": float(arr.mean()),
+                "std": float(arr.std()),
+                "min": float(arr.min()),
+                "max": float(arr.max()),
+            }
+        from pathlib import Path
+
+        output_path = Path(output_path)
+        output_path.mkdir(parents=True, exist_ok=True)
+        with open(output_path / f"param_stats_{niter}.json", "wt") as f:
+            json.dump(stats, f, indent=1)
+
     # default score/test implementations for models with
     # __call__(querytoks, doctoks, query_idf) -> [B] signature
     def _apply(self, params, query, doc, query_idf):

@@ -243,9 +243,19 @@ class ScoringEngine:
 
     # ------------------------------------------------------------------ device kernels
     @functools.partial(jax.jit,
-                       static_argnames=("self", "model", "num_queries", "topk", "param_axes", "exact", "cand_pad"))
-    def _score_and_topk(self, model, num_queries, topk, param_axes, exact, cand_pad,
-                        tile_idx, qidx, w1, w2, lo, hi, dest_base, params):
+                       static_argnames=("self", "model", "num_queries", "topk", "param_axes", "exact",
+                                        "cand_pad", "max_dup"))
+    def _score_and_topk(self, model, num_queries, topk, param_axes, exact, cand_pad, max_dup,
+                        packed_units, params):
+        # work units arrive packed as one [7, U] int32 array (floats bitcast) so a
+        # batch costs a single host->device transfer instead of seven round-trips
+        tile_idx = packed_units[0]
+        qidx = packed_units[1]
+        w1 = jax.lax.bitcast_convert_type(packed_units[2], jnp.float32)
+        w2 = jax.lax.bitcast_convert_type(packed_units[3], jnp.float32)
+        lo = packed_units[4]
+        hi = packed_units[5]
+        dest_base = packed_units[6]
         """Returns (scores [*param_axes, Q, topk], doc_ords [*param_axes, Q, topk]).
 
         Two top-k strategies:
@@ -376,9 +386,15 @@ class ScoringEngine:
         for k in param_axes:
             device_params[k] = jnp.asarray(np.asarray(grid[k], dtype=np.float32))
 
+        # duplicates of a (query, doc) candidate are bounded by the query's term
+        # count; bucketed to limit recompiles
+        max_dup = _bucket(max((len(t) for t in term_lists), default=1), minimum=4)
+        packed_units = np.stack([
+            tile_idx, qidx, w1.view(np.int32), w2.view(np.int32), lo, hi, dest_base,
+        ])
         scores, doc_ords = self._score_and_topk(
-            model, num_queries, topk, param_axes, bool(exact_topk), int(cand_pad),
-            tile_idx, qidx, w1, w2, lo, hi, dest_base, device_params
+            model, num_queries, topk, param_axes, bool(exact_topk), int(cand_pad), int(max_dup),
+            packed_units, device_params
         )
         if not materialize:
             # async: return device arrays so callers can pipeline batches (jax

@@ -352,6 +352,10 @@ class JaxTrainer(Trainer):
                     dev_best_metrics = metrics
                     self.write_to_metric_file(metrics_fn, metrics)
                     self.save_checkpoint(dev_best_fn, params, opt_state, reranker)
+                    try:
+                        reranker.add_summary(params, niter, info_path / "summaries")
+                    except Exception as e:
+                        logger.debug("add_summary failed: %s", e)
 
         stop_flag.append(True)
         self._params = params

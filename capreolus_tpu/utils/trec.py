@@ -86,6 +86,22 @@ def load_trec_topics(path):
     return {"title": title, "desc": desc, "narr": narr}
 
 
+def load_ntcir_topics(path):
+    """Parse NTCIR-format XML topics into {"title": {qid: text}}
+    (parity: /root/reference/capreolus/utils/trec.py NTCIR support)."""
+    import re
+
+    text = open(path, encoding="utf-8", errors="replace").read()
+    topics = {}
+    for m in re.finditer(r"<query>(.*?)</query>", text, re.DOTALL):
+        block = m.group(1)
+        qid = re.search(r"<qid>\s*(.*?)\s*</qid>", block, re.DOTALL)
+        content = re.search(r"<content>\s*(.*?)\s*</content>", block, re.DOTALL)
+        if qid and content:
+            topics[qid.group(1).strip()] = " ".join(content.group(1).split())
+    return {"title": topics}
+
+
 def load_tsv_topics(path, query_type="title"):
     """Parse a qid\\tquery TSV topics file (MS MARCO style)."""
     topics = {}
