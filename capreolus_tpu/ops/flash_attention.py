@@ -24,11 +24,17 @@ NEG_INF = -1e30
 
 
 def _xla_attention(q, k, v, mask=None):
-    """Reference attention: [B, H, L, D] inputs, optional [B, L] key mask."""
+    """Batched attention: [B, H, L, D] inputs, optional [B, L] key mask.
+
+    Scores are kept in the input dtype (bf16 under the mixed_bfloat16 policy the
+    reference also uses on TPU, trainer/tensorflow.py:107-109) — the [L, L] score
+    tensor dominates HBM traffic at f32. Mask fill is bf16-safe.
+    """
     scale = 1.0 / math.sqrt(q.shape[-1])
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype) * scale
     if mask is not None:
-        scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+        fill = jnp.asarray(-30000.0 if scores.dtype == jnp.bfloat16 else NEG_INF, dtype=scores.dtype)
+        scores = jnp.where(mask[:, None, None, :], scores, fill)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 

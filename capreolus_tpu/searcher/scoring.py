@@ -244,9 +244,9 @@ class ScoringEngine:
     # ------------------------------------------------------------------ device kernels
     @functools.partial(jax.jit,
                        static_argnames=("self", "model", "num_queries", "topk", "param_axes", "exact",
-                                        "cand_pad", "max_dup"))
+                                        "cand_pad", "max_dup", "score_dtype"))
     def _score_and_topk(self, model, num_queries, topk, param_axes, exact, cand_pad, max_dup,
-                        packed_units, params):
+                        score_dtype, packed_units, params):
         # work units arrive packed as one [7, U] int32 array (floats bitcast) so a
         # batch costs a single host->device transfer instead of seven round-trips
         tile_idx = packed_units[0]
@@ -313,7 +313,9 @@ class ScoringEngine:
                 top_scores = jnp.concatenate([top_scores, jnp.full((num_queries, pad_n), -1.0)], axis=1)
                 top_docs = jnp.concatenate(
                     [top_docs, jnp.full((num_queries, pad_n), d.num_docs, dtype=jnp.int32)], axis=1)
-            return top_scores, top_docs
+            # narrower result dtype halves the device->host result transfer (useful
+            # on tunneled devices); ranking order is decided on device beforehand
+            return top_scores.astype(jnp.dtype(score_dtype)), top_docs
 
         # vmap over each grid-searched parameter axis (shared gathers);
         # build inside-out so the first sorted param becomes the outermost result axis
@@ -326,6 +328,94 @@ class ScoringEngine:
 
         return fn(params)
 
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "model", "num_queries", "topk", "cand_pad", "score_dtype"))
+    def _score_many(self, model, num_queries, topk, cand_pad, score_dtype, stacked_units, params):
+        """lax.scan over S stacked work-unit batches in ONE executable: amortizes
+        per-launch latency and coalesces result transfers (see PERF.md). Compact
+        top-k only; same math as _score_and_topk's non-exact branch."""
+        d = self.dindex
+        n_rows = d.num_docs + 1
+        model_fn = SCORING_MODELS[model]
+        k = min(topk, cand_pad)
+
+        def step(_, packed_units):
+            tile_idx = packed_units[0]
+            qidx = packed_units[1]
+            w1 = jax.lax.bitcast_convert_type(packed_units[2], jnp.float32)
+            w2 = jax.lax.bitcast_convert_type(packed_units[3], jnp.float32)
+            lo = packed_units[4]
+            hi = packed_units[5]
+            dest_base = packed_units[6]
+
+            docs = jnp.take(d.doc_tiles, tile_idx, axis=0)
+            tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)
+            dl = jnp.take(d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles, tile_idx, axis=0)
+            pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
+            mask = (pos >= lo[:, None]) & (pos < hi[:, None])
+            lin = qidx[:, None] * n_rows + docs
+            cand_lin = dest_base[:, None] + pos
+
+            owner = jnp.zeros(num_queries * n_rows, dtype=jnp.int32)
+            owner = owner.at[lin.reshape(-1)].max(
+                jnp.where(mask, cand_lin + 1, 0).reshape(-1), mode="drop")
+            s = model_fn(tfs, dl, w1[:, None], w2[:, None], params, d.stats)
+            s = jnp.where(mask, s, 0.0)
+            acc = jnp.zeros(num_queries * n_rows, dtype=jnp.float32)
+            acc = acc.at[lin.reshape(-1)].add(s.reshape(-1), mode="drop")
+            summed = jnp.take(acc, lin.reshape(-1), axis=0).reshape(lin.shape)
+            keep = mask & (jnp.take(owner, lin.reshape(-1), axis=0).reshape(lin.shape) == cand_lin + 1)
+            vals = jnp.where(keep, summed, -1.0)
+
+            cand = jnp.full(num_queries * cand_pad, -1.0, dtype=jnp.float32)
+            cand = cand.at[cand_lin.reshape(-1)].set(vals.reshape(-1), mode="drop", unique_indices=True)
+            cand_docs = jnp.full(num_queries * cand_pad, d.num_docs, dtype=jnp.int32)
+            cand_docs = cand_docs.at[cand_lin.reshape(-1)].set(docs.reshape(-1), mode="drop", unique_indices=True)
+            top_scores, top_pos = jax.lax.top_k(cand.reshape(num_queries, cand_pad), k)
+            top_docs = jnp.take_along_axis(cand_docs.reshape(num_queries, cand_pad), top_pos, axis=1)
+            return None, (top_scores.astype(jnp.dtype(score_dtype)), top_docs)
+
+        _, (scores, doc_ords) = jax.lax.scan(step, None, stacked_units)
+        return scores, doc_ords
+
+    def search_fused(self, term_list_batches, model="bm25", params=None, topk=1000,
+                     score_dtype="float32"):
+        """Score S equally-sized query batches in one device call (compact top-k).
+
+        Returns (scores [S, Q, k'], doc_ords [S, Q, k']) as numpy arrays, where
+        k' = min(topk, common candidate width).
+        """
+        params = {k_: jnp.asarray(v, dtype=jnp.float32) for k_, v in (params or {}).items()}
+        num_queries = len(term_list_batches[0])
+        assert all(len(b) == num_queries for b in term_list_batches)
+
+        built = [self._build_work_units(b, model) for b in term_list_batches]
+        u_pad = _bucket(max(max(b[-1] for b in built), 1))
+        cand_pad = TILE
+        prepared = []
+        for (tile_idx, qidx, w1, w2, lo, hi, n), batch in zip(built, term_list_batches):
+            unit_rank = np.arange(n, dtype=np.int64) - np.searchsorted(qidx[:n], qidx[:n])
+            cols = int(unit_rank.max() + 1) if n else 1
+            cand_pad = max(cand_pad, _bucket(max(cols * TILE, min(topk, self.dindex.num_docs)), minimum=TILE))
+            prepared.append((tile_idx, qidx, w1, w2, lo, hi, n, unit_rank))
+
+        stacked = np.zeros((len(built), 7, u_pad), dtype=np.int32)
+        for si, (tile_idx, qidx, w1, w2, lo, hi, n, unit_rank) in enumerate(prepared):
+            dest = qidx[:n].astype(np.int64) * cand_pad + unit_rank * TILE
+            stacked[si, 0, :n] = tile_idx[:n]
+            stacked[si, 1, :n] = qidx[:n]
+            stacked[si, 2, :n] = w1[:n].view(np.int32)
+            stacked[si, 3, :n] = w2[:n].view(np.int32)
+            stacked[si, 4, :n] = lo[:n]
+            stacked[si, 5, :n] = hi[:n]
+            stacked[si, 6, :n] = dest.astype(np.int32)
+            stacked[si, 6, n:] = num_queries * cand_pad  # dropped by scatter mode="drop"
+
+        scores, doc_ords = self._score_many(
+            model, num_queries, min(topk, self.dindex.num_docs), int(cand_pad), str(score_dtype),
+            stacked, params)
+        return np.asarray(scores), np.asarray(doc_ords)
+
     # ------------------------------------------------------------------ public API
     def search(
         self,
@@ -336,6 +426,7 @@ class ScoringEngine:
         topk: int = 1000,
         exact_topk: bool = None,
         materialize: bool = True,
+        score_dtype: str = "float32",
     ):
         """Score a batch of queries; returns (scores, doc_ords) numpy arrays.
 
@@ -394,7 +485,7 @@ class ScoringEngine:
         ])
         scores, doc_ords = self._score_and_topk(
             model, num_queries, topk, param_axes, bool(exact_topk), int(cand_pad), int(max_dup),
-            packed_units, device_params
+            str(score_dtype), packed_units, device_params
         )
         if not materialize:
             # async: return device arrays so callers can pipeline batches (jax

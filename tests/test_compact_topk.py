@@ -46,3 +46,22 @@ def test_compact_with_grid():
     for idx in np.ndindex(1, 2, 2):
         valid = s_exact[idx] > 0
         np.testing.assert_allclose(s_comp[idx][valid], s_exact[idx][valid], rtol=1e-5)
+
+
+def test_search_fused_matches_search():
+    data = make_synthetic_index(num_docs=400, num_terms=50, seed=7)
+    from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+
+    engine = ScoringEngine(DeviceIndex(data))
+    rng = np.random.Generator(np.random.PCG64(5))
+    batches = [
+        [[(int(t), 1.0) for t in rng.choice(50, size=4, replace=False)] for _ in range(6)]
+        for _ in range(3)
+    ]
+    fused_scores, fused_ords = engine.search_fused(batches, params={"k1": 0.9, "b": 0.4}, topk=25)
+    for si, batch in enumerate(batches):
+        s_ref, o_ref = engine.search(batch, params={"k1": 0.9, "b": 0.4}, topk=25, exact_topk=False)
+        valid = s_ref > 0
+        fs, fo = fused_scores[si], fused_ords[si]
+        np.testing.assert_allclose(fs[valid], s_ref[valid], rtol=1e-5)
+        assert (fo[valid] == o_ref[valid]).all()
