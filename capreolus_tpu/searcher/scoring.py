@@ -247,15 +247,6 @@ class ScoringEngine:
                                         "cand_pad", "max_dup", "score_dtype"))
     def _score_and_topk(self, model, num_queries, topk, param_axes, exact, cand_pad, max_dup,
                         score_dtype, packed_units, params):
-        # work units arrive packed as one [7, U] int32 array (floats bitcast) so a
-        # batch costs a single host->device transfer instead of seven round-trips
-        tile_idx = packed_units[0]
-        qidx = packed_units[1]
-        w1 = jax.lax.bitcast_convert_type(packed_units[2], jnp.float32)
-        w2 = jax.lax.bitcast_convert_type(packed_units[3], jnp.float32)
-        lo = packed_units[4]
-        hi = packed_units[5]
-        dest_base = packed_units[6]
         """Returns (scores [*param_axes, Q, topk], doc_ords [*param_axes, Q, topk]).
 
         Two top-k strategies:
@@ -265,7 +256,17 @@ class ScoringEngine:
             a TILE-wide column block) — orders of magnitude fewer elements than N.
             Duplicate (query, doc) candidates from multi-term matches are resolved
             on device with a scatter-max ownership pass.
+
+        Work units arrive packed as one [7, U] int32 array (floats bitcast) so a
+        batch costs a single host->device transfer instead of seven round-trips.
         """
+        tile_idx = packed_units[0]
+        qidx = packed_units[1]
+        w1 = jax.lax.bitcast_convert_type(packed_units[2], jnp.float32)
+        w2 = jax.lax.bitcast_convert_type(packed_units[3], jnp.float32)
+        lo = packed_units[4]
+        hi = packed_units[5]
+        dest_base = packed_units[6]
         d = self.dindex
         n_rows = d.num_docs + 1  # +1 sentinel slot for padding docids
 
