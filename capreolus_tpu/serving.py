@@ -1,0 +1,120 @@
+"""Serving API: low-latency batched retrieve(-then-rerank) over a built index.
+
+The reference stops at experiment pipelines; this framework is also intended for
+production serving, so the engine is exposed as a service object that keeps the
+index in HBM, the analyzer/native tokenizer warm, and (optionally) a trained
+reranker's parameters resident:
+
+    from capreolus_tpu.serving import RetrievalService
+    svc = RetrievalService.from_config(collection="nf")
+    hits = svc.search(["dietary supplements cancer prevention"], k=10)
+
+Batches are formed transparently; results are (docid, score) lists per query.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Optional, Sequence, Tuple
+
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+
+class RetrievalService:
+    def __init__(self, index, model: str = "bm25", params: Optional[dict] = None, batch_size: int = 64):
+        from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+
+        index.create_index()
+        self.index = index
+        self.engine = ScoringEngine(DeviceIndex(index.data))
+        self.model = model
+        self.params = dict(params or {"k1": 0.9, "b": 0.4})
+        self.batch_size = batch_size
+        self._docids = index.data.docid_strings
+
+    @classmethod
+    def from_config(cls, collection: str = "dummy", collection_path: Optional[str] = None,
+                    model: str = "bm25", params: Optional[dict] = None, **index_config):
+        import capreolus_tpu
+
+        capreolus_tpu.load_all_modules()
+        from capreolus_tpu.index import Index
+
+        coll_cfg = {"name": collection}
+        if collection_path:
+            coll_cfg["path"] = collection_path
+        index = Index.create("tpu", {**index_config, "collection": coll_cfg})
+        return cls(index, model=model, params=params)
+
+    def _analyze(self, query: str):
+        vocab = self.index.data.vocab
+        counts = Counter(self.index.analyze(query))
+        return [(vocab[t], float(c)) for t, c in counts.items() if t in vocab]
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        """Returns, per query, the top-k (docid, score) pairs."""
+        results: List[List[Tuple[str, float]]] = []
+        for start in range(0, len(queries), self.batch_size):
+            batch = queries[start : start + self.batch_size]
+            term_lists = [self._analyze(q) for q in batch]
+            scores, ords = self.engine.search(term_lists, model=self.model, params=self.params, topk=k)
+            for qi in range(len(batch)):
+                hits = []
+                for s, o in zip(scores[qi], ords[qi]):
+                    if s <= 0.0:
+                        break
+                    hits.append((self._docids[int(o)], float(s)))
+                results.append(hits)
+        return results
+
+    def get_document(self, docid: str) -> Optional[str]:
+        return self.index.get_doc(docid)
+
+
+class RerankingService(RetrievalService):
+    """Retrieve-then-rerank serving: first-stage engine + a trained reranker."""
+
+    def __init__(self, index, reranker, checkpoint_path, topn: int = 100, **kwargs):
+        super().__init__(index, **kwargs)
+        import jax
+
+        from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+        self.reranker = reranker
+        self.topn = topn
+        self._collate = collate
+        self._keys = ARRAY_KEYS
+        reranker.build_model()
+        # template params + restore trained weights
+        self._params = None
+        self._checkpoint_path = checkpoint_path
+
+    def _ensure_params(self, example_batch):
+        if self._params is None:
+            import jax
+
+            params = self.reranker.init_params(jax.random.PRNGKey(0), example_batch)
+            self._params, _ = self.reranker.trainer.load_checkpoint(
+                self._checkpoint_path, params, reranker=self.reranker)
+        return self._params
+
+    def search(self, queries: Sequence[str], k: int = 10):
+        first_stage = super().search(queries, k=max(self.topn, k))
+        extractor = self.reranker.extractor
+
+        results = []
+        for qi, (query, hits) in enumerate(zip(queries, first_stage)):
+            if not hits:
+                results.append([])
+                continue
+            qid = f"live{qi}"
+            extractor.qid2toks[qid] = extractor.tokenizer.tokenize(query)
+            samples = [extractor.id2vec(qid, docid, label=[1, 0], training=False) for docid, _ in hits]
+            batch = self._collate(samples, self._keys)
+            params = self._ensure_params(batch)
+            scores = self.reranker.test(params, batch)
+            reranked = sorted(zip((d for d, _ in hits), map(float, scores)), key=lambda kv: -kv[1])
+            results.append(reranked[:k])
+        return results
