@@ -1,3 +1,3 @@
-from capreolus_tpu.parallel.sharded_search import ShardedDeviceIndex, sharded_bm25_topk
+from capreolus_tpu.parallel.sharded_search import ShardedDeviceIndex, sharded_bm25_topk, sharded_search
 
-__all__ = ["ShardedDeviceIndex", "sharded_bm25_topk"]
+__all__ = ["ShardedDeviceIndex", "sharded_bm25_topk", "sharded_search"]

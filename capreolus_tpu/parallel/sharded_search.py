@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from capreolus_tpu.searcher.scoring import TILE, _bucket
+from capreolus_tpu.searcher.scoring import SCORING_MODELS, TILE, _W2_SOURCE, _bucket
 from capreolus_tpu.utils.loginit import get_logger
 
 logger = get_logger(__name__)
@@ -77,67 +77,92 @@ class ShardedDeviceIndex:
             tf_tiles[sh, : len(flat_t)] = flat_t
 
         norm_dl = np.zeros((num_shards, docs_per_shard + 1), dtype=np.float32)
+        exact_dl = np.zeros((num_shards, docs_per_shard + 1), dtype=np.float32)
         norm_dl[:, -1] = 1.0
+        exact_dl[:, -1] = 1.0
         for sh in range(num_shards):
             lo = sh * docs_per_shard
             hi = min(self.num_docs, (sh + 1) * docs_per_shard)
             if hi > lo:
                 norm_dl[sh, : hi - lo] = index_data.norm_doclens[lo:hi]
+                exact_dl[sh, : hi - lo] = index_data.doclens[lo:hi]
 
         spec = NamedSharding(mesh, P(axis))
         self.doc_tiles = jax.device_put(doc_tiles.reshape(num_shards, n_tiles, TILE), spec)
         self.tf_tiles = jax.device_put(tf_tiles.reshape(num_shards, n_tiles, TILE), spec)
         self.norm_dl = jax.device_put(norm_dl, spec)
+        self.exact_dl = jax.device_put(exact_dl, spec)
         self.term_offsets = np.stack([np.asarray(o, dtype=np.int64) for o in shard_offsets])  # [S, V+1]
 
         n = float(self.num_docs)
         df = index_data.df_array.astype(np.float64)
+        self.df = df
+        self.cf = index_data.cf_array.astype(np.float64)
+        self.total_terms = float(index_data.total_term_count)
         with np.errstate(divide="ignore"):
             self.idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        self.stats = {"avgdl": self.avgdl, "num_docs": n, "total_terms": self.total_terms}
 
     # ------------------------------------------------------------------ host work units
-    def build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]]):
-        """Per-shard (tile_idx, qidx, w1, lo, hi) arrays padded to a common length."""
+    def build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str = "bm25"):
+        """Per-shard (tile_idx, qidx, w1, w2, lo, hi) arrays padded to a common length."""
+        w2_source = _W2_SOURCE[model]
         per_shard = []
         for sh in range(self.num_shards):
             offsets = self.term_offsets[sh]
-            tiles, qidxs, w1s, los, his = [], [], [], [], []
+            tiles, qidxs, w1s, w2s, los, his = [], [], [], [], [], []
             for q, terms in enumerate(term_lists):
                 for tid, qweight in terms:
                     start, end = int(offsets[tid]), int(offsets[tid + 1])
                     if start == end:
                         continue
-                    w1 = qweight * self.idf[tid]
+                    if model == "bm25":
+                        w1, w2 = qweight * self.idf[tid], 0.0
+                    else:
+                        w1 = qweight
+                        if w2_source == "ptc":
+                            w2 = max(self.cf[tid], 1.0) / self.total_terms
+                        elif w2_source == "df":
+                            w2 = max(self.df[tid], 1.0)
+                        elif w2_source == "cf":
+                            w2 = max(self.cf[tid], 1.0)
+                        else:
+                            w2 = 0.0
                     for t in range(start // TILE, (end - 1) // TILE + 1):
                         tiles.append(t)
                         qidxs.append(q)
                         w1s.append(w1)
+                        w2s.append(w2)
                         los.append(max(0, start - t * TILE))
                         his.append(min(TILE, end - t * TILE))
-            per_shard.append((tiles, qidxs, w1s, los, his))
+            per_shard.append((tiles, qidxs, w1s, w2s, los, his))
 
         u_pad = _bucket(max(max(len(p[0]) for p in per_shard), 1))
-        out = np.zeros((self.num_shards, 5, u_pad), dtype=np.float32)
-        for sh, (tiles, qidxs, w1s, los, his) in enumerate(per_shard):
+        out = np.zeros((self.num_shards, 6, u_pad), dtype=np.float32)
+        out[:, 3, :] = 1.0  # w2 pad avoids div-by-zero in masked lanes
+        for sh, (tiles, qidxs, w1s, w2s, los, his) in enumerate(per_shard):
             n = len(tiles)
             out[sh, 0, :n] = tiles
             out[sh, 1, :n] = qidxs
             out[sh, 2, :n] = w1s
-            out[sh, 3, :n] = los
-            out[sh, 4, :n] = his
+            out[sh, 3, :n] = w2s
+            out[sh, 4, :n] = los
+            out[sh, 5, :n] = his
         return out
 
 
-def sharded_bm25_topk(sindex: ShardedDeviceIndex, work_units, num_queries: int, topk: int,
-                      k1: float = 0.9, b: float = 0.4):
-    """shard_map BM25: local scoring + local top-k, then allgather-merge over ICI.
-
-    Returns (scores [Q, topk], global doc ordinals [Q, topk]).
+def sharded_search(sindex: ShardedDeviceIndex, work_units, num_queries: int, topk: int,
+                   model: str = "bm25", params: dict = None):
+    """shard_map scoring (any model): local scoring + local top-k, then
+    allgather-merge over ICI. Returns (scores [Q, topk], global doc ordinals).
     """
+    params = dict(params or {})
     mesh, axis = sindex.mesh, sindex.axis
     docs_per_shard = sindex.docs_per_shard
-    avgdl = sindex.avgdl
+    stats = sindex.stats
+    model_fn = SCORING_MODELS[model]
     local_k = min(topk, docs_per_shard)
+    dl_table = sindex.norm_dl if model == "bm25" else sindex.exact_dl
 
     def shard_fn(doc_tiles, tf_tiles, norm_dl, units):
         # leading shard axis of size 1 inside shard_map; drop it
@@ -145,16 +170,17 @@ def sharded_bm25_topk(sindex: ShardedDeviceIndex, work_units, num_queries: int, 
         tile_idx = units[0].astype(jnp.int32)
         qidx = units[1].astype(jnp.int32)
         w1 = units[2]
-        lo = units[3].astype(jnp.int32)
-        hi = units[4].astype(jnp.int32)
+        w2 = units[3]
+        lo = units[4].astype(jnp.int32)
+        hi = units[5].astype(jnp.int32)
 
         docs = jnp.take(doc_tiles, tile_idx, axis=0)
         tfs = jnp.take(tf_tiles, tile_idx, axis=0)
         dl = jnp.take(norm_dl, docs, axis=0)
         pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
         mask = (pos >= lo[:, None]) & (pos < hi[:, None])
-        denom = tfs + k1 * (1.0 - b + b * dl / avgdl)
-        s = jnp.where(mask, w1[:, None] * tfs / denom, 0.0)
+        s = model_fn(tfs, dl, w1[:, None], w2[:, None], params, stats)
+        s = jnp.where(mask, s, 0.0)
 
         n_rows = docs_per_shard + 1
         lin = qidx[:, None] * n_rows + docs
@@ -184,6 +210,13 @@ def sharded_bm25_topk(sindex: ShardedDeviceIndex, work_units, num_queries: int, 
         out_specs=(P(axis), P(axis)),
         check_rep=False,
     )
-    scores, ords = jax.jit(fn)(sindex.doc_tiles, sindex.tf_tiles, sindex.norm_dl, work_units)
+    scores, ords = jax.jit(fn)(sindex.doc_tiles, sindex.tf_tiles, dl_table, work_units)
     # every shard holds the same merged result; take shard 0's copy
     return np.asarray(scores[0]), np.asarray(ords[0])
+
+
+def sharded_bm25_topk(sindex: ShardedDeviceIndex, work_units, num_queries: int, topk: int,
+                      k1: float = 0.9, b: float = 0.4):
+    """BM25 convenience wrapper over sharded_search."""
+    return sharded_search(sindex, work_units, num_queries, topk, model="bm25",
+                          params={"k1": k1, "b": b})

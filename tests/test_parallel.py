@@ -105,3 +105,32 @@ def test_data_parallel_training_runs(tmpdir_as_cache, tmp_path):
     assert (tmp_path / "train" / "info" / "loss.txt").exists()
     assert trainer._data_mesh is not None and trainer._data_mesh.devices.size == 8
     assert metrics["map"] > 0
+
+
+def test_sharded_search_all_models():
+    """Every scoring model matches single-device results through the sharded path."""
+    from jax.sharding import Mesh
+    from capreolus_tpu.parallel import ShardedDeviceIndex, sharded_search
+
+    data = make_synthetic_index(num_docs=150, num_terms=30, seed=9)
+    engine = ScoringEngine(DeviceIndex(data))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    sindex = ShardedDeviceIndex(data, mesh)
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    term_lists = [[(int(t), 1.0) for t in rng.choice(30, size=3, replace=False)] for _ in range(4)]
+
+    cases = [
+        ("bm25", {"k1": 0.9, "b": 0.4}),
+        ("qld", {"mu": 500.0}),
+        ("inl2", {"c": 0.1}),
+        ("f2log", {"s": 0.5}),
+    ]
+    for model, params in cases:
+        ref_s, ref_o = engine.search(term_lists, model=model, params=params, topk=10)
+        units = sindex.build_work_units(term_lists, model=model)
+        s, o = sharded_search(sindex, units, num_queries=len(term_lists), topk=10, model=model, params=params)
+        for q in range(len(term_lists)):
+            valid = ref_s[q] > 0
+            np.testing.assert_allclose(np.sort(s[q])[-valid.sum():], np.sort(ref_s[q][valid]), rtol=1e-4,
+                                       err_msg=f"{model} query {q}")
