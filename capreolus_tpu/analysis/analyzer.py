@@ -54,27 +54,34 @@ class EnglishAnalyzer:
     """Configurable English analyzer matching Anserini's options.
 
     Args:
-        stemmer: "porter", "none" (krovetz is not implemented; callers should map it)
+        stemmer: "porter", "krovetz" (dictionary-less inflectional approximation), or "none"
         keep_stopwords: if True, skip stopword removal (Anserini's ``keepStopwords``)
     """
 
     def __init__(self, stemmer: str = "porter", keep_stopwords: bool = False):
-        if stemmer not in ("porter", "none"):
-            raise ValueError(f"unsupported stemmer {stemmer!r}; expected 'porter' or 'none'")
+        if stemmer not in ("porter", "krovetz", "none"):
+            raise ValueError(f"unsupported stemmer {stemmer!r}; expected 'porter', 'krovetz', or 'none'")
         self.stemmer = stemmer
         self.keep_stopwords = keep_stopwords
 
     def analyze(self, text: str) -> List[str]:
         # the native C++ path handles ASCII text (the overwhelming majority of TREC
-        # corpora); unicode falls through to the pure-Python pipeline
-        if text.isascii():
+        # corpora); unicode and the krovetz stemmer fall through to pure Python
+        if text.isascii() and self.stemmer != "krovetz":
             from capreolus_tpu.native import native_analyze
 
             result = native_analyze(text, self.stemmer == "porter", self.keep_stopwords)
             if result is not None:
                 return result
+        if self.stemmer == "porter":
+            stem = porter_stem
+        elif self.stemmer == "krovetz":
+            from capreolus_tpu.analysis.kstem import kstem
+
+            stem = kstem
+        else:
+            stem = None
         tokens = []
-        stem = porter_stem if self.stemmer == "porter" else None
         for raw in standard_tokenize(text):
             tok = strip_possessive(raw).lower()
             if not tok:
@@ -108,12 +115,6 @@ class WhitespaceAnalyzer:
 def get_analyzer(stemmer: str = "porter", keep_stopwords: bool = False):
     if stemmer is None:
         stemmer = "none"
-    if stemmer == "krovetz":
-        # krovetz is dictionary-based; porter is the reference default and our parity target
-        from capreolus_tpu.utils.loginit import get_logger
-
-        get_logger(__name__).warning("krovetz stemmer not implemented; falling back to porter")
-        stemmer = "porter"
     if stemmer == "whitespace":
         return WhitespaceAnalyzer()
     return EnglishAnalyzer(stemmer=stemmer, keep_stopwords=keep_stopwords)

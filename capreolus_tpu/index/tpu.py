@@ -94,7 +94,7 @@ class TpuIndex(Index):
     module_name = "tpu"
     config_spec = [
         ConfigOption("indexstops", False, "index stopwords (True) or remove them (False)"),
-        ConfigOption("stemmer", "porter", "stemmer: porter or none"),
+        ConfigOption("stemmer", "porter", "stemmer: porter, krovetz, or none"),
         ConfigOption("storepositions", False, "store the positional forward index "
                      "(per-doc token-id sequences; required by SDM)"),
     ]

@@ -77,3 +77,23 @@ def test_analyzer_pipeline():
 
     nostem = get_analyzer(stemmer="none")
     assert nostem.analyze("Running tests") == ["running", "tests"]
+
+
+def test_kstem_inflectional():
+    from capreolus_tpu.analysis.kstem import kstem
+
+    cases = {
+        "cities": "city", "carried": "carry", "hopped": "hop", "hopping": "hop",
+        "created": "create", "creating": "create", "dogs": "dog", "churches": "church",
+        "boxes": "box", "knives": "knife", "children": "child", "news": "news",
+        "analysis": "analysis", "running": "run", "engineering": "engineer",
+        # derivational suffixes preserved (the point of krovetz vs porter)
+        "nationalization": "nationalization", "hopefulness": "hopefulness",
+    }
+    for word, expected in cases.items():
+        assert kstem(word) == expected, word
+
+
+def test_krovetz_analyzer():
+    a = get_analyzer(stemmer="krovetz")
+    assert a.analyze("The dogs were running through cities") == ["dogs"[:3], "were", "run", "through", "city"]
