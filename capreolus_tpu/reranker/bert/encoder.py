@@ -35,6 +35,7 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     dtype: str = "float32"
+    remat: bool = False  # rematerialize each layer's activations in the backward pass
 
     @property
     def head_dim(self):
@@ -133,8 +134,13 @@ class BertEncoder(nn.Module):
 
         mask = attention_mask.astype(jnp.bool_)
         all_hidden = [hidden]
+        layer_cls = BertLayer
+        if c.remat:
+            # trade FLOPs for HBM: recompute each layer's activations in the
+            # backward pass (jax.checkpoint), enabling larger train batches
+            layer_cls = nn.remat(BertLayer)
         for i in range(c.num_layers):
-            hidden = BertLayer(c, name=f"layer_{i}")(hidden, mask)
+            hidden = layer_cls(c, name=f"layer_{i}")(hidden, mask)
             if output_hidden_states:
                 all_hidden.append(hidden)
 

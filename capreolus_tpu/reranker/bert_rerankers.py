@@ -79,8 +79,12 @@ class BertRerankerBase(Reranker):
     ]
 
     def encoder_config(self) -> BertConfig:
+        import dataclasses as _dc
+
         name = self.config["pretrained"]
         cfg, self._pretrained_params = load_pretrained_encoder(name)
+        if self.config.get("remat"):
+            cfg = _dc.replace(cfg, remat=True)
         return cfg
 
     def _passage_mask(self, mask):
@@ -142,6 +146,7 @@ class BERTMaxP(BertRerankerBase):
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model: bert-base-uncased, "
                      "Capreolus/bert-base-msmarco, electra-base, or tiny (offline)"),
         ConfigOption("aggregation", "max", "passage aggregation: max, first, sum, or avg"),
+        ConfigOption("remat", False, "rematerialize encoder layers in the backward pass"),
     ]
 
     def build_model(self):

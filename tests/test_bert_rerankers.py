@@ -182,3 +182,22 @@ def test_flash_attention_matches_xla():
 
     out = fa.multihead_attention(q, k, v, mask, use_pallas=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_remat_training_step(tmpdir_as_cache):
+    """Rematerialized encoder trains (gradients flow through nn.remat layers)."""
+    import jax
+
+    reranker = make_reranker("BERTMaxP", {"remat": True})
+    prepared(reranker)
+    ext = reranker.extractor
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+    from capreolus_tpu.reranker.common import pair_hinge_loss
+
+    samples = [ext.id2vec(qid, "D001", "D002", label=[1, 0], training=True) for qid in ("301", "302")]
+    batch = collate(samples, ARRAY_KEYS)
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    grads = jax.grad(lambda p: pair_hinge_loss(reranker.score(p, batch)))(params)
+    import numpy as np
+
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in jax.tree_util.tree_leaves(grads))
