@@ -30,6 +30,13 @@ def synth_index(seed=0):
     from capreolus_tpu.index.smallfloat import quantize_lengths
     from capreolus_tpu.index.tpu import IndexData
 
+    cache_fn = f"/tmp/capreolus_tpu_bench_corpus_{NUM_DOCS}_{NUM_TERMS}_{seed}.npz"
+    if os.path.exists(cache_fn):
+        z = np.load(cache_fn)
+        return IndexData(term_offsets=z["term_offsets"], doc_ids=z["doc_ids"], tfs=z["tfs"],
+                         doclens=z["doclens"], norm_doclens=z["norm_doclens"],
+                         docid_strings=None, vocab=None)
+
     rng = np.random.Generator(np.random.PCG64(seed))
     nnz = NUM_DOCS * AVG_UNIQUE_TERMS
     # Zipfian term assignment
@@ -50,12 +57,15 @@ def synth_index(seed=0):
     np.cumsum(np.bincount(term_ids, minlength=NUM_TERMS), out=offsets[1:])
     doclens = np.bincount(doc_ords, weights=tfs, minlength=NUM_DOCS).astype(np.int32)
     doclens = np.maximum(doclens, 1)
+    norm = quantize_lengths(doclens).astype(np.int32)
+    np.savez(cache_fn, term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
+             tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm)
     return IndexData(
         term_offsets=offsets,
         doc_ids=doc_ords.astype(np.int32),
         tfs=tfs.astype(np.int32),
         doclens=doclens,
-        norm_doclens=quantize_lengths(doclens).astype(np.int32),
+        norm_doclens=norm,
         docid_strings=None,  # not needed for scoring
         vocab=None,
     )
