@@ -375,9 +375,14 @@ class JaxTrainer(Trainer):
         model = reranker.build_model()
         batch_size = self.config["batch"]
 
-        @jax.jit
-        def test_step(p, batch):
-            return reranker.test(p, batch)
+        # cache the jitted scorer per reranker: a fresh closure every call would
+        # re-trace the model each validation round
+        cache = getattr(self, "_test_step_cache", None)
+        if cache is None:
+            cache = self._test_step_cache = {}
+        test_step = cache.get(id(reranker))
+        if test_step is None:
+            test_step = cache[id(reranker)] = jax.jit(lambda p, batch: reranker.test(p, batch))
 
         preds = {}
         # feature extraction for the dev set is expensive (per-passage encoding);
