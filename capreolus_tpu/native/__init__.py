@@ -19,8 +19,11 @@ from capreolus_tpu.utils.loginit import get_logger
 logger = get_logger(__name__)
 
 _SOURCE = Path(__file__).parent / "analyzer.cpp"
+_TREC_SOURCE = Path(__file__).parent / "trec_reader.cpp"
 _LIB = None
 _TRIED = False
+_TREC_LIB = None
+_TREC_TRIED = False
 
 
 def _build_dir():
@@ -74,6 +77,55 @@ def native_analyze(text: str, use_porter: bool, keep_stops: bool):
     if not raw:
         return []
     return raw.decode("ascii").rstrip("\n").split("\n")
+
+
+def get_trec_reader_lib():
+    """Native TREC document reader (None when the toolchain is unavailable)."""
+    global _TREC_LIB, _TREC_TRIED
+    if _TREC_LIB is not None or _TREC_TRIED:
+        return _TREC_LIB
+    _TREC_TRIED = True
+    if os.environ.get("CAPREOLUS_NATIVE", "1").lower() in ("0", "false", "no"):
+        return None
+    try:
+        src = _TREC_SOURCE.read_bytes()
+        digest = hashlib.md5(src).hexdigest()[:12]
+        lib_path = _build_dir() / f"trec_reader_{digest}.so"
+        if not lib_path.exists():
+            cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_TREC_SOURCE), "-o", str(lib_path)]
+            logger.info("building native TREC reader: %s", " ".join(cmd))
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(lib_path))
+        lib.ctpu_parse_trec.restype = ctypes.c_void_p
+        lib.ctpu_parse_trec.argtypes = [ctypes.c_char_p, ctypes.c_long]
+        lib.ctpu_free_trec.argtypes = [ctypes.c_void_p]
+        _TREC_LIB = lib
+    except Exception as e:
+        logger.info("native TREC reader unavailable (%s); using the Python parser", e)
+        _TREC_LIB = None
+    return _TREC_LIB
+
+
+def native_parse_trec(data: bytes):
+    """Parse a TREC file's bytes into [(docid, contents)]; None if unavailable."""
+    lib = get_trec_reader_lib()
+    if lib is None:
+        return None
+    ptr = lib.ctpu_parse_trec(data, len(data))
+    try:
+        raw = ctypes.string_at(ptr)
+    finally:
+        lib.ctpu_free_trec(ptr)
+    if not raw:
+        return []
+    records = raw.decode("utf-8", errors="replace").split("")
+    out = []
+    for rec in records:
+        if not rec:
+            continue
+        docid, _, contents = rec.partition("")
+        out.append((docid, contents))
+    return out
 
 
 def native_porter_stem(word: str):

@@ -198,8 +198,19 @@ def iterate_trec_docs(path, content_tags=TREC_CONTENT_TAGS):
     """Yield (docid, contents) pairs from a TREC-format document file.
 
     Contents are the whitespace-joined text of the content tags, with <P>-style
-    markup removed, in document order.
+    markup removed, in document order. Plain files with the default content tags
+    go through the native C++ reader when available.
     """
+    if content_tags is TREC_CONTENT_TAGS and not str(path).endswith(".gz"):
+        from capreolus_tpu.native import native_parse_trec
+
+        data = open(path, "rb").read()
+        if data.isascii() if hasattr(data, "isascii") else True:
+            parsed = native_parse_trec(data)
+            if parsed is not None:
+                yield from parsed
+                return
+
     content_tags = set(content_tags)
     docid = None
     contents = []

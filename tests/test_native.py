@@ -61,3 +61,47 @@ def test_native_porter_vectors():
 def test_analyzer_uses_native_transparently():
     a = EnglishAnalyzer(stemmer="porter")
     assert a.analyze("The programmer's tests are running") == ["programm", "test", "run"]
+
+
+def test_native_trec_parser_matches_python(tmp_path):
+    from capreolus_tpu.native import native_parse_trec
+    from capreolus_tpu.utils.trec import TREC_CONTENT_TAGS, iterate_trec_docs
+
+    rng = np.random.Generator(np.random.PCG64(0))
+    words = "alpha beta gamma delta epsilon zeta".split()
+    blocks = []
+    for i in range(25):
+        text = " ".join(rng.choice(words, size=int(rng.integers(3, 30))))
+        head = " ".join(rng.choice(words, size=3))
+        blocks.append(f"""<DOC>
+<DOCNO> NT{i:03d} </DOCNO>
+<SECTION>
+<P>
+ignored section
+</P>
+</SECTION>
+<HEADLINE>
+<P>
+{head}
+</P>
+</HEADLINE>
+<TEXT>
+<P>
+{text}
+</P>
+</TEXT>
+</DOC>
+""")
+    fn = tmp_path / "docs.trectxt"
+    fn.write_text("".join(blocks))
+
+    native = native_parse_trec(fn.read_bytes())
+    if native is None:
+        pytest.skip("native toolchain unavailable")
+
+    # force the pure-Python parser by passing an equal (non-identical) tag tuple
+    python = list(iterate_trec_docs(fn, content_tags=tuple(TREC_CONTENT_TAGS)))
+    assert native == python
+    assert len(native) == 25
+    assert native[0][0] == "NT000"
+    assert "ignored section" not in native[0][1]
