@@ -99,8 +99,8 @@ ignored section
     if native is None:
         pytest.skip("native toolchain unavailable")
 
-    # force the pure-Python parser by passing an equal (non-identical) tag tuple
-    python = list(iterate_trec_docs(fn, content_tags=tuple(TREC_CONTENT_TAGS)))
+    # force the pure-Python parser: a list is never `is` the default tuple
+    python = list(iterate_trec_docs(fn, content_tags=list(TREC_CONTENT_TAGS)))
     assert native == python
     assert len(native) == 25
     assert native[0][0] == "NT000"
