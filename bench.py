@@ -92,7 +92,7 @@ def main():
     # warmup / compile: one full untimed pass covers every work-unit bucket size
     for i in range(0, NUM_QUERIES, BATCH):
         engine.search(queries[i : i + BATCH], model="bm25", params={"k1": 0.9, "b": 0.4}, topk=TOPK,
-                      score_dtype="bfloat16")
+                      score_dtype="bfloat16", pack_ords=True)
 
     # timed: pipelined per-batch dispatch overlaps device compute with result
     # transfers (measured faster than fusing batches into one call, which
@@ -104,9 +104,11 @@ def main():
         for i in range(0, NUM_QUERIES, BATCH):
             pending.append(engine.search(
                 queries[i : i + BATCH], model="bm25", params={"k1": 0.9, "b": 0.4}, topk=TOPK,
-                materialize=False, score_dtype="bfloat16",
+                materialize=False, score_dtype="bfloat16", pack_ords=True,
             ))
-        results = [(np.asarray(s).astype(np.float32), np.asarray(o)) for s, o in pending]
+        from capreolus_tpu.searcher.scoring import unpack_doc_ords
+
+        results = [(np.asarray(s).astype(np.float32), unpack_doc_ords(np.asarray(o))) for s, o in pending]
         elapsed = time.perf_counter() - start
         best = elapsed if best is None else min(best, elapsed)
     qps = NUM_QUERIES / best

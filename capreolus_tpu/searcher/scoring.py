@@ -120,6 +120,12 @@ _W2_SOURCE = {
 }
 
 
+def unpack_doc_ords(packed: np.ndarray) -> np.ndarray:
+    """Inverse of the device-side 3-byte ordinal packing ([..., 3] uint8 -> int32)."""
+    packed = packed.astype(np.int32)
+    return packed[..., 0] | (packed[..., 1] << 8) | (packed[..., 2] << 16)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -244,9 +250,9 @@ class ScoringEngine:
     # ------------------------------------------------------------------ device kernels
     @functools.partial(jax.jit,
                        static_argnames=("self", "model", "num_queries", "topk", "param_axes", "exact",
-                                        "cand_pad", "max_dup", "score_dtype"))
+                                        "cand_pad", "max_dup", "score_dtype", "pack_ords"))
     def _score_and_topk(self, model, num_queries, topk, param_axes, exact, cand_pad, max_dup,
-                        score_dtype, packed_units, params):
+                        score_dtype, pack_ords, packed_units, params):
         """Returns (scores [*param_axes, Q, topk], doc_ords [*param_axes, Q, topk]).
 
         Two top-k strategies:
@@ -316,6 +322,13 @@ class ScoringEngine:
                     [top_docs, jnp.full((num_queries, pad_n), d.num_docs, dtype=jnp.int32)], axis=1)
             # narrower result dtype halves the device->host result transfer (useful
             # on tunneled devices); ranking order is decided on device beforehand
+            if pack_ords:
+                # 3-byte doc ordinals (num_docs < 2^24): 25% fewer ord bytes
+                top_docs = jnp.stack([
+                    (top_docs & 0xFF).astype(jnp.uint8),
+                    ((top_docs >> 8) & 0xFF).astype(jnp.uint8),
+                    ((top_docs >> 16) & 0xFF).astype(jnp.uint8),
+                ], axis=-1)
             return top_scores.astype(jnp.dtype(score_dtype)), top_docs
 
         # vmap over each grid-searched parameter axis (shared gathers);
@@ -428,6 +441,7 @@ class ScoringEngine:
         exact_topk: bool = None,
         materialize: bool = True,
         score_dtype: str = "float32",
+        pack_ords: bool = False,
     ):
         """Score a batch of queries; returns (scores, doc_ords) numpy arrays.
 
@@ -484,12 +498,16 @@ class ScoringEngine:
         packed_units = np.stack([
             tile_idx, qidx, w1.view(np.int32), w2.view(np.int32), lo, hi, dest_base,
         ])
+        pack_ords = bool(pack_ords) and not exact_topk and self.dindex.num_docs < (1 << 24)
         scores, doc_ords = self._score_and_topk(
             model, num_queries, topk, param_axes, bool(exact_topk), int(cand_pad), int(max_dup),
-            str(score_dtype), packed_units, device_params
+            str(score_dtype), pack_ords, packed_units, device_params
         )
         if not materialize:
             # async: return device arrays so callers can pipeline batches (jax
             # dispatch is non-blocking; np.asarray forces a sync)
             return scores, doc_ords
-        return np.asarray(scores), np.asarray(doc_ords)
+        doc_ords = np.asarray(doc_ords)
+        if pack_ords:
+            doc_ords = unpack_doc_ords(doc_ords)
+        return np.asarray(scores), doc_ords

@@ -65,3 +65,21 @@ def test_search_fused_matches_search():
         fs, fo = fused_scores[si], fused_ords[si]
         np.testing.assert_allclose(fs[valid], s_ref[valid], rtol=1e-5)
         assert (fo[valid] == o_ref[valid]).all()
+
+
+def test_packed_ords_roundtrip():
+    from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine, unpack_doc_ords
+
+    data = make_synthetic_index(num_docs=300, num_terms=40, seed=2)
+    engine = ScoringEngine(DeviceIndex(data))
+    queries = [[(1, 1.0), (5, 1.0)], [(7, 2.0)]]
+    ref_s, ref_o = engine.search(queries, params={"k1": 0.9, "b": 0.4}, topk=20, exact_topk=False)
+    s, o = engine.search(queries, params={"k1": 0.9, "b": 0.4}, topk=20, exact_topk=False, pack_ords=True)
+    np.testing.assert_allclose(s, ref_s, rtol=1e-6)
+    np.testing.assert_array_equal(o, ref_o)
+
+    # raw device output is uint8-packed; unpack matches
+    ps, po = engine.search(queries, params={"k1": 0.9, "b": 0.4}, topk=20, exact_topk=False,
+                           pack_ords=True, materialize=False)
+    assert np.asarray(po).dtype == np.uint8 and np.asarray(po).shape[-1] == 3
+    np.testing.assert_array_equal(unpack_doc_ords(np.asarray(po)), ref_o)
