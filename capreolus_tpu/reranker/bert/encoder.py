@@ -94,7 +94,9 @@ class BertLayer(nn.Module):
             (hidden + attn).astype(jnp.float32)
         ).astype(dtype)
         ff = nn.Dense(c.intermediate_size, name="intermediate", dtype=dtype)(hidden)
-        ff = nn.gelu(ff, approximate=False)
+        # tanh-approximate GELU: erf is a slow transcendental chain on the VPU and
+        # the approximation differs by ~1e-3 (well inside bf16 noise)
+        ff = nn.gelu(ff, approximate=True)
         ff = nn.Dense(c.hidden_size, name="ffn_output", dtype=dtype)(ff)
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln", dtype=jnp.float32)(
             (hidden + ff).astype(jnp.float32)
