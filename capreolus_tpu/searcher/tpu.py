@@ -129,7 +129,11 @@ class TpuSearcherBase(TpuSearcherMixin, Searcher):
 
 @Searcher.register
 class BM25(TpuSearcherBase):
-    """BM25 with k1/b grid search (parity: searcher/anserini.py:151-176)."""
+    """BM25 with k1/b grid search (parity: searcher/anserini.py:151-176).
+
+    ``shards`` > 1 partitions the postings by document range across that many
+    devices and merges per-shard top-k over ICI (the new first-class index-sharding
+    component, SURVEY.md §2.3)."""
 
     module_name = "BM25"
     model = "bm25"
@@ -138,10 +142,66 @@ class BM25(TpuSearcherBase):
         ConfigOption("b", [0.4], "controls document length normalization", value_type="floatlist"),
         ConfigOption("hits", 1000, "number of results to return"),
         ConfigOption("fields", "title", "query fields"),
+        ConfigOption("shards", 1, "devices to shard the postings across (1 = single chip)"),
     ]
+    config_keys_not_in_path = ["shards"]
 
     def grid_params(self):
         return {}, {"k1": list(self.config["k1"]), "b": list(self.config["b"])}
+
+    def _search_all(self, topicsfn, output_path):
+        if self.config["shards"] <= 1:
+            return super()._search_all(topicsfn, output_path)
+        self._search_all_sharded(topicsfn, output_path)
+
+    def _search_all_sharded(self, topicsfn, output_path):
+        import itertools
+
+        import jax
+        from jax.sharding import Mesh
+
+        import numpy as np
+
+        from capreolus_tpu.parallel import ShardedDeviceIndex, sharded_search
+
+        shards = self.config["shards"]
+        devices = jax.devices()
+        if len(devices) < shards:
+            raise ValueError(f"searcher.shards={shards} but only {len(devices)} devices are available")
+        self.index.create_index()
+        data = self.index.data
+        mesh = Mesh(np.array(devices[:shards]), ("shard",))
+        sindex = ShardedDeviceIndex(data, mesh)
+
+        topics = _load_topics_tsv(topicsfn)
+        hits = min(int(self.config["hits"]), data.num_docs)
+        vocab = data.vocab
+        from collections import Counter
+
+        combos = list(itertools.product(self.config["k1"], self.config["b"]))
+        for k1, b in combos:
+            run = {}
+            for start in range(0, len(topics), QUERY_BATCH):
+                batch = topics[start : start + QUERY_BATCH]
+                term_lists = [
+                    [(vocab[t], float(c)) for t, c in Counter(self.index.analyze(text)).items() if t in vocab]
+                    for _, text in batch
+                ]
+                units = sindex.build_work_units(term_lists, model="bm25")
+                scores, ords = sharded_search(sindex, units, num_queries=len(batch), topk=hits,
+                                              model="bm25", params={"k1": k1, "b": b})
+                for qi, (qid, _) in enumerate(batch):
+                    if not term_lists[qi]:
+                        continue
+                    ranked = {}
+                    for s, o in zip(scores[qi], ords[qi]):
+                        if s <= 0.0:
+                            break
+                        ranked[data.docid_strings[int(o)]] = float(s)
+                    run[qid] = ranked
+            tag = self._param_tag({}, {"k1": k1, "b": b})
+            self._write_run(run, output_path / tag)
+            logger.info("wrote sharded (%d-way) run file %s", shards, output_path / tag)
 
 
 @Searcher.register

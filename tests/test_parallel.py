@@ -134,3 +134,25 @@ def test_sharded_search_all_models():
             valid = ref_s[q] > 0
             np.testing.assert_allclose(np.sort(s[q])[-valid.sum():], np.sort(ref_s[q][valid]), rtol=1e-4,
                                        err_msg=f"{model} query {q}")
+
+
+def test_bm25_searcher_shards_option(tmpdir_as_cache, tmp_path):
+    """BM25 with shards=4 produces the same run as single-chip BM25."""
+    from capreolus_tpu.searcher import Searcher
+    from capreolus_tpu.utils.trec import load_trec_run
+
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("1\ttelescope galaxies\n2\twhales ocean\n")
+
+    single = Searcher.create("BM25", {"index": {"collection": {"name": "dummy"}}})
+    single.query_from_file(topicsfn, tmp_path / "single")
+    sharded = Searcher.create("BM25", {"shards": 4, "index": {"collection": {"name": "dummy"}}})
+    sharded.query_from_file(topicsfn, tmp_path / "sharded")
+
+    run1 = load_trec_run(next(f for f in (tmp_path / "single").iterdir() if f.name != "done"))
+    run2 = load_trec_run(next(f for f in (tmp_path / "sharded").iterdir() if f.name != "done"))
+    assert set(run1) == set(run2)
+    for qid in run1:
+        assert set(run1[qid]) == set(run2[qid])
+        for docid in run1[qid]:
+            assert abs(run1[qid][docid] - run2[qid][docid]) < 1e-4
