@@ -261,7 +261,9 @@ class ScoringEngine:
             over the per-query *candidate* layout [Q, cand_pad] (each work unit owns
             a TILE-wide column block) — orders of magnitude fewer elements than N.
             Duplicate (query, doc) candidates from multi-term matches are resolved
-            on device with a scatter-max ownership pass.
+            on device with a scatter-max ownership pass. Scores are exact; only the
+            order of exact score TIES can differ from the dense path (candidate
+            position vs doc ordinal) — trec_eval re-sorts ties anyway.
 
         Work units arrive packed as one [7, U] int32 array (floats bitcast) so a
         batch costs a single host->device transfer instead of seven round-trips.

@@ -141,7 +141,8 @@ class BM25(TpuSearcherBase):
         ConfigOption("k1", [0.9], "controls term saturation", value_type="floatlist"),
         ConfigOption("b", [0.4], "controls document length normalization", value_type="floatlist"),
         ConfigOption("hits", 1000, "number of results to return"),
-        ConfigOption("fields", "title", "query fields"),
+        ConfigOption("fields", "title", "accepted for reference-config compatibility; "
+                     "the TPU index searches merged document contents"),
         ConfigOption("shards", 1, "devices to shard the postings across (1 = single chip)"),
     ]
     config_keys_not_in_path = ["shards"]
