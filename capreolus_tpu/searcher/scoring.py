@@ -44,7 +44,10 @@ TILE = 512
 
 
 def _bm25(tf, dl, w1, w2, params, stats):
-    # w1 = qtf * idf;  Lucene 8+ BM25: idf * tf / (tf + k1*(1 - b + b*dl/avgdl))
+    # w1 = qtf * idf;  Lucene 8+ BM25: idf * tf / (tf + k1*(1 - b + b*dl/avgdl)).
+    # tf/dl may arrive as (exactly-representable) bf16 payloads; compute in f32.
+    tf = tf.astype(jnp.float32)
+    dl = dl.astype(jnp.float32)
     k1, b = params["k1"], params["b"]
     denom = tf + k1 * (1.0 - b + b * dl / stats["avgdl"])
     return w1 * tf / denom
@@ -52,6 +55,8 @@ def _bm25(tf, dl, w1, w2, params, stats):
 
 def _qld(tf, dl, w1, w2, params, stats):
     # w1 = qtf, w2 = P(t|C);  Lucene LMDirichletSimilarity with per-term floor at 0
+    tf = tf.astype(jnp.float32)
+    dl = dl.astype(jnp.float32)
     mu = params["mu"]
     score = jnp.log1p(tf / (mu * w2)) + jnp.log(mu / (dl + mu))
     return w1 * jnp.maximum(score, 0.0)
@@ -59,6 +64,8 @@ def _qld(tf, dl, w1, w2, params, stats):
 
 def _qljm(tf, dl, w1, w2, params, stats):
     # w1 = qtf, w2 = P(t|C);  Lucene LMJelinekMercerSimilarity
+    tf = tf.astype(jnp.float32)
+    dl = dl.astype(jnp.float32)
     lam = params["lam"]
     dl = jnp.maximum(dl, 1.0)
     return w1 * jnp.log1p(((1.0 - lam) / lam) * (tf / dl) / w2)
@@ -66,6 +73,8 @@ def _qljm(tf, dl, w1, w2, params, stats):
 
 def _inl2(tf, dl, w1, w2, params, stats):
     # DFR I(n)L2: tfn = tf * log2(1 + c*avgdl/dl); w1 = qtf, w2 = df
+    tf = tf.astype(jnp.float32)
+    dl = dl.astype(jnp.float32)
     c = params["c"]
     dl = jnp.maximum(dl, 1.0)
     tfn = tf * (jnp.log1p(c * stats["avgdl"] / dl) / jnp.log(2.0))
@@ -75,6 +84,8 @@ def _inl2(tf, dl, w1, w2, params, stats):
 
 def _spl(tf, dl, w1, w2, params, stats):
     # SPL (smoothed power law, Clinchant & Gaussier): w1 = qtf, w2 = cf (collection tf)
+    tf = tf.astype(jnp.float32)
+    dl = dl.astype(jnp.float32)
     c = params["c"]
     dl = jnp.maximum(dl, 1.0)
     tfn = tf * jnp.log1p(c * stats["avgdl"] / dl) / jnp.log(2.0)
@@ -86,6 +97,8 @@ def _spl(tf, dl, w1, w2, params, stats):
 
 def _f2exp(tf, dl, w1, w2, params, stats):
     # axiomatic F2EXP: w1 = qtf, w2 = df
+    tf = tf.astype(jnp.float32)
+    dl = dl.astype(jnp.float32)
     s = params["s"]
     tfs = tf / (tf + s + s * dl / stats["avgdl"])
     return w1 * tfs * jnp.power((stats["num_docs"] + 1.0) / w2, params.get("k", 0.35))
@@ -93,6 +106,8 @@ def _f2exp(tf, dl, w1, w2, params, stats):
 
 def _f2log(tf, dl, w1, w2, params, stats):
     # axiomatic F2LOG: w1 = qtf, w2 = df
+    tf = tf.astype(jnp.float32)
+    dl = dl.astype(jnp.float32)
     s = params["s"]
     tfs = tf / (tf + s + s * dl / stats["avgdl"])
     return w1 * tfs * jnp.log((stats["num_docs"] + 1.0) / w2)
@@ -154,13 +169,22 @@ class DeviceIndex:
 
         put = functools.partial(jax.device_put, device=device)
         self.doc_tiles = put(doc_ids.reshape(n_tiles, TILE))
-        self.tf_tiles = put(tfs.reshape(n_tiles, TILE))
+
+        # bf16 posting payloads where exact: SmallFloat-quantized doc lengths keep
+        # <= 4 significant bits (always bf16-exact); term freqs are bf16-exact up
+        # to 256 (guarded per index). Halves the hot-path gather bandwidth.
+        def compact_f(arr):
+            if arr.max() <= 256 or (arr == arr.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)).all():
+                return jnp.asarray(arr, dtype=jnp.bfloat16)
+            return jnp.asarray(arr, dtype=jnp.float32)
+
+        self.tf_tiles = put(compact_f(tfs.reshape(n_tiles, TILE)))
         # posting-aligned doc lengths: avoids a 1-element-per-posting random gather
-        # on the hot path (one extra f32 per posting in HBM)
+        # on the hot path (one extra value per posting in HBM)
         norm_dl_table = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
         exact_dl_table = np.append(index_data.doclens.astype(np.float32), 1.0)
-        self.norm_dl_tiles = put(norm_dl_table[doc_ids].reshape(n_tiles, TILE))
-        self.exact_dl_tiles = put(exact_dl_table[doc_ids].reshape(n_tiles, TILE))
+        self.norm_dl_tiles = put(compact_f(norm_dl_table[doc_ids].reshape(n_tiles, TILE)))
+        self.exact_dl_tiles = put(exact_dl_table[doc_ids].reshape(n_tiles, TILE).astype(np.float32))
         self.norm_dl = put(norm_dl_table)
         self.exact_dl = put(exact_dl_table)
 
