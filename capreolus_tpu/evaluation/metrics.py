@@ -10,7 +10,13 @@ with a from-scratch implementation of trec_eval's semantics:
 - ndcg_cut uses graded gains rel/log2(rank+1) with the ideal ranking drawn from all
   judged docs; negative grades contribute zero gain
 - queries with no relevant documents are excluded from the averages, and only
-  queries present in both the run and the qrels are evaluated (trec_eval default)
+  queries present in both the run and the qrels are evaluated (trec_eval default);
+  exception: judged_* is averaged over every run query present in qrels, matching
+  the reference's separate judged() helper (/root/reference/capreolus/evaluator.py:32-47)
+- breadth matches what the reference accepts via pytrec_eval metric strings
+  (/root/reference/capreolus/evaluator.py:75-77): map, map_cut_k, Rprec, bpref,
+  ndcg, ndcg_cut_k, P_k, recall_k, recip_rank, success_k, set_P, set_recall,
+  set_F, judged_k
 
 A vectorized numpy path evaluates batches of ranked lists; `eval_metrics` is the
 per-query scalar reference used by tests.
@@ -24,7 +30,7 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
-SUPPORTED_PREFIXES = ("P_", "ndcg_cut_", "recall_", "judged_")
+SUPPORTED_PREFIXES = ("P_", "ndcg_cut_", "recall_", "judged_", "map_cut_", "success_")
 
 
 def rank_run(rundocs: Dict[str, float]) -> List[str]:
@@ -82,8 +88,48 @@ def query_metrics(ranked: Sequence[str], qrels_q: Dict[str, int], metrics: Seque
             k = int(metric.split("_")[1])
             topn = ranked[:k]
             out[metric] = (sum(1 for d in topn if d in qrels_q) / len(topn)) if topn else 0.0
+        elif metric.startswith("map_cut_"):
+            k = int(metric.split("_")[2])
+            hits, ap = 0, 0.0
+            for i, flag in enumerate(rel_flags[:k], start=1):
+                if flag:
+                    hits += 1
+                    ap += hits / i
+            out[metric] = ap / num_rel if num_rel else 0.0
+        elif metric == "Rprec":
+            out[metric] = (sum(rel_flags[:num_rel]) / num_rel) if num_rel else 0.0
+        elif metric == "bpref":
+            # trec_eval m_bpref: per judged-relevant retrieved doc r, credit
+            # 1 - min(#judged-nonrel above r, min(R, N)) / min(R, N); unjudged ignored
+            nonrel_total = sum(1 for g in qrels_q.values() if 0 <= g < relevance_level)
+            denom = min(num_rel, nonrel_total)
+            nonrel_above, total = 0, 0.0
+            for d in ranked:
+                g = qrels_q.get(d)
+                if g is None:
+                    continue
+                if g >= relevance_level:
+                    total += 1.0 if denom == 0 else 1.0 - min(nonrel_above, denom) / denom
+                elif g >= 0:
+                    nonrel_above += 1
+            out[metric] = total / num_rel if num_rel else 0.0
+        elif metric == "ndcg":
+            gains = [max(0, qrels_q.get(d, 0)) for d in ranked]
+            dcg = sum(g / math.log2(i + 1) for i, g in enumerate(gains, start=1))
+            ideal_gains = sorted((max(0, g) for g in qrels_q.values()), reverse=True)
+            idcg = sum(g / math.log2(i + 1) for i, g in enumerate(ideal_gains, start=1))
+            out[metric] = dcg / idcg if idcg > 0 else 0.0
+        elif metric.startswith("success_"):
+            k = int(metric.split("_")[1])
+            out[metric] = 1.0 if sum(rel_flags[:k]) > 0 else 0.0
+        elif metric == "set_P":
+            out[metric] = (sum(rel_flags) / len(ranked)) if ranked else 0.0
         elif metric == "set_recall":
             out[metric] = (len(rel_set & set(ranked)) / num_rel) if num_rel else 0.0
+        elif metric == "set_F":
+            p = (sum(rel_flags) / len(ranked)) if ranked else 0.0
+            r = (len(rel_set & set(ranked)) / num_rel) if num_rel else 0.0
+            out[metric] = (2 * p * r / (p + r)) if (p + r) > 0 else 0.0
         else:
             raise ValueError(f"unsupported metric {metric!r}")
     return out
@@ -92,21 +138,29 @@ def query_metrics(ranked: Sequence[str], qrels_q: Dict[str, int], metrics: Seque
 def eval_run(run: Dict[str, Dict[str, float]], qrels: Dict[str, Dict[str, int]], metrics: Sequence[str],
              relevance_level: int = 1, average: bool = True):
     """Evaluate a {qid: {docid: score}} run. Averages over queries in run ∩ qrels that
-    have at least one relevant document (trec_eval behavior)."""
+    have at least one relevant document (trec_eval behavior). judged_* metrics are
+    instead averaged over every run ∩ qrels query, matching the reference's judged()
+    helper (/root/reference/capreolus/evaluator.py:32-47)."""
+    judged = [m for m in metrics if m.startswith("judged_")]
+    rest = [m for m in metrics if not m.startswith("judged_")]
     per_query = {}
     for qid, rundocs in run.items():
         qrels_q = qrels.get(qid)
         if qrels_q is None:
             continue
-        if not _relevant_set(qrels_q, relevance_level):
+        has_rel = bool(_relevant_set(qrels_q, relevance_level))
+        if not has_rel and not judged:
             continue  # trec_eval skips queries with no relevant docs
         ranked = rank_run(rundocs)
-        per_query[qid] = query_metrics(ranked, qrels_q, metrics, relevance_level)
+        wanted = metrics if has_rel else judged
+        per_query[qid] = query_metrics(ranked, qrels_q, wanted, relevance_level)
     if not average:
         return per_query
-    if not per_query:
-        return {m: 0.0 for m in metrics}
-    return {m: float(np.mean([v[m] for v in per_query.values()])) for m in metrics}
+    out = {}
+    for m in metrics:
+        vals = [v[m] for v in per_query.values() if m in v]
+        out[m] = float(np.mean(vals)) if vals else 0.0
+    return out
 
 
 def msmarco_mrr_at_k(run: Dict[str, Dict[str, float]], qrels: Dict[str, Dict[str, int]], k: int = 10,
@@ -131,7 +185,8 @@ def msmarco_mrr_at_k(run: Dict[str, Dict[str, float]], qrels: Dict[str, Dict[str
 
 def parse_metric(metric: str) -> bool:
     """Whether a metric string is computable by this module."""
-    if metric in ("map", "recip_rank", "set_recall", "MRR@10"):
+    if metric in ("map", "recip_rank", "set_recall", "set_P", "set_F", "Rprec",
+                  "bpref", "ndcg", "MRR@10"):
         return True
     return any(re.match(rf"^{p}\d+$", metric) for p in
-               (r"P_", r"ndcg_cut_", r"recall_", r"judged_"))
+               (r"P_", r"ndcg_cut_", r"recall_", r"judged_", r"map_cut_", r"success_"))

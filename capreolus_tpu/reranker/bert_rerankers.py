@@ -85,6 +85,10 @@ class BertRerankerBase(Reranker):
         cfg, self._pretrained_params = load_pretrained_encoder(name)
         if self.config.get("remat"):
             cfg = _dc.replace(cfg, remat=True)
+        gelu = self.config.get("gelu", "tanh")
+        if gelu not in ("tanh", "erf"):
+            raise ValueError(f"gelu must be 'tanh' or 'erf', got {gelu!r}")
+        cfg = _dc.replace(cfg, gelu_approximate=(gelu == "tanh"))
         return cfg
 
     def _passage_mask(self, mask):
@@ -145,6 +149,7 @@ class BERTMaxP(BertRerankerBase):
     config_spec = [
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model: bert-base-uncased, "
                      "Capreolus/bert-base-msmarco, electra-base, or tiny (offline)"),
+        ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("aggregation", "max", "passage aggregation: max, first, sum, or avg"),
         ConfigOption("remat", False, "rematerialize encoder layers in the backward pass"),
     ]
@@ -172,6 +177,7 @@ class VanillaBERT(BERTMaxP):
     module_name = "TFVanillaBERT"
     config_spec = [
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
+        ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("aggregation", "first", "single passage: always the first"),
     ]
 
@@ -222,6 +228,7 @@ class Parade(BertRerankerBase):
     ]
     config_spec = [
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
+        ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("aggregation", "transformer", "passage aggregation: transformer, maxp, or avg"),
     ]
 
@@ -303,6 +310,7 @@ class CEDRKNRM(BertRerankerBase):
     ]
     config_spec = [
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
+        ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("simmat_layers", [0, 6, 12], "encoder layers to build simmats from", value_type="intlist"),
         ConfigOption("cls", "avg", "CLS feature pooling: avg, max, or none"),
     ]
@@ -357,6 +365,7 @@ class Birch(BertRerankerBase):
     ]
     config_spec = [
         ConfigOption("pretrained", "bert-large-uncased", "pretrained model"),
+        ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("topk", 3, "number of top passages to combine"),
     ]
 

@@ -319,6 +319,8 @@ def _window_counts(tokens, t1, t2, ordered_gap, unordered_window):
     if len(pos1) == 0 or len(pos2) == 0:
         return 0, 0
     diffs = pos2[None, :] - pos1[:, None]
-    ordered = int(((diffs >= 1) & (diffs <= ordered_gap + 1)).sum())
+    # Indri/Anserini #odN semantics: t2 follows t1 with diff in [1, N] (diff == 1
+    # means adjacent), so ows=1 counts only adjacent pairs
+    ordered = int(((diffs >= 1) & (diffs <= ordered_gap)).sum())
     unordered = int((np.abs(diffs) < unordered_window).sum())
     return ordered, unordered

@@ -208,6 +208,16 @@ class ScoringEngine:
     def __init__(self, device_index: DeviceIndex):
         self.dindex = device_index
 
+    def _check_accumulator_bounds(self, num_queries: int):
+        # the flat accumulator index qidx * (num_docs+1) + doc is int32 on device;
+        # fail loudly instead of silently wrapping on oversized corpora
+        if num_queries * (self.dindex.num_docs + 1) >= 2**31:
+            raise ValueError(
+                f"query batch of {num_queries} over {self.dindex.num_docs} docs overflows the "
+                f"int32 flat accumulator (need num_queries*(num_docs+1) < 2^31); "
+                f"use smaller batches or shard the index (searcher.shards)"
+            )
+
     # ------------------------------------------------------------- work-unit building
     def _build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str):
         """Flatten a batch of queries into per-(query, tile) work units (vectorized).
@@ -428,6 +438,7 @@ class ScoringEngine:
         params = {k_: jnp.asarray(v, dtype=jnp.float32) for k_, v in (params or {}).items()}
         num_queries = len(term_list_batches[0])
         assert all(len(b) == num_queries for b in term_list_batches)
+        self._check_accumulator_bounds(num_queries)
 
         built = [self._build_work_units(b, model) for b in term_list_batches]
         u_pad = _bucket(max(max(b[-1] for b in built), 1))
@@ -479,6 +490,7 @@ class ScoringEngine:
         params = dict(params or {})
         grid = dict(grid or {})
         num_queries = len(term_lists)
+        self._check_accumulator_bounds(num_queries)
         topk = min(topk, self.dindex.num_docs)
 
         tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model)

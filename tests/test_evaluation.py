@@ -123,3 +123,50 @@ def test_interpolated_eval():
     assert "alphas" in result and "s1" in result["alphas"]
     # run1 is perfect on dev, so alpha should favor it and test map should be 1.0
     assert result["score"]["map"] == pytest.approx(1.0)
+
+
+def test_extended_metric_family_handcomputed():
+    # qrels: d1 rel(2), d2 rel(1), d3 nonrel(0), dU unjudged
+    qrels_q = {"d1": 2, "d2": 1, "d3": 0, "d4": 0}
+    ranked = ["d3", "d1", "dU", "d2", "d4"]
+    m = query_metrics(
+        ranked, qrels_q,
+        ["Rprec", "bpref", "ndcg", "map_cut_2", "map_cut_4", "success_1", "success_2",
+         "set_P", "set_recall", "set_F"],
+    )
+    # R = 2 relevant; top-2 of ranking contains 1 relevant
+    assert m["Rprec"] == pytest.approx(1 / 2)
+    # bpref: N = 2 judged nonrelevant, denom = min(R, N) = 2.
+    # d1 has 1 nonrel (d3) above -> 1 - 1/2; d2 still has only d3 above (dU unjudged) -> 1 - 1/2
+    assert m["bpref"] == pytest.approx((0.5 + 0.5) / 2)
+    # full-depth ndcg over the whole ranking
+    dcg = 2 / math.log2(3) + 1 / math.log2(5)
+    idcg = 2 / math.log2(2) + 1 / math.log2(3)
+    assert m["ndcg"] == pytest.approx(dcg / idcg)
+    # map_cut_k: precision-sum truncated at k, still divided by full R
+    assert m["map_cut_2"] == pytest.approx((1 / 2) / 2)
+    assert m["map_cut_4"] == pytest.approx((1 / 2 + 2 / 4) / 2)
+    assert m["success_1"] == 0.0
+    assert m["success_2"] == 1.0
+    # set metrics over the whole retrieved set (5 docs, 2 relevant retrieved)
+    assert m["set_P"] == pytest.approx(2 / 5)
+    assert m["set_recall"] == pytest.approx(1.0)
+    p, r = 2 / 5, 1.0
+    assert m["set_F"] == pytest.approx(2 * p * r / (p + r))
+
+
+def test_bpref_no_judged_nonrelevant():
+    # when N == 0 every relevant retrieved doc credits 1.0
+    qrels_q = {"d1": 1, "d2": 1}
+    m = query_metrics(["d1", "dU"], qrels_q, ["bpref"])
+    assert m["bpref"] == pytest.approx(1 / 2)
+
+
+def test_judged_averaged_over_all_run_queries():
+    # q9 has qrels but no relevant docs: excluded from map, INCLUDED in judged_*
+    # (parity with the reference's judged() helper, evaluator.py:32-47)
+    qrels = {"q1": {"d1": 1, "d2": 0}, "q9": {"dW": 0}}
+    run = {"q1": {"d1": 2.0, "d2": 1.0}, "q9": {"dW": 1.0, "dZ": 0.5}}
+    out = eval_run(run, qrels, ["map", "judged_2"])
+    assert out["map"] == pytest.approx(1.0)  # only q1
+    assert out["judged_2"] == pytest.approx((2 / 2 + 1 / 2) / 2)  # q1 and q9

@@ -167,3 +167,33 @@ def test_rm3_expands(tmpdir_as_cache, tmp_path):
     run = next(iter(runs.values()))["1"]
     # expansion terms from D001/D002 should now retrieve D003 (shares 'galaxi')
     assert "D001" in run and "D002" in run
+
+
+def test_sdm_ordered_window_adjacency():
+    """#od1 counts only adjacent pairs (diff == 1), matching Indri/Anserini."""
+    import numpy as np
+
+    from capreolus_tpu.searcher.feedback import _window_counts
+
+    tokens = np.array([5, 7, 9, 5, 9, 7], dtype=np.int64)
+    # t1=5 at positions 0,3; t2=7 at positions 1,5
+    od, uw = _window_counts(tokens, 5, 7, ordered_gap=1, unordered_window=8)
+    assert od == 1  # only (0 -> 1) is adjacent; (3 -> 5) has a gap
+    od2, _ = _window_counts(tokens, 5, 7, ordered_gap=2, unordered_window=8)
+    assert od2 == 2
+
+
+def test_scoring_engine_accumulator_overflow_guard():
+    import numpy as np
+    import pytest as _pytest
+
+    from capreolus_tpu.searcher.scoring import ScoringEngine
+
+    class FakeDindex:
+        num_docs = 2**26
+
+    eng = ScoringEngine.__new__(ScoringEngine)
+    eng.dindex = FakeDindex()
+    with _pytest.raises(ValueError, match="overflows"):
+        eng._check_accumulator_bounds(64)
+    eng._check_accumulator_bounds(16)  # under the limit: fine
