@@ -8,10 +8,11 @@ The CSR postings arrays (doc ids + term freqs) are reshaped into fixed-size tile
 range; edge tiles are handled with on-device masks, so storage has zero padding waste.
 A query batch is flattened host-side into "work units" — one (query, tile) pair each,
 carrying the per-term weights and the valid [lo, hi) range — so the transfer per batch
-is a few small int/float vectors, not postings. On device:
+is a few small int/float vectors, not postings. On device (tiered path, the default
+for large corpora — see ScoringEngine docstring and PERF.md round 2):
 
-    gather tiles -> elementwise scoring model (VPU) -> flat scatter-add into
-    per-query accumulators -> top-k
+    gather tiles -> elementwise scoring model (VPU) -> per-tier row reshape ->
+    sort by doc -> duplicate-run merge -> sort by (score desc, doc asc) -> slice k
 
 All scoring models (BM25, QL-Dirichlet, QL-JM, DFR INL2, SPL, F2Exp, F2Log) share
 this engine and differ only in the elementwise formula, so parameter grid search
@@ -202,33 +203,89 @@ class DeviceIndex:
         self.stats = {"avgdl": self.avgdl, "num_docs": float(self.num_docs), "total_terms": self.total_terms}
 
 
+class TieredResult:
+    """Pending device results of a tiered search; fetches are started eagerly
+    (copy_to_host_async) so transfers overlap subsequent batches' compute."""
+
+    def __init__(self, engine, outs, tier_layout, inv_order, num_queries, topk,
+                 grid_shape, score_dtype, pack_ords):
+        self.engine = engine
+        self.outs = outs  # [(scores, ords)] per non-empty tier
+        self.tier_layout = tier_layout  # [(qbase, qt_real)] per non-empty tier
+        self.inv_order = inv_order
+        self.num_queries = num_queries
+        self.topk = topk
+        self.grid_shape = tuple(grid_shape)
+        self.score_dtype = score_dtype
+        self.pack_ords = pack_ords
+        for s, o in outs:
+            s.copy_to_host_async()
+            o.copy_to_host_async()
+
+    def get(self):
+        """Assemble ([*grid, Q, topk] scores, [...] doc ords) numpy arrays."""
+        d = self.engine.dindex
+        shape = self.grid_shape + (self.num_queries, self.topk)
+        scores = np.full(shape, -1.0, dtype=np.dtype(self.score_dtype))
+        ords = np.full(shape, d.num_docs, dtype=np.int32)
+        for (qbase, qt), (s, o) in zip(self.tier_layout, self.outs):
+            s = np.asarray(s)
+            o = np.asarray(o)
+            if self.pack_ords:
+                o = unpack_doc_ords(o)
+            scores[..., qbase:qbase + qt, :] = s[..., :qt, :]
+            ords[..., qbase:qbase + qt, :] = o[..., :qt, :]
+        # un-permute the tier-sorted query axis
+        scores = np.take(scores, self.inv_order, axis=-2)
+        ords = np.take(ords, self.inv_order, axis=-2)
+        return scores, ords
+
+
 class ScoringEngine:
-    """Batched multi-model scoring with fused top-k over a DeviceIndex."""
+    """Batched multi-model scoring with exact top-k over a DeviceIndex.
+
+    Two paths:
+      exact: dense [Q, N] accumulator + lax.top_k (small corpora / parity tests)
+      tiered (default for large corpora): queries are host-sorted by candidate
+        volume into row tiers; every query's postings tiles are padded to its
+        tier's fixed unit width, so per-query candidate rows are pure reshapes
+        (no scatter). One map kernel scores all lanes; per tier the rows are
+        sorted by doc ordinal, duplicate-doc runs are merged with log2(R) masked
+        shift-adds (exact sums - this replaces a dense accumulator + ownership
+        pass, see PERF.md round 2), non-first copies are masked, and a final
+        (score desc, doc asc) sort yields the exact Lucene docid tie-break.
+
+    Both paths produce identical rankings (ties included); the tiered path is
+    ~4x faster on TPU than the round-1 candidate-scatter design because TPU row
+    sorts are cheap while random scatter/gather into a [Q*N] accumulator is not
+    (lax.top_k itself lowers to a full k-independent row sort).
+    """
+
+    # tier row sizes start here and grow 4x per tier
+    TIER_BASE_LANES = 2048
 
     def __init__(self, device_index: DeviceIndex):
         self.dindex = device_index
 
     def _check_accumulator_bounds(self, num_queries: int):
-        # the flat accumulator index qidx * (num_docs+1) + doc is int32 on device;
-        # fail loudly instead of silently wrapping on oversized corpora
+        # the exact path's flat accumulator index qidx * (num_docs+1) + doc is
+        # int32 on device; fail loudly instead of silently wrapping
         if num_queries * (self.dindex.num_docs + 1) >= 2**31:
             raise ValueError(
                 f"query batch of {num_queries} over {self.dindex.num_docs} docs overflows the "
                 f"int32 flat accumulator (need num_queries*(num_docs+1) < 2^31); "
-                f"use smaller batches or shard the index (searcher.shards)"
+                f"use smaller batches or the tiered path (exact_topk=False)"
             )
 
-    # ------------------------------------------------------------- work-unit building
+    # ------------------------------------------------------------------- exact path
     def _build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str):
         """Flatten a batch of queries into per-(query, tile) work units (vectorized).
 
-        term_lists[q] = [(term_id, query_weight), ...]
         Returns numpy arrays (tile_idx, qidx, w1, w2, lo, hi) and the unit count.
         """
         d = self.dindex
         w2_source = _W2_SOURCE[model]
 
-        # flatten (query, term) pairs
         tids = np.fromiter((t for terms in term_lists for t, _ in terms), dtype=np.int64)
         qw = np.fromiter((w for terms in term_lists for _, w in terms), dtype=np.float64)
         qix = np.fromiter(
@@ -245,19 +302,7 @@ class ScoringEngine:
         if len(tids) == 0:
             return (*empty, 0)
 
-        if model == "bm25":
-            w1 = (qw * d.idf[tids]).astype(np.float32)
-            w2 = np.zeros(len(tids), dtype=np.float32)
-        else:
-            w1 = qw.astype(np.float32)
-            if w2_source == "ptc":
-                w2 = (np.maximum(d.cf[tids], 1.0) / d.total_terms).astype(np.float32)
-            elif w2_source == "df":
-                w2 = np.maximum(d.df[tids], 1.0).astype(np.float32)
-            elif w2_source == "cf":
-                w2 = np.maximum(d.cf[tids], 1.0).astype(np.float32)
-            else:
-                w2 = np.zeros(len(tids), dtype=np.float32)
+        w1, w2 = self._term_weights(model, w2_source, tids, qw)
 
         # expand each (query, term) into its covered tile range
         t0 = starts // TILE
@@ -281,94 +326,51 @@ class ScoringEngine:
             total,
         )
 
-    # ------------------------------------------------------------------ device kernels
-    @functools.partial(jax.jit,
-                       static_argnames=("self", "model", "num_queries", "topk", "param_axes", "exact",
-                                        "cand_pad", "max_dup", "score_dtype", "pack_ords"))
-    def _score_and_topk(self, model, num_queries, topk, param_axes, exact, cand_pad, max_dup,
-                        score_dtype, pack_ords, packed_units, params):
-        """Returns (scores [*param_axes, Q, topk], doc_ords [*param_axes, Q, topk]).
+    def _term_weights(self, model, w2_source, tids, qw):
+        d = self.dindex
+        if model == "bm25":
+            w1 = (qw * d.idf[tids]).astype(np.float32)
+            w2 = np.zeros(len(tids), dtype=np.float32)
+        else:
+            w1 = qw.astype(np.float32)
+            if w2_source == "ptc":
+                w2 = (np.maximum(d.cf[tids], 1.0) / d.total_terms).astype(np.float32)
+            elif w2_source == "df":
+                w2 = np.maximum(d.df[tids], 1.0).astype(np.float32)
+            elif w2_source == "cf":
+                w2 = np.maximum(d.cf[tids], 1.0).astype(np.float32)
+            else:
+                w2 = np.zeros(len(tids), dtype=np.float32)
+        return w1, w2
 
-        Two top-k strategies:
-          exact: dense [Q, N] accumulator + lax.top_k (small corpora / parity tests)
-          compact: the dense accumulator holds the summed scores, but top-k runs
-            over the per-query *candidate* layout [Q, cand_pad] (each work unit owns
-            a TILE-wide column block) — orders of magnitude fewer elements than N.
-            Duplicate (query, doc) candidates from multi-term matches are resolved
-            on device with a scatter-max ownership pass. Scores are exact; only the
-            order of exact score TIES can differ from the dense path (candidate
-            position vs doc ordinal) — trec_eval re-sorts ties anyway.
-
-        Work units arrive packed as one [7, U] int32 array (floats bitcast) so a
-        batch costs a single host->device transfer instead of seven round-trips.
-        """
+    @functools.partial(jax.jit, static_argnames=("self", "model", "num_queries", "topk", "param_axes"))
+    def _score_exact(self, model, num_queries, topk, param_axes, packed_units, params):
+        """Dense [Q, N] accumulator + lax.top_k: returns ([*grid, Q, topk] scores, ords)."""
         tile_idx = packed_units[0]
         qidx = packed_units[1]
         w1 = jax.lax.bitcast_convert_type(packed_units[2], jnp.float32)
         w2 = jax.lax.bitcast_convert_type(packed_units[3], jnp.float32)
         lo = packed_units[4]
         hi = packed_units[5]
-        dest_base = packed_units[6]
         d = self.dindex
         n_rows = d.num_docs + 1  # +1 sentinel slot for padding docids
 
         docs = jnp.take(d.doc_tiles, tile_idx, axis=0)  # [U, TILE]
-        tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)  # [U, TILE]
+        tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)
         dl = jnp.take(d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles, tile_idx, axis=0)
         pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
         mask = (pos >= lo[:, None]) & (pos < hi[:, None])
-        lin = qidx[:, None] * n_rows + docs  # flat accumulator index [U, TILE]
+        lin = qidx[:, None] * n_rows + docs
         model_fn = SCORING_MODELS[model]
-
-        if not exact:
-            cand_lin = dest_base[:, None] + pos  # [U, TILE] unique candidate slots
-            # ownership: the highest cand_lin among duplicates of a (q, doc) wins
-            owner = jnp.zeros(num_queries * n_rows, dtype=jnp.int32)
-            owner = owner.at[lin.reshape(-1)].max(
-                jnp.where(mask, cand_lin + 1, 0).reshape(-1), mode="drop"
-            )
 
         def score_with(p):
             s = model_fn(tfs, dl, w1[:, None], w2[:, None], p, d.stats)
             s = jnp.where(mask, s, 0.0)
             acc = jnp.zeros(num_queries * n_rows, dtype=jnp.float32)
             acc = acc.at[lin.reshape(-1)].add(s.reshape(-1), mode="drop")
-            if exact:
-                scores = acc.reshape(num_queries, n_rows)[:, : d.num_docs]
-                return jax.lax.top_k(scores, topk)
+            scores = acc.reshape(num_queries, n_rows)[:, : d.num_docs]
+            return jax.lax.top_k(scores, topk)
 
-            summed = jnp.take(acc, lin.reshape(-1), axis=0).reshape(lin.shape)  # [U, TILE]
-            keep = mask & (jnp.take(owner, lin.reshape(-1), axis=0).reshape(lin.shape) == cand_lin + 1)
-            vals = jnp.where(keep, summed, -1.0)
-
-            cand = jnp.full(num_queries * cand_pad, -1.0, dtype=jnp.float32)
-            cand = cand.at[cand_lin.reshape(-1)].set(vals.reshape(-1), mode="drop", unique_indices=True)
-            cand_docs = jnp.full(num_queries * cand_pad, d.num_docs, dtype=jnp.int32)
-            cand_docs = cand_docs.at[cand_lin.reshape(-1)].set(docs.reshape(-1), mode="drop", unique_indices=True)
-
-            cand = cand.reshape(num_queries, cand_pad)
-            cand_docs = cand_docs.reshape(num_queries, cand_pad)
-            k = min(topk, cand_pad)
-            top_scores, top_pos = jax.lax.top_k(cand, k)
-            top_docs = jnp.take_along_axis(cand_docs, top_pos, axis=1)
-            if k < topk:  # pad out to the requested depth
-                pad_n = topk - k
-                top_scores = jnp.concatenate([top_scores, jnp.full((num_queries, pad_n), -1.0)], axis=1)
-                top_docs = jnp.concatenate(
-                    [top_docs, jnp.full((num_queries, pad_n), d.num_docs, dtype=jnp.int32)], axis=1)
-            # narrower result dtype halves the device->host result transfer (useful
-            # on tunneled devices); ranking order is decided on device beforehand
-            if pack_ords:
-                # 3-byte doc ordinals (num_docs < 2^24): 25% fewer ord bytes
-                top_docs = jnp.stack([
-                    (top_docs & 0xFF).astype(jnp.uint8),
-                    ((top_docs >> 8) & 0xFF).astype(jnp.uint8),
-                    ((top_docs >> 16) & 0xFF).astype(jnp.uint8),
-                ], axis=-1)
-            return top_scores.astype(jnp.dtype(score_dtype)), top_docs
-
-        # vmap over each grid-searched parameter axis (shared gathers);
-        # build inside-out so the first sorted param becomes the outermost result axis
         fn = score_with
         for axis_name in reversed(param_axes):
             inner = fn
@@ -378,94 +380,166 @@ class ScoringEngine:
 
         return fn(params)
 
-    @functools.partial(jax.jit,
-                       static_argnames=("self", "model", "num_queries", "topk", "cand_pad", "score_dtype"))
-    def _score_many(self, model, num_queries, topk, cand_pad, score_dtype, stacked_units, params):
-        """lax.scan over S stacked work-unit batches in ONE executable: amortizes
-        per-launch latency and coalesces result transfers (see PERF.md). Compact
-        top-k only; same math as _score_and_topk's non-exact branch."""
-        d = self.dindex
-        n_rows = d.num_docs + 1
-        model_fn = SCORING_MODELS[model]
-        k = min(topk, cand_pad)
+    # ------------------------------------------------------------------ tiered path
+    def _tier_ladder(self, max_units: int, r_pad: int):
+        """Unit widths per tier: ceil(base*4^i / TILE) + r_pad edge-tile allowance."""
+        tiers = []
+        lanes = self.TIER_BASE_LANES
+        while True:
+            uw = lanes // TILE + r_pad
+            tiers.append(uw)
+            if uw >= max_units:
+                return tuple(tiers)
+            lanes *= 4
 
-        def step(_, packed_units):
-            tile_idx = packed_units[0]
-            qidx = packed_units[1]
-            w1 = jax.lax.bitcast_convert_type(packed_units[2], jnp.float32)
-            w2 = jax.lax.bitcast_convert_type(packed_units[3], jnp.float32)
-            lo = packed_units[4]
-            hi = packed_units[5]
-            dest_base = packed_units[6]
+    def _build_tiered(self, term_lists, model):
+        """Host side: tier-sort queries, pad each query's units to its tier width.
 
-            docs = jnp.take(d.doc_tiles, tile_idx, axis=0)
-            tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)
-            dl = jnp.take(d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles, tile_idx, axis=0)
-            pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
-            mask = (pos >= lo[:, None]) & (pos < hi[:, None])
-            lin = qidx[:, None] * n_rows + docs
-            cand_lin = dest_base[:, None] + pos
-
-            owner = jnp.zeros(num_queries * n_rows, dtype=jnp.int32)
-            owner = owner.at[lin.reshape(-1)].max(
-                jnp.where(mask, cand_lin + 1, 0).reshape(-1), mode="drop")
-            s = model_fn(tfs, dl, w1[:, None], w2[:, None], params, d.stats)
-            s = jnp.where(mask, s, 0.0)
-            acc = jnp.zeros(num_queries * n_rows, dtype=jnp.float32)
-            acc = acc.at[lin.reshape(-1)].add(s.reshape(-1), mode="drop")
-            summed = jnp.take(acc, lin.reshape(-1), axis=0).reshape(lin.shape)
-            keep = mask & (jnp.take(owner, lin.reshape(-1), axis=0).reshape(lin.shape) == cand_lin + 1)
-            vals = jnp.where(keep, summed, -1.0)
-
-            cand = jnp.full(num_queries * cand_pad, -1.0, dtype=jnp.float32)
-            cand = cand.at[cand_lin.reshape(-1)].set(vals.reshape(-1), mode="drop", unique_indices=True)
-            cand_docs = jnp.full(num_queries * cand_pad, d.num_docs, dtype=jnp.int32)
-            cand_docs = cand_docs.at[cand_lin.reshape(-1)].set(docs.reshape(-1), mode="drop", unique_indices=True)
-            top_scores, top_pos = jax.lax.top_k(cand.reshape(num_queries, cand_pad), k)
-            top_docs = jnp.take_along_axis(cand_docs.reshape(num_queries, cand_pad), top_pos, axis=1)
-            return None, (top_scores.astype(jnp.dtype(score_dtype)), top_docs)
-
-        _, (scores, doc_ords) = jax.lax.scan(step, None, stacked_units)
-        return scores, doc_ords
-
-    def search_fused(self, term_list_batches, model="bm25", params=None, topk=1000,
-                     score_dtype="float32"):
-        """Score S equally-sized query batches in one device call (compact top-k).
-
-        Returns (scores [S, Q, k'], doc_ords [S, Q, k']) as numpy arrays, where
-        k' = min(topk, common candidate width).
+        Returns (packed [5, u_pad], tiers [(uw, qt_real)], u0s, inv_order, r_max).
         """
-        params = {k_: jnp.asarray(v, dtype=jnp.float32) for k_, v in (params or {}).items()}
-        num_queries = len(term_list_batches[0])
-        assert all(len(b) == num_queries for b in term_list_batches)
-        self._check_accumulator_bounds(num_queries)
+        d = self.dindex
+        nq = len(term_lists)
+        w2_source = _W2_SOURCE[model]
+        r_max = _bucket(max((len(t) for t in term_lists), default=1), minimum=4)
 
-        built = [self._build_work_units(b, model) for b in term_list_batches]
-        u_pad = _bucket(max(max(b[-1] for b in built), 1))
-        cand_pad = TILE
-        prepared = []
-        for (tile_idx, qidx, w1, w2, lo, hi, n), batch in zip(built, term_list_batches):
-            unit_rank = np.arange(n, dtype=np.int64) - np.searchsorted(qidx[:n], qidx[:n])
-            cols = int(unit_rank.max() + 1) if n else 1
-            cand_pad = max(cand_pad, _bucket(max(cols * TILE, min(topk, self.dindex.num_docs)), minimum=TILE))
-            prepared.append((tile_idx, qidx, w1, w2, lo, hi, n, unit_rank))
+        tids = np.fromiter((t for terms in term_lists for t, _ in terms), dtype=np.int64)
+        qw = np.fromiter((w for terms in term_lists for _, w in terms), dtype=np.float64)
+        qix = np.fromiter((q for q, terms in enumerate(term_lists) for _ in terms),
+                          dtype=np.int32, count=len(tids))
+        if len(tids):
+            starts = d.term_offsets[tids]
+            ends = d.term_offsets[tids + 1]
+            keep = ends > starts
+            tids, qw, qix, starts, ends = tids[keep], qw[keep], qix[keep], starts[keep], ends[keep]
+        else:
+            starts = ends = np.zeros(0, np.int64)
+        w1, w2 = self._term_weights(model, w2_source, tids, qw)
 
-        stacked = np.zeros((len(built), 7, u_pad), dtype=np.int32)
-        for si, (tile_idx, qidx, w1, w2, lo, hi, n, unit_rank) in enumerate(prepared):
-            dest = qidx[:n].astype(np.int64) * cand_pad + unit_rank * TILE
-            stacked[si, 0, :n] = tile_idx[:n]
-            stacked[si, 1, :n] = qidx[:n]
-            stacked[si, 2, :n] = w1[:n].view(np.int32)
-            stacked[si, 3, :n] = w2[:n].view(np.int32)
-            stacked[si, 4, :n] = lo[:n]
-            stacked[si, 5, :n] = hi[:n]
-            stacked[si, 6, :n] = dest.astype(np.int32)
-            stacked[si, 6, n:] = num_queries * cand_pad  # dropped by scatter mode="drop"
+        t0 = starts // TILE
+        t1 = (ends - 1) // TILE
+        counts = (t1 - t0 + 1).astype(np.int64)
+        units_per_q = np.bincount(qix, weights=counts, minlength=nq).astype(np.int64)
 
-        scores, doc_ords = self._score_many(
-            model, num_queries, min(topk, self.dindex.num_docs), int(cand_pad), str(score_dtype),
-            stacked, params)
-        return np.asarray(scores), np.asarray(doc_ords)
+        ladder = self._tier_ladder(int(units_per_q.max()) if nq else 1, r_max)
+        tier_of = np.searchsorted(np.asarray(ladder), units_per_q)
+        order = np.argsort(tier_of, kind="stable")
+        inv_order = np.argsort(order)
+        q_tier = tier_of[order]
+        tier_counts = np.bincount(q_tier, minlength=len(ladder))
+
+        total = int(counts.sum())
+        group_start = np.cumsum(counts) - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(group_start, counts)
+        tile = (np.repeat(t0, counts) + within).astype(np.int64)
+        rs, re = np.repeat(starts, counts), np.repeat(ends, counts)
+        lo = np.maximum(0, rs - tile * TILE).astype(np.int32)
+        hi = np.minimum(TILE, re - tile * TILE).astype(np.int32)
+        uq_old = np.repeat(qix, counts)
+        uw1 = np.repeat(w1, counts)
+        uw2 = np.repeat(w2, counts)
+
+        # destination unit slot: per-query base (tier-sorted) + running slot
+        newq = inv_order[uq_old] if total else uq_old
+        slot_in_q = np.arange(total, dtype=np.int64) - np.searchsorted(uq_old, uq_old)
+        tier_widths = np.asarray(ladder)[q_tier]
+        qbase_units = np.cumsum(tier_widths) - tier_widths
+        dest_unit = (qbase_units[newq] + slot_in_q) if total else np.zeros(0, np.int64)
+
+        total_units = int(tier_widths.sum()) if nq else 1
+        u_pad = _bucket(total_units)
+        packed = np.zeros((5, u_pad), dtype=np.int32)
+        packed[0, dest_unit] = tile
+        packed[1, dest_unit] = uw1.view(np.int32)
+        packed[2, dest_unit] = uw2.view(np.int32)
+        packed[3, dest_unit] = lo
+        packed[4, dest_unit] = hi  # pad units keep hi = 0 -> fully masked
+
+        # per-tier unit offsets (traced scalars, not compile keys)
+        tub = np.cumsum(np.concatenate([[0], tier_counts * np.asarray(ladder)]))
+        tiers = []
+        u0s = []
+        qbase = 0
+        for t, uw in enumerate(ladder):
+            qt = int(tier_counts[t])
+            if qt == 0:
+                continue
+            tiers.append((int(uw), _bucket(qt, minimum=4), qt, qbase))
+            u0s.append(int(tub[t]))
+            qbase += qt
+        return packed, tiers, np.asarray(u0s, np.int32), inv_order, r_max
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "model", "topk", "param_axes", "r_max", "tier_shapes", "score_dtype", "pack_ords"))
+    def _score_tiered(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
+                      pack_ords, packed, u0s, params):
+        """Fused per-batch executable: score all lanes, then per-tier sort-dedup-rank.
+
+        tier_shapes: ((unit_width, qt_pad), ...) static; u0s: per-tier unit offsets.
+        Returns a list of (scores [*grid, qt_pad, topk], ords) per tier.
+        """
+        d = self.dindex
+        tile_idx = packed[0]
+        w1 = jax.lax.bitcast_convert_type(packed[1], jnp.float32)
+        w2 = jax.lax.bitcast_convert_type(packed[2], jnp.float32)
+        lo, hi = packed[3], packed[4]
+        docs = jnp.take(d.doc_tiles, tile_idx, axis=0)
+        tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)
+        dl = jnp.take(d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles, tile_idx, axis=0)
+        pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
+        mask = (pos >= lo[:, None]) & (pos < hi[:, None])
+        docs = jnp.where(mask, docs, d.num_docs)
+        model_fn = SCORING_MODELS[model]
+
+        def one_tier(s, ti, uw, qt):
+            width = uw * TILE
+            u0 = u0s[ti]
+            st = jax.lax.dynamic_slice_in_dim(s, u0, qt * uw, axis=0).reshape(qt, width)
+            dt = jax.lax.dynamic_slice_in_dim(docs, u0, qt * uw, axis=0).reshape(qt, width)
+            docv, vals = jax.lax.sort((dt, st), num_keys=1)
+            # duplicate-doc runs (length <= r_max) are adjacent after the doc sort;
+            # masked doubling shifts put each run's exact sum on its first element
+            merged = vals
+            shift = 1
+            while shift < r_max:
+                same = jnp.concatenate(
+                    [docv[:, shift:] == docv[:, :-shift], jnp.zeros((qt, shift), bool)], axis=1)
+                shifted = jnp.concatenate(
+                    [merged[:, shift:], jnp.zeros((qt, shift), merged.dtype)], axis=1)
+                merged = merged + jnp.where(same, shifted, 0.0)
+                shift *= 2
+            first = jnp.concatenate([jnp.ones((qt, 1), bool), docv[:, 1:] != docv[:, :-1]], axis=1)
+            merged = jnp.where(first & (merged > 0), merged, -1.0)
+            # rank: score desc, doc ord asc (Lucene docid tie-break)
+            _, docv, merged = jax.lax.sort((-merged, docv, merged), num_keys=2)
+            k = min(topk, width)
+            top_scores = merged[:, :k]
+            top_docs = jnp.where(top_scores > 0, docv[:, :k], d.num_docs)
+            if k < topk:
+                top_scores = jnp.concatenate(
+                    [top_scores, jnp.full((qt, topk - k), -1.0)], axis=1)
+                top_docs = jnp.concatenate(
+                    [top_docs, jnp.full((qt, topk - k), d.num_docs, jnp.int32)], axis=1)
+            if pack_ords:
+                top_docs = jnp.stack([
+                    (top_docs & 0xFF).astype(jnp.uint8),
+                    ((top_docs >> 8) & 0xFF).astype(jnp.uint8),
+                    ((top_docs >> 16) & 0xFF).astype(jnp.uint8),
+                ], axis=-1)
+            return top_scores.astype(jnp.dtype(score_dtype)), top_docs
+
+        def score_with(p):
+            s = model_fn(tfs, dl, w1[:, None], w2[:, None], p, d.stats)
+            s = jnp.where(mask, s, -1.0)
+            return tuple(one_tier(s, ti, uw, qt) for ti, (uw, qt) in enumerate(tier_shapes))
+
+        fn = score_with
+        for axis_name in reversed(param_axes):
+            inner = fn
+
+            def fn(p, _inner=inner, _axis=axis_name):
+                return jax.vmap(lambda v: _inner({**p, _axis: v}))(p[_axis])
+
+        return fn(params)
 
     # ------------------------------------------------------------------ public API
     def search(
@@ -484,68 +558,75 @@ class ScoringEngine:
 
         Without ``grid``: shapes [Q, topk]. With ``grid`` (param -> list of values):
         shapes [len(v1), ..., len(vk), Q, topk] with axes ordered by sorted param name.
+        With ``materialize=False`` a TieredResult is returned whose ``.get()``
+        yields the same arrays; device->host copies start immediately so callers
+        can pipeline batches (used by bench.py).
         """
         if model not in SCORING_MODELS:
             raise ValueError(f"unknown scoring model {model!r}; known: {sorted(SCORING_MODELS)}")
         params = dict(params or {})
         grid = dict(grid or {})
         num_queries = len(term_lists)
-        self._check_accumulator_bounds(num_queries)
         topk = min(topk, self.dindex.num_docs)
 
-        tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model)
-        u_pad = _bucket(max(n, 1))
-        pad = u_pad - n
-        if pad:
-            # padded units point at tile 0 with an empty [0, 0) range
-            tile_idx = np.concatenate([tile_idx, np.zeros(pad, np.int32)])
-            qidx = np.concatenate([qidx, np.zeros(pad, np.int32)])
-            w1 = np.concatenate([w1, np.zeros(pad, np.float32)])
-            w2 = np.concatenate([w2, np.ones(pad, np.float32)])
-            lo = np.concatenate([lo, np.zeros(pad, np.int32)])
-            hi = np.concatenate([hi, np.zeros(pad, np.int32)])
-
         if exact_topk is None:
-            # exact dense top-k for small corpora (cheap + parity tests); the compact
-            # candidate layout on large corpora where dense top_k dominates latency
+            # exact dense top-k for small corpora (cheap + parity tests); the tiered
+            # sort path on large corpora where a dense [Q, N] top_k dominates latency
             exact_topk = self.dindex.num_docs <= 65536
-
-        # candidate layout: each work unit owns a TILE-wide column block within its query
-        if exact_topk:
-            dest_base = np.zeros(u_pad, dtype=np.int32)
-            cand_pad = TILE
-        else:
-            unit_rank = np.arange(n, dtype=np.int64) - np.searchsorted(qidx[:n], qidx[:n])
-            cols_per_query = int(unit_rank.max() + 1) if n else 1
-            cand_pad = _bucket(max(cols_per_query * TILE, topk), minimum=TILE)
-            dest_base = np.zeros(u_pad, dtype=np.int64)
-            dest_base[:n] = qidx[:n].astype(np.int64) * cand_pad + unit_rank * TILE
-            if pad:
-                # padded units target out-of-range slots; scatter mode="drop" discards them
-                dest_base[n:] = num_queries * cand_pad
-            dest_base = dest_base.astype(np.int32)
 
         param_axes = tuple(sorted(grid))
         device_params = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in params.items()}
         for k in param_axes:
             device_params[k] = jnp.asarray(np.asarray(grid[k], dtype=np.float32))
+        grid_shape = tuple(len(grid[k]) for k in param_axes)
 
-        # duplicates of a (query, doc) candidate are bounded by the query's term
-        # count; bucketed to limit recompiles
-        max_dup = _bucket(max((len(t) for t in term_lists), default=1), minimum=4)
-        packed_units = np.stack([
-            tile_idx, qidx, w1.view(np.int32), w2.view(np.int32), lo, hi, dest_base,
-        ])
-        pack_ords = bool(pack_ords) and not exact_topk and self.dindex.num_docs < (1 << 24)
-        scores, doc_ords = self._score_and_topk(
-            model, num_queries, topk, param_axes, bool(exact_topk), int(cand_pad), int(max_dup),
-            str(score_dtype), pack_ords, packed_units, device_params
-        )
+        if exact_topk:
+            self._check_accumulator_bounds(num_queries)
+            tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model)
+            u_pad = _bucket(max(n, 1))
+            pad = u_pad - n
+            if pad:
+                tile_idx = np.concatenate([tile_idx, np.zeros(pad, np.int32)])
+                qidx = np.concatenate([qidx, np.zeros(pad, np.int32)])
+                w1 = np.concatenate([w1, np.zeros(pad, np.float32)])
+                w2 = np.concatenate([w2, np.ones(pad, np.float32)])
+                lo = np.concatenate([lo, np.zeros(pad, np.int32)])
+                hi = np.concatenate([hi, np.zeros(pad, np.int32)])
+            packed_units = np.stack([tile_idx, qidx, w1.view(np.int32), w2.view(np.int32), lo, hi])
+            scores, doc_ords = self._score_exact(
+                model, num_queries, topk, param_axes, packed_units, device_params)
+            if not materialize:
+                return scores, doc_ords
+            return np.asarray(scores).astype(np.dtype(score_dtype)), np.asarray(doc_ords)
+
+        pack_ords = bool(pack_ords) and self.dindex.num_docs < (1 << 24)
+        packed, tiers, u0s, inv_order, r_max = self._build_tiered(term_lists, model)
+        tier_shapes = tuple((uw, qt_pad) for uw, qt_pad, _, _ in tiers)
+        outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
+                                  str(score_dtype), pack_ords, packed, u0s, device_params)
+        result = TieredResult(self, list(outs), [(qbase, qt) for _, _, qt, qbase in tiers],
+                              inv_order, num_queries, topk, grid_shape,
+                              score_dtype, pack_ords)
         if not materialize:
-            # async: return device arrays so callers can pipeline batches (jax
-            # dispatch is non-blocking; np.asarray forces a sync)
-            return scores, doc_ords
-        doc_ords = np.asarray(doc_ords)
-        if pack_ords:
-            doc_ords = unpack_doc_ords(doc_ords)
-        return np.asarray(scores), doc_ords
+            return result
+        return result.get()
+
+    def search_fused(self, term_list_batches, model="bm25", params=None, topk=1000,
+                     score_dtype="float32"):
+        """Score S equally-sized query batches with pipelined dispatch.
+
+        Returns (scores [S, Q, topk], doc_ords [S, Q, topk]) as numpy arrays.
+        (Round 1 used a lax.scan mega-executable here; the tiered engine with
+        eager async fetches supersedes it - see PERF.md.)
+        """
+        num_queries = len(term_list_batches[0])
+        assert all(len(b) == num_queries for b in term_list_batches)
+        pending = [
+            self.search(b, model=model, params=params, topk=topk, materialize=False,
+                        score_dtype=score_dtype, exact_topk=False)
+            for b in term_list_batches
+        ]
+        results = [p.get() if isinstance(p, TieredResult) else p for p in pending]
+        scores = np.stack([np.asarray(s) for s, _ in results])
+        ords = np.stack([np.asarray(o) for _, o in results])
+        return scores, ords

@@ -78,8 +78,12 @@ def test_packed_ords_roundtrip():
     np.testing.assert_allclose(s, ref_s, rtol=1e-6)
     np.testing.assert_array_equal(o, ref_o)
 
-    # raw device output is uint8-packed; unpack matches
-    ps, po = engine.search(queries, params={"k1": 0.9, "b": 0.4}, topk=20, exact_topk=False,
-                           pack_ords=True, materialize=False)
-    assert np.asarray(po).dtype == np.uint8 and np.asarray(po).shape[-1] == 3
-    np.testing.assert_array_equal(unpack_doc_ords(np.asarray(po)), ref_o)
+    # materialize=False returns a pending result whose .get() yields the same arrays
+    pending = engine.search(queries, params={"k1": 0.9, "b": 0.4}, topk=20, exact_topk=False,
+                            pack_ords=True, materialize=False)
+    # the raw device buffers are uint8-packed ordinals
+    assert all(np.asarray(po).dtype == np.uint8 and np.asarray(po).shape[-1] == 3
+               for _, po in pending.outs)
+    ps, po = pending.get()
+    np.testing.assert_allclose(ps, ref_s, rtol=1e-6)
+    np.testing.assert_array_equal(po, ref_o)
