@@ -1,12 +1,15 @@
-"""Helpers for benchmarks whose topics/qrels/folds come from public downloads.
+"""Helpers for benchmarks whose topics/qrels/folds come from shipped data,
+public downloads, or user-supplied files.
 
-The reference ships many static fold/topic/qrel files in capreolus/data and
-downloads the rest at runtime. Here every artifact is either (1) downloaded once
-into the benchmark's cache (gated in offline environments with actionable errors),
-(2) supplied by the user via the ``topicfile``/``qrelfile``/``foldfile`` config
-options, or (3) for folds only: generated as a deterministic seeded k-fold split
-over the topic qids (clearly logged — NOT the published split; supply ``foldfile``
-to reproduce paper numbers exactly).
+Resolution order per artifact (parity with the reference, which ships static
+fold/topic/qrel files in capreolus/data — /root/reference/capreolus/benchmark/robust04.py:18-64):
+(1) explicit ``topicfile``/``qrelfile``/``foldfile`` config paths; (2) the copy
+shipped in capreolus_tpu/data (the reference's own published data files); (3) a
+one-time download into the benchmark cache (gated offline with actionable errors).
+
+Folds are never silently invented for a published benchmark name: a missing fold
+file raises unless ``folds=generated`` explicitly opts into a deterministic
+seeded split (which is clearly logged as NOT the published split).
 """
 
 from __future__ import annotations
@@ -15,17 +18,25 @@ import hashlib
 import json
 
 from capreolus_tpu.benchmark import Benchmark
-from capreolus_tpu.core import ConfigOption
+from capreolus_tpu.core import ConfigError, ConfigOption, constants
 from capreolus_tpu.utils.common import download_file
 from capreolus_tpu.utils.loginit import get_logger
 
 logger = get_logger(__name__)
 
 FILE_CONFIG_OPTIONS = [
-    ConfigOption("topicfile", None, "path to a local topics file (overrides download)"),
-    ConfigOption("qrelfile", None, "path to a local qrels file (overrides download)"),
-    ConfigOption("foldfile", None, "path to a local folds json (overrides the generated split)"),
+    ConfigOption("topicfile", None, "path to a local topics file (overrides shipped data/download)"),
+    ConfigOption("qrelfile", None, "path to a local qrels file (overrides shipped data/download)"),
+    ConfigOption("foldfile", None, "path to a local folds json (overrides shipped data/download)"),
+    ConfigOption("folds", "published", "'published' (default) requires a real fold file; "
+                 "'generated' opts into a deterministic seeded split that is NOT the published one"),
 ]
+
+
+def shipped_data(filename):
+    """Return the path of a data file shipped with the package, or None."""
+    path = constants["PACKAGE_PATH"] / "data" / filename
+    return path if path.exists() else None
 
 
 class DownloadableBenchmark(Benchmark):
@@ -49,6 +60,9 @@ class DownloadableBenchmark(Benchmark):
             return configured
         if url is None:
             return None
+        shipped = shipped_data(url.split("/")[-1])
+        if shipped is not None:
+            return shipped
         dest = self._data_dir() / f"{kind}.{url.split('/')[-1]}"
         return download_file(url, dest)
 
@@ -65,9 +79,15 @@ class DownloadableBenchmark(Benchmark):
         configured = self.config.get("foldfile")
         if configured:
             return configured
+        if self.config.get("folds", "published") == "generated":
+            return self._generated_fold_file()
         if self.fold_url is not None:
             return self._file("folds", self.fold_url, "foldfile")
-        return self._generated_fold_file()
+        raise ConfigError(
+            f"benchmark {self.module_name} has no published fold file available; "
+            f"supply benchmark.foldfile=<path> for the real split, or explicitly opt "
+            f"into a seeded (non-published) split with benchmark.folds=generated"
+        )
 
     def _generated_fold_file(self):
         """Deterministic seeded k-fold split over topic qids (md5-ordered)."""

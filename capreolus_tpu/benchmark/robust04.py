@@ -2,10 +2,9 @@
 
 Capability parity with /root/reference/capreolus/benchmark/robust04.py:18-64:
 ``robust04`` (CEDR folds), ``robust04.yang19`` (+.desc), and
-``robust04.huston14.title``/``.desc``. The reference ships the topic/qrel/fold
-files statically; here they are downloaded once from their public sources (TREC
-for topics/qrels; the published fold splits from the public capreolus repository)
-or supplied via topicfile/qrelfile/foldfile.
+``robust04.huston14.title``/``.desc``. The published topics and all four fold
+splits are shipped in capreolus_tpu/data (the same data files the reference
+ships); qrels are downloaded once from TREC or supplied via qrelfile.
 """
 
 from __future__ import annotations
@@ -15,7 +14,8 @@ from capreolus_tpu.benchmark.downloadable import DownloadableBenchmark
 from capreolus_tpu.core import Dependency
 
 _CAPREOLUS_RAW = "https://raw.githubusercontent.com/capreolus-ir/capreolus/master/capreolus/data"
-ROBUST04_TOPICS = "https://trec.nist.gov/data/robust/04.testset.gz"
+# basename matches the shipped copy in capreolus_tpu/data, so no download happens
+ROBUST04_TOPICS = f"{_CAPREOLUS_RAW}/topics.robust04.301-450.601-700.txt"
 ROBUST04_QRELS = "https://trec.nist.gov/data/robust/qrels.robust2004.txt"
 
 

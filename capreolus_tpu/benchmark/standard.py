@@ -72,6 +72,7 @@ class Gov2Benchmark(DownloadableBenchmark):
     dependencies = [Dependency(key="collection", module="collection", name="gov2")]
     topic_url = f"{_CAPREOLUS_RAW}/gov2.topics.701-850.txt"
     qrel_url = f"{_CAPREOLUS_RAW}/gov2.qrels.701-850.txt"
+    fold_url = f"{_CAPREOLUS_RAW}/gov2_maxp_folds.json"  # shipped in capreolus_tpu/data
 
 
 @Benchmark.register
@@ -102,6 +103,7 @@ class Genomics(DownloadableBenchmark):
     """TREC Genomics 2004-05 (parity: benchmark/genomics.py:10)."""
 
     module_name = "genomics"
+    fold_url = f"{_CAPREOLUS_RAW}/genomics_5folds.json"  # shipped in capreolus_tpu/data
     dependencies = [Dependency(key="collection", module="collection", name="highwire")]
     topic_url = f"{_CAPREOLUS_RAW}/topics.genomics.txt"
     qrel_url = f"{_CAPREOLUS_RAW}/qrels.genomics.txt"
@@ -130,6 +132,23 @@ class Covid(DownloadableBenchmark):
         rnd = self.config["round"]
         return f"https://ir.nist.gov/covidSubmit/data/qrels-covid_d{rnd}_j0.5-{rnd}.txt"
 
+    @property
+    def fold_file(self):
+        # the reference builds this trivial single fold programmatically
+        # (covid.py:107), so generating it IS the published behavior
+        configured = self.config.get("foldfile")
+        return configured or self._single_fold_file()
+
+    def _single_fold_file(self):
+        import json as _json
+
+        dest = self._data_dir() / "fold.json"
+        if not dest.exists():
+            qids = sorted(self.topics[self.query_type])
+            dest.write_text(_json.dumps(
+                {"s1": {"train_qids": qids, "predict": {"dev": qids, "test": qids}}}))
+        return dest
+
 
 @Benchmark.register
 class CovidAbstract(Covid):
@@ -146,6 +165,22 @@ class CovidQA(DownloadableBenchmark):
     module_name = "covidqa"
     dependencies = [Dependency(key="collection", module="collection", name="covid")]
     topic_url = "https://raw.githubusercontent.com/castorini/pygaggle/master/data/kaggle-lit-review-0.2.json"
+
+    @property
+    def fold_file(self):
+        # reference builds the trivial all-qids fold programmatically (covid.py:240)
+        configured = self.config.get("foldfile")
+        return configured or self._single_fold_file()
+
+    def _single_fold_file(self):
+        import json as _json
+
+        dest = self._data_dir() / "fold.json"
+        if not dest.exists():
+            qids = sorted(self.topics[self.query_type])
+            dest.write_text(_json.dumps(
+                {"s1": {"train_qids": qids, "predict": {"dev": qids, "test": qids}}}))
+        return dest
 
 
 @Benchmark.register

@@ -54,9 +54,51 @@ def test_licensed_collection_errors(tmpdir_as_cache):
 def test_offline_download_benchmark_errors(tmpdir_as_cache):
     from capreolus_tpu.utils.common import OfflineEnvironmentError
 
+    # topics + folds are shipped; qrels still require download/qrelfile
     b = Benchmark.create("robust04.yang19")
     with pytest.raises(OfflineEnvironmentError, match="offline"):
-        _ = b.topics
+        _ = b.qrels
+
+
+def test_shipped_robust04_published_data(tmpdir_as_cache):
+    """The published Robust04 topics and yang19 folds ship with the package
+    (the same data files the reference ships, robust04.py:33-43)."""
+    b = Benchmark.create("robust04.yang19")
+    topics = b.topics["title"]
+    assert len(topics) == 250  # 301-450 + 601-700
+    assert topics["301"].lower().startswith("international organized crime")
+    folds = b.folds
+    assert set(folds) == {"s1", "s2", "s3", "s4", "s5"}
+    for fold in folds.values():
+        assert len(fold["train_qids"]) == 150
+        assert len(fold["predict"]["dev"]) == 50
+        assert len(fold["predict"]["test"]) == 50
+    # the five test sets partition all 250 topics
+    all_test = set()
+    for fold in folds.values():
+        all_test.update(fold["predict"]["test"])
+    assert all_test == set(topics)
+
+
+def test_shipped_antique_data(tmpdir_as_cache):
+    b = Benchmark.create("antique")
+    assert len(b.topics[b.query_type]) > 2400
+    assert b.relevance_level == 2
+    assert b.qrels  # shipped qrels.antique.txt
+    assert set(b.folds) >= {"s1"}
+
+
+def test_generated_folds_require_opt_in(tmpdir_as_cache, monkeypatch):
+    from capreolus_tpu.core import ConfigError
+
+    cls = Benchmark.lookup("antique")
+    monkeypatch.setattr(cls, "fold_url", None)
+    b = Benchmark.create("antique")
+    with pytest.raises(ConfigError, match="folds=generated"):
+        _ = b.folds
+    b2 = Benchmark.create("antique", {"folds": "generated"})
+    folds = b2.folds
+    assert len(folds) == 5 and all("train_qids" in f for f in folds.values())
 
 
 def test_static_run_searcher_with_local_file(tmpdir_as_cache, tmp_path):

@@ -170,3 +170,25 @@ def test_judged_averaged_over_all_run_queries():
     out = eval_run(run, qrels, ["map", "judged_2"])
     assert out["map"] == pytest.approx(1.0)  # only q1
     assert out["judged_2"] == pytest.approx((2 / 2 + 1 / 2) / 2)  # q1 and q9
+
+
+def test_antique_scale_eval():
+    """Evaluator at corpus scale over the real shipped ANTIQUE qrels."""
+    from capreolus_tpu.core import constants
+    from capreolus_tpu.utils.trec import load_qrels
+
+    qrels = load_qrels(constants["PACKAGE_PATH"] / "data" / "qrels.antique.txt")
+    assert len(qrels) > 2400
+    # qrels-derived perfect run: rank judged docs by label descending
+    run = {
+        qid: {d: float(g) for d, g in docs.items()}
+        for qid, docs in list(qrels.items())[:500]
+    }
+    out = eval_run(run, qrels, ["map", "ndcg", "P_1", "recip_rank"], relevance_level=2)
+    assert out["ndcg"] == pytest.approx(1.0)
+    assert out["recip_rank"] == pytest.approx(1.0)
+    assert out["map"] == pytest.approx(1.0)
+    # label-inverted run must be strictly worse on every metric
+    bad = {qid: {d: -s for d, s in docs.items()} for qid, docs in run.items()}
+    worse = eval_run(bad, qrels, ["map", "ndcg", "P_1"], relevance_level=2)
+    assert worse["map"] < out["map"] and worse["ndcg"] < out["ndcg"]
