@@ -217,9 +217,14 @@ def _dense(weight, bias):
     return {"kernel": np.asarray(weight).T, "bias": np.asarray(bias)}
 
 
-def load_pretrained_encoder(name: str):
+def load_pretrained_encoder(name: str, allow_random_init: bool = False):
     """Returns (BertConfig, params or None). Downloads via HF transformers when
-    online; offline returns None params (random init) for non-'tiny' names."""
+    online; 'tiny' is the deliberate random-init config for offline tests.
+
+    A failure to load (typo'd name, offline without a cached checkpoint) raises
+    unless ``allow_random_init=True`` — silently training from random weights
+    while claiming a pretrained name destroys effectiveness parity
+    (reference consumes real checkpoints, TFBERTMaxP.py:20-35)."""
     config = get_bert_config(name)
     if name == "tiny":
         return config, None
@@ -244,7 +249,15 @@ def load_pretrained_encoder(name: str):
     except Exception as e:  # offline or unknown model
         from capreolus_tpu.utils.loginit import get_logger
 
+        if not allow_random_init:
+            raise RuntimeError(
+                f"could not load pretrained weights for {name!r} ({e}); refusing to "
+                f"continue with random initialization. Fix the model name / provide a "
+                f"cached checkpoint, use pretrained=tiny for offline smoke tests, or "
+                f"opt in explicitly with reranker.allowrandominit=True"
+            ) from e
         get_logger(__name__).warning(
-            "could not load pretrained %s (%s); using random initialization", name, e
+            "could not load pretrained %s (%s); using random initialization "
+            "(allowrandominit=True)", name, e
         )
         return config, None

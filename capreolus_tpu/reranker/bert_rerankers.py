@@ -82,7 +82,8 @@ class BertRerankerBase(Reranker):
         import dataclasses as _dc
 
         name = self.config["pretrained"]
-        cfg, self._pretrained_params = load_pretrained_encoder(name)
+        cfg, self._pretrained_params = load_pretrained_encoder(
+            name, allow_random_init=bool(self.config.get("allowrandominit", False)))
         if self.config.get("remat"):
             cfg = _dc.replace(cfg, remat=True)
         gelu = self.config.get("gelu", "tanh")
@@ -150,6 +151,7 @@ class BERTMaxP(BertRerankerBase):
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model: bert-base-uncased, "
                      "Capreolus/bert-base-msmarco, electra-base, or tiny (offline)"),
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
+        ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "max", "passage aggregation: max, first, sum, or avg"),
         ConfigOption("remat", False, "rematerialize encoder layers in the backward pass"),
     ]
@@ -178,6 +180,7 @@ class VanillaBERT(BERTMaxP):
     config_spec = [
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
+        ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "first", "single passage: always the first"),
     ]
 
@@ -229,6 +232,7 @@ class Parade(BertRerankerBase):
     config_spec = [
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
+        ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "transformer", "passage aggregation: transformer, maxp, or avg"),
     ]
 
@@ -311,6 +315,7 @@ class CEDRKNRM(BertRerankerBase):
     config_spec = [
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
+        ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("simmat_layers", [0, 6, 12], "encoder layers to build simmats from", value_type="intlist"),
         ConfigOption("cls", "avg", "CLS feature pooling: avg, max, or none"),
     ]
@@ -366,6 +371,7 @@ class Birch(BertRerankerBase):
     config_spec = [
         ConfigOption("pretrained", "bert-large-uncased", "pretrained model"),
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
+        ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("topk", 3, "number of top passages to combine"),
     ]
 
