@@ -21,12 +21,16 @@ SEQLEN = 256
 NUM_DOCS = 2048
 
 
-def main():
+def measure(configure_cache=True):
+    """Returns monoBERT docs/sec/chip (BERT-base, 256-token sequences, bf16)."""
     import jax
 
-    # persistent compilation cache: the BERT graph compile is expensive over a
-    # tunneled device; cache it across runs
-    jax.config.update("jax_compilation_cache_dir", "/tmp/capreolus_tpu_jax_cache")
+    if configure_cache:
+        # persistent compilation cache: the BERT graph compile is expensive over
+        # a tunneled device; cache it across runs
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", os.path.join(cache_dir, "jax_cache"))
 
     from capreolus_tpu.reranker.bert.encoder import BertConfig
     from capreolus_tpu.reranker.bert_rerankers import _BertScorer
@@ -56,14 +60,22 @@ def main():
     # can no-op on experimental backends, leaking compile time into the timing)
     np.asarray(score(params, *batches[0]))
 
-    start = time.perf_counter()
-    pending = [score(params, *b) for b in batches]
-    # materialize on host: np.asarray is a reliable sync point on every platform
-    results = [np.asarray(p) for p in pending]
-    elapsed = time.perf_counter() - start
-    assert all(np.isfinite(r).all() for r in results)
-    dps = NUM_DOCS / elapsed
+    best = None
+    for _ in range(2):
+        start = time.perf_counter()
+        pending = [score(params, *b) for b in batches]
+        for p in pending:
+            p.copy_to_host_async()
+        # materialize on host: np.asarray is a reliable sync point on every platform
+        results = [np.asarray(p) for p in pending]
+        elapsed = time.perf_counter() - start
+        assert all(np.isfinite(r).all() for r in results)
+        best = elapsed if best is None else min(best, elapsed)
+    return NUM_DOCS / best
 
+
+def main():
+    dps = measure()
     print(json.dumps({
         "metric": "monobert_rerank_docs_per_sec_per_chip",
         "value": round(dps, 1),

@@ -106,69 +106,29 @@ def _flash_attention_tpu(q, k, v, mask, block_q=BLOCK_Q, block_k=BLOCK_K):
     return out.reshape(b, h, l, d)
 
 
-def _flash_hb_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, num_heads):
-    """Head-batched program: one batch element, all heads, full sequence in VMEM.
-
-    Never materializes the [L, L] scores in HBM; sized for passage lengths
-    (L <= 512, D <= 128: VMEM ~ 3*H*L*D + L*L floats).
-    """
-    kv_mask = mask_ref[0, 0]  # [L]
-    for h in range(num_heads):
-        q = q_ref[0, h].astype(jnp.float32)  # [L, D]
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        scale = 1.0 / math.sqrt(q.shape[-1])
-        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)  # [L, L]
-        s = jnp.where(kv_mask[None, :] != 0, s, NEG_INF)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.maximum(p.sum(axis=1, keepdims=True), 1e-30)
-        o_ref[0, h] = (jnp.dot(p, v, preferred_element_type=jnp.float32) / denom).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _flash_attention_tpu_headbatched(q, k, v, mask):
-    from jax.experimental import pallas as pl
-
-    b, h, l, d = q.shape
-    mask_ = mask[:, None, :].astype(jnp.int32)  # [B, 1, L]
-    out = pl.pallas_call(
-        functools.partial(_flash_hb_kernel, num_heads=h),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, l, d), q.dtype),
-    )(q, k, v, mask_)
-    return out
-
-
 def multihead_attention(q, k, v, mask=None, use_pallas=None):
     """Multi-head attention [B, H, L, D] with optional [B, L] key mask.
 
-    use_pallas=None auto-selects the Pallas kernel on TPU when shapes tile cleanly.
+    XLA is the production path at every length: measured on v5e at BERT-base
+    geometry (H=12, D=64, bf16, constant token volume), XLA batched attention
+    beats the Pallas flash kernel at L=128 (5.3 vs 8.6 ms), 256 (5.8 vs 10.6),
+    512 (7.4 vs 15.4), 1024 (11.3 vs 24.6) and 2048 (17.9 vs 43.6) — XLA's own
+    attention fusion on TPU already avoids materializing [L, L] scores in HBM
+    (scripts/exp_attn.py; PERF.md round 2). The Pallas kernel remains available
+    as an explicit opt-in (CAPREOLUS_FLASH_ATTENTION=1 or use_pallas=True) for
+    memory-pressure scenarios; a head-batched variant that lost to XLA at all
+    shapes was removed.
     """
     if use_pallas is None:
         import os
 
-        # At passage lengths (<=512) XLA's batched attention keeps the MXU busier
-        # than many small flash-kernel programs; the flash kernel wins when the
-        # [L, L] score matrix stops fitting (long sequences). Auto-select by length,
-        # overridable with CAPREOLUS_FLASH_ATTENTION=1/0.
         env = os.environ.get("CAPREOLUS_FLASH_ATTENTION", "")
-        if env in ("0", "false"):
-            use_pallas = False
-        else:
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and (env in ("1", "true") or q.shape[2] > 512)
-                and q.shape[2] % BLOCK_Q == 0
-                and q.shape[3] in (32, 64, 128, 256)
-            )
+        use_pallas = (
+            env in ("1", "true")
+            and jax.default_backend() == "tpu"
+            and q.shape[2] % BLOCK_Q == 0
+            and q.shape[3] in (32, 64, 128, 256)
+        )
     if use_pallas and mask is not None:
         return _flash_attention_tpu(q, k, v, mask)
     return _xla_attention(q, k, v, mask)
