@@ -156,3 +156,55 @@ def test_bm25_searcher_shards_option(tmpdir_as_cache, tmp_path):
         assert set(run1[qid]) == set(run2[qid])
         for docid in run1[qid]:
             assert abs(run1[qid][docid] - run2[qid][docid]) < 1e-4
+
+
+def test_sharded_search_8way_200k_docs():
+    """VERDICT round 2 #5: 8-way sharded equality at bench scale (200k docs),
+    not just toy corpora. Vectorized Zipfian corpus like bench.py's."""
+    from capreolus_tpu.parallel import ShardedDeviceIndex, sharded_search
+    from jax.sharding import Mesh
+
+    num_docs, num_terms = 200_000, 5_000
+    rng = np.random.Generator(np.random.PCG64(11))
+    nnz = num_docs * 10
+    z = rng.zipf(1.4, size=nnz * 2)
+    z = z[z <= num_terms][:nnz]
+    term_ids = (z - 1).astype(np.int64)
+    doc_ords = rng.integers(0, num_docs, size=len(term_ids)).astype(np.int64)
+    key = term_ids * num_docs + doc_ords
+    key = np.unique(key)
+    term_ids = (key // num_docs).astype(np.int64)
+    doc_ords = (key % num_docs).astype(np.int64)
+    tfs = rng.integers(1, 5, size=len(key)).astype(np.int64)
+    order = np.lexsort((doc_ords, -tfs, term_ids))
+    term_ids, doc_ords, tfs = term_ids[order], doc_ords[order], tfs[order]
+    offsets = np.zeros(num_terms + 1, dtype=np.int64)
+    np.cumsum(np.bincount(term_ids, minlength=num_terms), out=offsets[1:])
+    doclens = np.maximum(np.bincount(doc_ords, weights=tfs, minlength=num_docs), 1).astype(np.int32)
+    data = IndexData(
+        term_offsets=offsets, doc_ids=doc_ords.astype(np.int32), tfs=tfs.astype(np.int32),
+        doclens=doclens, norm_doclens=quantize_lengths(doclens).astype(np.int32),
+        docid_strings=None, vocab=None,
+    )
+
+    df = np.diff(offsets)
+    candidates = np.where(df > 20)[0]
+    queries = [
+        [(int(t), 1.0) for t in rng.choice(candidates, size=4, replace=False)]
+        for _ in range(16)
+    ]
+
+    engine = ScoringEngine(DeviceIndex(data))
+    ref_s, ref_o = engine.search(queries, model="bm25", params={"k1": 0.9, "b": 0.4},
+                                 topk=100, exact_topk=False)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), axis_names=("shard",))
+    sindex = ShardedDeviceIndex(data, mesh)
+    units = sindex.build_work_units(queries, model="bm25")
+    s, o = sharded_search(sindex, units, num_queries=len(queries), topk=100,
+                          model="bm25", params={"k1": 0.9, "b": 0.4})
+
+    real = ref_s > 0
+    np.testing.assert_allclose(s[real], ref_s[real], rtol=1e-5)
+    # both paths use the (score desc, doc asc) tie-break, so ords match exactly
+    np.testing.assert_array_equal(o[real], ref_o[real])
