@@ -114,3 +114,15 @@ def eval_runs_device(runs, qrels, metrics, relevance_level=1):
             raise ValueError(f"metric {metric!r} not supported on device")
         out[metric] = float(jnp.mean(vals))
     return out
+
+DEVICE_SUPPORTED = ("map", "recip_rank", "MRR@10")
+
+
+def device_supported(metrics):
+    """Whether every metric in the list can be evaluated on device."""
+    import re
+
+    return all(
+        m in DEVICE_SUPPORTED or re.match(r"^(ndcg_cut|P|recall)_\d+$", m)
+        for m in metrics
+    )

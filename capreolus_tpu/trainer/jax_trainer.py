@@ -67,6 +67,30 @@ def _plot_loss(losses, path):
         pass  # plotting is best-effort
 
 
+def _plot_metrics(history, path):
+    """Dev-metric curves (parity: the reference plots metrics alongside loss,
+    utils/common.py:114-153)."""
+    if not history:
+        return
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        iters = [it for it, _ in history]
+        for name in sorted(history[0][1]):
+            ax.plot(iters, [m[name] for _, m in history], label=name)
+        ax.set_xlabel("iteration")
+        ax.set_ylabel("metric")
+        ax.legend()
+        fig.savefig(path, dpi=80)
+        plt.close(fig)
+    except Exception:
+        pass  # plotting is best-effort
+
+
 def collate(samples, keys=None):
     """Stack a list of extractor sample dicts into batched numpy arrays."""
     out = {}
@@ -280,6 +304,17 @@ class JaxTrainer(Trainer):
                     next(train_iter)
 
         pending = first_samples if initial_iter == 0 else []
+        # TensorBoard events (parity: pytorch.py:279-294); from-scratch writer,
+        # readable by standard tensorboard
+        from capreolus_tpu.core import constants
+        from capreolus_tpu.utils.tensorboard import EventWriter
+
+        tb = None
+        try:
+            tb = EventWriter(constants["RESULTS_BASE_PATH"] / "runs" / self.config["boardname"])
+        except Exception as e:
+            logger.debug("tensorboard writer unavailable: %s", e)
+        metric_history = []
         best_metric = -np.inf
         if metrics_fn.exists():
             best_metric = self.load_best_metric(metrics_fn, metric)
@@ -332,6 +367,8 @@ class JaxTrainer(Trainer):
                 iter_loss.append(float(loss))
             train_loss.append(float(np.mean(iter_loss)))
             logger.info("iter=%d loss=%.6f (%.1fs)", niter, train_loss[-1], time.time() - iter_start)
+            if tb is not None:
+                tb.add_scalar("training/loss", train_loss[-1], niter)
             if profiling:
                 jax.profiler.stop_trace()
                 profiling = False
@@ -344,8 +381,14 @@ class JaxTrainer(Trainer):
 
             if (niter + 1) % self.config["validatefreq"] == 0 and dev_data is not None:
                 preds = self.predict(reranker, dev_data, params=params)
-                metrics = eval_runs(preds, qrels, self._validation_metrics(metric), relevance_level)
+                metrics = self._eval_dev_runs(preds, qrels, self._validation_metrics(metric), relevance_level)
                 logger.info("dev metrics: %s", " ".join(f"{k}={v:0.3f}" for k, v in sorted(metrics.items())))
+                metric_history.append((niter, dict(metrics)))
+                _plot_metrics(metric_history, info_path / "metrics.png")
+                if tb is not None:
+                    for name, value in metrics.items():
+                        tb.add_scalar(f"dev/{name}", value, niter)
+                    self._tb_histograms(tb, params, niter)
                 if metrics[metric] > best_metric:
                     best_metric = metrics[metric]
                     logger.info("new best dev metric: %s=%0.3f", metric, best_metric)
@@ -358,14 +401,44 @@ class JaxTrainer(Trainer):
                         logger.debug("add_summary failed: %s", e)
 
         stop_flag.append(True)
+        if tb is not None:
+            tb.close()
         self._params = params
         self._opt_state = opt_state
         return dev_best_metrics
+
+    _TB_HISTOGRAM_PARAM_LIMIT = 1 << 22  # ~4M params
+
+    @classmethod
+    def _tb_histograms(cls, tb, params, niter):
+        """Per-parameter weight histograms (parity: pytorch.py:289-293). Skipped
+        for very large models: pulling every BERT weight to the host each
+        validation would dominate training time on a tunneled device."""
+        import jax
+
+        leaves = jax.tree_util.tree_leaves_with_path(params)
+        total = sum(int(np.prod(leaf.shape)) for _, leaf in leaves)
+        if total > cls._TB_HISTOGRAM_PARAM_LIMIT:
+            return
+        for path, leaf in leaves:
+            name = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+            tb.add_histogram(name, np.asarray(leaf), niter)
 
     @staticmethod
     def _validation_metrics(metric):
         base = ["map", "P_20", "ndcg_cut_20"]
         return base if metric in base else base + [metric]
+
+    @staticmethod
+    def _eval_dev_runs(preds, qrels, metrics, relevance_level):
+        """Validation metrics on device when supported (north star: eval stays on
+        the TPU); host trec_eval-compatible path otherwise. Both are equality-
+        tested against each other (tests/test_device_metrics.py)."""
+        from capreolus_tpu.evaluation.device_metrics import device_supported, eval_runs_device
+
+        if device_supported(metrics):
+            return eval_runs_device(preds, qrels, metrics, relevance_level)
+        return eval_runs(preds, qrels, metrics, relevance_level)
 
     def predict(self, reranker, pred_data, pred_fn=None, params=None):
         """Score all (qid, docid) pairs in a PredSampler; returns {qid: {docid: score}}

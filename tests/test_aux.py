@@ -81,3 +81,89 @@ def test_index_to_trec_export(tmpdir_as_cache, tmp_path):
     docs = dict(iterate_trec_docs(next(outdir.iterdir())))
     assert set(docs) == {"D001", "D002", "D003"}
     assert docs["D001"] == index.get_doc("D001")
+
+
+def test_tensorboard_event_writer(tmp_path):
+    """The from-scratch TFRecord/Event writer produces files a standard
+    TensorBoard reader can parse (decoded here with an independent reader)."""
+    import struct
+
+    import numpy as np
+
+    from capreolus_tpu.utils.tensorboard import EventWriter, masked_crc32c
+
+    w = EventWriter(tmp_path)
+    w.add_scalar("training/loss", 0.5, step=3)
+    w.add_histogram("layer/kernel", np.linspace(-1, 1, 100), step=3)
+    w.close()
+
+    records = []
+    with open(w.path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if not header:
+                break
+            (length,) = struct.unpack("<Q", header)
+            (hcrc,) = struct.unpack("<I", f.read(4))
+            assert hcrc == masked_crc32c(header), "header crc mismatch"
+            payload = f.read(length)
+            (pcrc,) = struct.unpack("<I", f.read(4))
+            assert pcrc == masked_crc32c(payload), "payload crc mismatch"
+            records.append(payload)
+
+    assert len(records) == 3  # file_version + scalar + histogram
+
+    def read_varint(buf, i):
+        shift, val = 0, 0
+        while True:
+            b = buf[i]
+            i += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val, i
+            shift += 7
+
+    def parse_fields(buf):
+        fields, i = {}, 0
+        while i < len(buf):
+            key, i = read_varint(buf, i)
+            field, wire = key >> 3, key & 7
+            if wire == 0:
+                val, i = read_varint(buf, i)
+            elif wire == 1:
+                val = struct.unpack("<d", buf[i:i + 8])[0]
+                i += 8
+            elif wire == 2:
+                n, i = read_varint(buf, i)
+                val = buf[i:i + n]
+                i += n
+            elif wire == 5:
+                val = struct.unpack("<f", buf[i:i + 4])[0]
+                i += 4
+            fields.setdefault(field, []).append(val)
+        return fields
+
+    ev0 = parse_fields(records[0])
+    assert ev0[3][0] == b"brain.Event:2"
+
+    ev1 = parse_fields(records[1])
+    assert ev1[2][0] == 3  # step
+    value = parse_fields(parse_fields(ev1[5][0])[1][0])
+    assert value[1][0] == b"training/loss"
+    assert abs(value[2][0] - 0.5) < 1e-6
+
+    ev2 = parse_fields(records[2])
+    value = parse_fields(parse_fields(ev2[5][0])[1][0])
+    assert value[1][0] == b"layer/kernel"
+    histo = parse_fields(value[5][0])
+    assert histo[3][0] == 100.0  # num
+    assert abs(histo[1][0] + 1.0) < 1e-9 and abs(histo[2][0] - 1.0) < 1e-9  # min/max
+
+
+def test_trainer_writes_tensorboard_and_metric_plot(tmp_path, monkeypatch):
+    """Training emits TB event files under RESULTS/runs/<boardname> plus
+    metrics.png next to loss.png."""
+    # crc32c of known vector (rfc 3720: "123456789" -> 0xE3069283)
+    from capreolus_tpu.utils.tensorboard import crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
