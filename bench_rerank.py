@@ -21,9 +21,13 @@ SEQLEN = 256
 NUM_DOCS = 2048
 
 
-def measure(configure_cache=True):
-    """Returns monoBERT docs/sec/chip (BERT-base, 256-token sequences, bf16)."""
+def measure(configure_cache=True, quantize="none"):
+    """Returns monoBERT docs/sec/chip (BERT-base, 256-token sequences, bf16;
+    quantize="int8" measures the int8 FFN inference path — PERF.md round 2)."""
+    import dataclasses
+
     import jax
+    import jax.numpy as jnp
 
     if configure_cache:
         # persistent compilation cache: the BERT graph compile is expensive over
@@ -35,7 +39,8 @@ def measure(configure_cache=True):
     from capreolus_tpu.reranker.bert.encoder import BertConfig
     from capreolus_tpu.reranker.bert_rerankers import _BertScorer
 
-    config = BertConfig(dtype="bfloat16" if jax.default_backend() == "tpu" else "float32")
+    config = BertConfig(dtype="bfloat16" if jax.default_backend() == "tpu" else "float32",
+                        quantize=quantize)
     model = _BertScorer(config)
 
     rng = np.random.Generator(np.random.PCG64(0))
@@ -49,7 +54,16 @@ def measure(configure_cache=True):
         return inp, mask, seg
 
     inp, mask, seg = make_batch(0)
-    params = model.init(jax.random.PRNGKey(0), inp[:2], mask[:2], seg[:2])
+    # init with the non-quantized model so the param tree matches a real
+    # training checkpoint; int8 adds only the quant_stats scale vectors
+    fp_model = _BertScorer(dataclasses.replace(config, quantize="none"))
+    params = fp_model.init(jax.random.PRNGKey(0), inp[:2], mask[:2], seg[:2])
+    if quantize == "int8":
+        shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), inp[:2], mask[:2], seg[:2]))
+        zero = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes["quant_stats"])
+        _, updated = model.apply({"params": params["params"], "quant_stats": zero},
+                                 inp, mask, seg, calibrate=True, mutable=["quant_stats"])
+        params = {"params": params["params"], "quant_stats": updated["quant_stats"]}
 
     @jax.jit
     def score(params, inp, mask, seg):
@@ -76,12 +90,18 @@ def measure(configure_cache=True):
 
 def main():
     dps = measure()
-    print(json.dumps({
+    line = {
         "metric": "monobert_rerank_docs_per_sec_per_chip",
         "value": round(dps, 1),
         "unit": "docs/sec",
         "vs_baseline": round(dps / BASELINE_DPS, 3),
-    }))
+    }
+    try:
+        dps_int8 = measure(configure_cache=False, quantize="int8")
+        line["int8"] = round(dps_int8, 1)
+    except Exception:
+        pass
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

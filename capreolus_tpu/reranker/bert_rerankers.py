@@ -32,6 +32,10 @@ logger = get_logger(__name__)
 
 BERT_BATCH_KEYS = ("pos_bert_input", "pos_mask", "pos_seg", "neg_bert_input", "neg_mask", "neg_seg", "label")
 
+_QUANTIZE_OPT = ConfigOption(
+    "quantize", "none",
+    "inference-time quantization: none or int8 (int8 FFN matmuls on the v5e MXU double-rate path; training stays bf16/f32)")
+
 
 def _flatten_passages(inp, mask, seg):
     """[B, P, L] -> ([B*P, L], B, P); [B, L] passes through with P=1."""
@@ -63,9 +67,10 @@ class _BertScorer(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, inp, mask, seg):
+    def __call__(self, inp, mask, seg, calibrate=False):
         flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
-        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg)
+        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg,
+                                                             calibrate=calibrate)
         scores = nn.Dense(1, name="classifier")(pooled.astype(jnp.float32))[:, 0]
         return scores.reshape(b, p)
 
@@ -120,7 +125,8 @@ class BertRerankerBase(Reranker):
         return [pos, neg]
 
     def test(self, params, batch):
-        return self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"])
+        return self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"],
+                               inference=True)
 
     def score_lce(self, params, batch):
         """[B, 1+nneg] group scores: positive followed by each negative."""
@@ -133,10 +139,65 @@ class BertRerankerBase(Reranker):
         ]
         return jnp.stack([pos] + neg_scores, axis=1)
 
-    def _score_doc(self, params, inp, mask, seg):
-        inp, mask, seg = jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
-        scores = self.model.apply(params, inp, mask, seg)
-        return aggregate_passage_scores(scores, self._passage_mask(mask), self.config.get("aggregation", "max"))
+    # ------------------------------------------------------------------ scoring plumbing
+    def _shape_inputs(self, inp, mask, seg):
+        """Subclasses whose models expect [B, P, L] override to unsqueeze 2D input."""
+        return jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
+
+    def _head_scores(self, raw_scores, mask):
+        """Turn the model's [B, P] output into [B] document scores."""
+        return aggregate_passage_scores(raw_scores, self._passage_mask(mask), self.config.get("aggregation", "max"))
+
+    def _score_doc(self, params, inp, mask, seg, inference=False):
+        inp, mask, seg = self._shape_inputs(inp, mask, seg)
+        raw = self._apply_scorer(params, inp, mask, seg, inference)
+        return self._head_scores(raw, mask)
+
+    def _apply_scorer(self, params, inp, mask, seg, inference):
+        if inference and self.config.get("quantize", "none") == "int8":
+            model = self.build_test_model()
+            variables = {"params": params["params"], "quant_stats": self._inference_quant_stats(inp, mask, seg)}
+            return model.apply(variables, inp, mask, seg)
+        return self.build_model().apply(params, inp, mask, seg)
+
+    # ------------------------------------------------------------------ int8 inference
+    def build_test_model(self):
+        """Model used at inference: int8 FFN matmuls (v5e double-rate MXU path)
+        when quantize=int8, sharing the training param tree unchanged."""
+        if self.config.get("quantize", "none") != "int8":
+            return self.build_model()
+        if not hasattr(self, "_test_model"):
+            import dataclasses as _dc
+
+            train_model = self.build_model()
+            cfg = _dc.replace(train_model.config, quantize="int8", remat=False)
+            self._test_model = train_model.clone(parent=None, config=cfg)
+        return self._test_model
+
+    def prepare_inference(self, params, batch):
+        """Calibrate int8 activation scales on a sample batch (no-op unless
+        quantize=int8). The trainer calls this once before jitting the predict
+        scorer; without calibration the GELU-output scales fall back to a
+        conservative amax=8."""
+        if self.config.get("quantize", "none") != "int8" or getattr(self, "_quant_stats", None) is not None:
+            return
+        model = self.build_test_model()
+        inp, mask, seg = self._shape_inputs(batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"])
+        variables = {"params": params["params"], "quant_stats": self._zero_quant_stats(model, inp, mask, seg)}
+        _, updated = model.apply(variables, inp, mask, seg, calibrate=True, mutable=["quant_stats"])
+        self._quant_stats = jax.tree_util.tree_map(jnp.asarray, updated["quant_stats"])
+        logger.info("calibrated int8 activation scales on a %d-doc sample batch", int(inp.shape[0]))
+
+    def _inference_quant_stats(self, inp, mask, seg):
+        stats = getattr(self, "_quant_stats", None)
+        if stats is None:  # uncalibrated: zeros select the amax=8 fallback in-graph
+            stats = self._zero_quant_stats(self.build_test_model(), inp, mask, seg)
+        return stats
+
+    @staticmethod
+    def _zero_quant_stats(model, inp, mask, seg):
+        shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), inp, mask, seg))
+        return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes["quant_stats"])
 
 
 @Reranker.register
@@ -154,6 +215,7 @@ class BERTMaxP(BertRerankerBase):
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "max", "passage aggregation: max, first, sum, or avg"),
         ConfigOption("remat", False, "rematerialize encoder layers in the backward pass"),
+        _QUANTIZE_OPT,
     ]
 
     def build_model(self):
@@ -182,6 +244,7 @@ class VanillaBERT(BERTMaxP):
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "first", "single passage: always the first"),
+        _QUANTIZE_OPT,
     ]
 
 
@@ -191,9 +254,10 @@ class ParadeModel(nn.Module):
     num_passages: int = 16
 
     @nn.compact
-    def __call__(self, inp, mask, seg):
+    def __call__(self, inp, mask, seg, calibrate=False):
         flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
-        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg)
+        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg,
+                                                             calibrate=calibrate)
         cls_vecs = pooled.reshape(b, p, -1).astype(jnp.float32)  # [B, P, H]
 
         if self.aggregation == "maxp":
@@ -211,7 +275,8 @@ class ParadeModel(nn.Module):
 
             full_mask = jnp.ones((b, p + 1), dtype=jnp.int32)
             for i in range(2):
-                x = BertLayer(self.config, name=f"agg_layer_{i}")(x.astype(jnp.dtype(self.config.dtype)), full_mask)
+                x = BertLayer(self.config, name=f"agg_layer_{i}")(x.astype(jnp.dtype(self.config.dtype)),
+                                                                  full_mask, calibrate)
             doc_vec = x[:, 0].astype(jnp.float32)
         else:
             raise ValueError(f"unknown PARADE aggregation {self.aggregation!r}")
@@ -234,6 +299,7 @@ class Parade(BertRerankerBase):
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "transformer", "passage aggregation: transformer, maxp, or avg"),
+        _QUANTIZE_OPT,
     ]
 
     def build_model(self):
@@ -245,11 +311,14 @@ class Parade(BertRerankerBase):
             )
         return self.model
 
-    def _score_doc(self, params, inp, mask, seg):
+    def _shape_inputs(self, inp, mask, seg):
         inp, mask, seg = jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
         if inp.ndim == 2:  # single passage at train time is still a "document"
             inp, mask, seg = inp[:, None], mask[:, None], seg[:, None]
-        return self.model.apply(params, inp, mask, seg)[:, 0]
+        return inp, mask, seg
+
+    def _head_scores(self, raw_scores, mask):
+        return raw_scores[:, 0]  # model output is already aggregated over passages
 
 
 @Reranker.register
@@ -264,10 +333,10 @@ class CedrKnrmModel(nn.Module):
     maxqlen: int = 20
 
     @nn.compact
-    def __call__(self, inp, mask, seg):
+    def __call__(self, inp, mask, seg, calibrate=False):
         flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
         hidden, pooled, all_hidden = BertEncoder(self.config, name="bert")(
-            flat_inp, flat_mask, flat_seg, output_hidden_states=True
+            flat_inp, flat_mask, flat_seg, output_hidden_states=True, calibrate=calibrate
         )
         l = flat_inp.shape[1]
 
@@ -318,6 +387,7 @@ class CEDRKNRM(BertRerankerBase):
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("simmat_layers", [0, 6, 12], "encoder layers to build simmats from", value_type="intlist"),
         ConfigOption("cls", "avg", "CLS feature pooling: avg, max, or none"),
+        _QUANTIZE_OPT,
     ]
 
     def build_model(self):
@@ -330,11 +400,8 @@ class CEDRKNRM(BertRerankerBase):
             )
         return self.model
 
-    def _score_doc(self, params, inp, mask, seg):
-        inp, mask, seg = jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
-        if inp.ndim == 2:
-            inp, mask, seg = inp[:, None], mask[:, None], seg[:, None]
-        return self.model.apply(params, inp, mask, seg)[:, 0]
+    _shape_inputs = Parade._shape_inputs
+    _head_scores = Parade._head_scores
 
 
 @Reranker.register
@@ -347,9 +414,10 @@ class BirchModel(nn.Module):
     topk: int = 3
 
     @nn.compact
-    def __call__(self, inp, mask, seg):
+    def __call__(self, inp, mask, seg, calibrate=False):
         flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
-        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg)
+        _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg,
+                                                             calibrate=calibrate)
         psg_scores = nn.Dense(1, name="relevance")(pooled.astype(jnp.float32))[:, 0].reshape(b, p)
         k = min(self.topk, p)
         top_scores, _ = jax.lax.top_k(psg_scores, k)
@@ -373,6 +441,7 @@ class Birch(BertRerankerBase):
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("topk", 3, "number of top passages to combine"),
+        _QUANTIZE_OPT,
     ]
 
     def build_model(self):
@@ -380,8 +449,5 @@ class Birch(BertRerankerBase):
             self.model = BirchModel(self.encoder_config(), topk=self.config["topk"])
         return self.model
 
-    def _score_doc(self, params, inp, mask, seg):
-        inp, mask, seg = jnp.asarray(inp), jnp.asarray(mask), jnp.asarray(seg)
-        if inp.ndim == 2:
-            inp, mask, seg = inp[:, None], mask[:, None], seg[:, None]
-        return self.model.apply(params, inp, mask, seg)[:, 0]
+    _shape_inputs = Parade._shape_inputs
+    _head_scores = Parade._head_scores

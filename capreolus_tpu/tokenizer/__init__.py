@@ -89,7 +89,11 @@ class BertTokenizer(Tokenizer):
     deterministic hash-vocab fallback when the pretrained vocab is unavailable."""
 
     module_name = "berttokenizer"
-    config_spec = [ConfigOption("pretrained", "bert-base-uncased", "pretrained tokenizer name")]
+    config_spec = [
+        ConfigOption("pretrained", "bert-base-uncased", "pretrained tokenizer name"),
+        ConfigOption("vocabfile", "", "path to a WordPiece vocab.txt: used by the from-scratch "
+                     "WordPiece tokenizer when the pretrained tokenizer cannot be downloaded"),
+    ]
 
     def build(self):
         self._bert_tokenizer = None
@@ -102,9 +106,21 @@ class BertTokenizer(Tokenizer):
 
                 self._bert_tokenizer = AutoTokenizer.from_pretrained(self.config["pretrained"], use_fast=True)
             except Exception as e:
-                logger.warning("cannot load pretrained tokenizer %s (%s); using offline hash-wordpiece fallback",
-                               self.config["pretrained"], e)
-                self._bert_tokenizer = _HashWordpieceFallback()
+                vocabfile = self.config.get("vocabfile", "")
+                if vocabfile:
+                    # from-scratch WordPiece (tokenizer/wordpiece.py), parity-tested
+                    # against transformers' BertTokenizer — real ids, fully offline
+                    from capreolus_tpu.tokenizer.wordpiece import WordPieceTokenizer
+
+                    logger.info("cannot load pretrained tokenizer %s (%s); using from-scratch "
+                                "WordPiece with vocab %s", self.config["pretrained"], e, vocabfile)
+                    self._bert_tokenizer = WordPieceTokenizer(vocabfile)
+                else:
+                    logger.warning("cannot load pretrained tokenizer %s (%s); using offline "
+                                   "hash-wordpiece fallback (ids are NOT real WordPiece — supply "
+                                   "tokenizer.vocabfile for real offline tokenization)",
+                                   self.config["pretrained"], e)
+                    self._bert_tokenizer = _HashWordpieceFallback()
         return self._bert_tokenizer
 
     # special-token accessors used by the bertpassage extractors

@@ -448,15 +448,6 @@ class JaxTrainer(Trainer):
         model = reranker.build_model()
         batch_size = self.config["batch"]
 
-        # cache the jitted scorer per reranker: a fresh closure every call would
-        # re-trace the model each validation round
-        cache = getattr(self, "_test_step_cache", None)
-        if cache is None:
-            cache = self._test_step_cache = {}
-        test_step = cache.get(id(reranker))
-        if test_step is None:
-            test_step = cache[id(reranker)] = jax.jit(lambda p, batch: reranker.test(p, batch))
-
         preds = {}
         # feature extraction for the dev set is expensive (per-passage encoding);
         # cache the materialized samples on the sampler across validation rounds
@@ -468,6 +459,19 @@ class JaxTrainer(Trainer):
             except AttributeError:
                 pass
         pairs = [(s["qid"], s["posdocid"]) for s in samples]
+
+        # cache the jitted scorer per reranker: a fresh closure every call would
+        # re-trace the model each validation round
+        cache = getattr(self, "_test_step_cache", None)
+        if cache is None:
+            cache = self._test_step_cache = {}
+        test_step = cache.get(id(reranker))
+        if test_step is None:
+            if hasattr(reranker, "prepare_inference") and samples:
+                # one-time inference preparation outside jit (e.g. int8 scale
+                # calibration) on a sample batch, before the scorer is traced
+                reranker.prepare_inference(params, collate(samples[:batch_size], ARRAY_KEYS))
+            test_step = cache[id(reranker)] = jax.jit(lambda p, batch: reranker.test(p, batch))
 
         for start in range(0, len(samples), batch_size):
             chunk = samples[start : start + batch_size]

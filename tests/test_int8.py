@@ -1,0 +1,117 @@
+"""int8 inference path: quantized FFN matmuls with calibrated activation scales.
+
+The quantize=int8 config enables an inference-only int8 FFN chain on the BERT
+encoder (encoder.py Int8Dense / BertLayer._int8_ffn) targeting the v5e MXU's
+double-rate int8 path. These tests pin the contract: the param tree is
+IDENTICAL to the bf16 model (checkpoints load unchanged), calibration harvests
+per-channel GELU amax stats, and quantized scores track the full-precision
+scores closely enough to preserve ranking on a tiny model.
+"""
+
+import numpy as np
+import pytest
+
+import capreolus_tpu
+
+capreolus_tpu.load_all_modules()
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_bert_rerankers import make_reranker, prepared
+
+
+def _batches(reranker):
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    ext = reranker.extractor
+    train = collate([ext.id2vec(qid, "D001", "D002", label=[1, 0], training=True) for qid in ("301", "302")],
+                    ARRAY_KEYS)
+    dev = collate([ext.id2vec(qid, docid, label=[1, 0], training=False)
+                   for qid in ("301", "302") for docid in ("D001", "D002", "D003")], ARRAY_KEYS)
+    return train, dev
+
+
+def test_int8_param_tree_matches_bf16(tmpdir_as_cache):
+    """quantize=int8 must not change the trainable param tree (same checkpoints)."""
+    reranker = make_reranker("BERTMaxP", reranker_overrides={"quantize": "int8"})
+    prepared(reranker)
+    train, _ = _batches(reranker)
+    params = reranker.init_params(jax.random.PRNGKey(0), train)
+
+    test_model = reranker.build_test_model()
+    assert test_model is not reranker.model
+    shapes = jax.eval_shape(lambda: test_model.init(
+        jax.random.PRNGKey(0), jnp.asarray(train["pos_bert_input"]),
+        jnp.asarray(train["pos_mask"]), jnp.asarray(train["pos_seg"])))
+    assert (jax.tree_util.tree_structure(shapes["params"])
+            == jax.tree_util.tree_structure(params["params"]))
+    # and the extra state is exactly the per-layer gelu amax vectors
+    stats_leaves = jax.tree_util.tree_leaves_with_path(shapes["quant_stats"])
+    assert len(stats_leaves) == test_model.config.num_layers
+    for _, leaf in stats_leaves:
+        assert leaf.shape == (test_model.config.intermediate_size,)
+
+
+def test_int8_scores_track_fp_scores(tmpdir_as_cache):
+    reranker_fp = make_reranker("BERTMaxP")
+    prepared(reranker_fp)
+    train, dev = _batches(reranker_fp)
+    reranker_fp.build_model()
+    params = reranker_fp.init_params(jax.random.PRNGKey(0), train)
+    fp_scores = np.asarray(reranker_fp.test(params, dev))
+
+    reranker_q = make_reranker("BERTMaxP", reranker_overrides={"quantize": "int8"})
+    prepared(reranker_q)
+    reranker_q.build_model()
+    # same params: tiny init is seeded by the rng we pass, so reuse the fp tree
+    reranker_q.prepare_inference(params, dev)
+    assert reranker_q._quant_stats is not None
+    amax = np.concatenate([np.asarray(v).ravel()
+                           for v in jax.tree_util.tree_leaves(reranker_q._quant_stats)])
+    assert (amax > 0).any(), "calibration should observe nonzero GELU activations"
+
+    q_scores = np.asarray(reranker_q.test(params, dev))
+    assert np.isfinite(q_scores).all()
+    # scores must track closely (tiny random model, f32 on CPU): same ranking
+    assert np.all(np.argsort(fp_scores) == np.argsort(q_scores)) or (
+        np.abs(fp_scores - q_scores).max() < 0.05 * (np.abs(fp_scores).max() + 1e-6)
+    )
+
+
+def test_int8_uncalibrated_fallback(tmpdir_as_cache):
+    """test() without prepare_inference uses the amax=8 fallback and still works."""
+    reranker = make_reranker("BERTMaxP", reranker_overrides={"quantize": "int8"})
+    prepared(reranker)
+    train, dev = _batches(reranker)
+    params = reranker.init_params(jax.random.PRNGKey(0), train)
+    scores = np.asarray(reranker.test(params, dev))
+    assert scores.shape == (6,) and np.isfinite(scores).all()
+
+
+@pytest.mark.parametrize("name", ["parade", "CEDRKNRM", "birch"])
+def test_int8_other_crossencoders(tmpdir_as_cache, name):
+    """int8 covers every cross-encoder incl. PARADE's aggregation BertLayers."""
+    reranker = make_reranker(name, reranker_overrides={"quantize": "int8"})
+    prepared(reranker)
+    train, dev = _batches(reranker)
+    params = reranker.init_params(jax.random.PRNGKey(0), train)
+    reranker.prepare_inference(params, dev)
+    scores = np.asarray(reranker.test(params, dev))
+    assert scores.shape == (6,) and np.isfinite(scores).all()
+
+
+def test_int8_training_unaffected(tmpdir_as_cache):
+    """score() (the train path) stays full precision even with quantize=int8."""
+    r_q = make_reranker("BERTMaxP", reranker_overrides={"quantize": "int8"})
+    prepared(r_q)
+    train, _ = _batches(r_q)
+    r_q.build_model()
+    params = r_q.init_params(jax.random.PRNGKey(0), train)
+
+    r_fp = make_reranker("BERTMaxP")
+    prepared(r_fp)
+    r_fp.build_model()
+    pos_q, _ = r_q.score(params, train)
+    pos_fp, _ = r_fp.score(params, train)
+    np.testing.assert_allclose(np.asarray(pos_q), np.asarray(pos_fp), rtol=1e-6)
