@@ -35,6 +35,13 @@ class StaticRunSearcher(Searcher):
             return configured
         if self.run_url is None:
             raise IOError(f"searcher {self.module_name} needs a runfile config option")
+        # runs the reference distributes inside its package are shipped in ours
+        # too (data, not code) so these searchers work fully offline
+        from capreolus_tpu.core import constants
+
+        packaged = constants["PACKAGE_PATH"] / "data" / self.run_url.split("/")[-1]
+        if packaged.exists():
+            return packaged
         dest = self.get_cache_path() / "static" / self.run_url.split("/")[-1]
         return download_file(self.run_url, dest)
 

@@ -38,7 +38,8 @@ class RankTask(Task):
     def search(self):
         topics_fn = self.benchmark.get_topics_file()
         output_dir = self.get_results_path() / "search"
-        self.searcher.index.create_index()
+        if hasattr(self.searcher, "index"):  # static-run searchers have no index
+            self.searcher.index.create_index()
         search_results_dir = self.searcher.query_from_file(topics_fn, output_dir)
 
         if self.config["filter"]:

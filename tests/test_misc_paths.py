@@ -100,3 +100,20 @@ def test_amp_training(tmpdir_as_cache, tmp_path):
     metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
                                      benchmark.qrels, metric="map")
     assert np.isfinite(metrics["map"])
+
+
+def test_shipped_static_runs_offline(tmpdir_as_cache, tmp_path):
+    """The 5 run files the reference distributes in-package are shipped here too:
+    their StaticRun searchers work fully offline (parity: searcher/anserini.py:255-345)."""
+    import capreolus_tpu
+
+    capreolus_tpu.load_all_modules()
+    from capreolus_tpu.searcher import Searcher, load_trec_run
+
+    for name, nqueries in [("bm25staticcds", 30), ("bm25staticgenomics", 26),
+                           ("rm3staticcore18title", 25), ("rm3staticcore18desc", 25),
+                           ("qdelstaticcovidabstract", 50)]:
+        searcher = Searcher.create(name)
+        out = searcher.query_from_file(None, tmp_path / name)
+        runs = load_trec_run(next(out.glob("static_run")))
+        assert len(runs) >= nqueries, f"{name}: {len(runs)} queries"
