@@ -156,8 +156,13 @@ class BertRerankerBase(Reranker):
     def _apply_scorer(self, params, inp, mask, seg, inference):
         if inference and self.config.get("quantize", "none") == "int8":
             model = self.build_test_model()
-            variables = {"params": params["params"], "quant_stats": self._inference_quant_stats(inp, mask, seg)}
-            return model.apply(variables, inp, mask, seg)
+            # stats flow in as DATA (via inference_variables) whenever possible so
+            # they are jit arguments, not trace-time constants — recalibration
+            # after more training does not require retracing the scorer
+            stats = params["quant_stats"] if "quant_stats" in params else self._inference_quant_stats(inp, mask, seg)
+            return model.apply({"params": params["params"], "quant_stats": stats}, inp, mask, seg)
+        if "quant_stats" in params:
+            params = {"params": params["params"]}
         return self.build_model().apply(params, inp, mask, seg)
 
     # ------------------------------------------------------------------ int8 inference
@@ -176,17 +181,31 @@ class BertRerankerBase(Reranker):
 
     def prepare_inference(self, params, batch):
         """Calibrate int8 activation scales on a sample batch (no-op unless
-        quantize=int8). The trainer calls this once before jitting the predict
-        scorer; without calibration the GELU-output scales fall back to a
-        conservative amax=8."""
-        if self.config.get("quantize", "none") != "int8" or getattr(self, "_quant_stats", None) is not None:
+        quantize=int8). The trainer calls this at the start of every predict()
+        pass, so the scales always reflect the CURRENT params (training moves
+        the GELU activation ranges); the calibration forward is jitted once."""
+        if self.config.get("quantize", "none") != "int8":
             return
         model = self.build_test_model()
         inp, mask, seg = self._shape_inputs(batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"])
-        variables = {"params": params["params"], "quant_stats": self._zero_quant_stats(model, inp, mask, seg)}
-        _, updated = model.apply(variables, inp, mask, seg, calibrate=True, mutable=["quant_stats"])
-        self._quant_stats = jax.tree_util.tree_map(jnp.asarray, updated["quant_stats"])
+        calib = getattr(self, "_calibrate_fn", None)
+        if calib is None:
+            def calib(p, stats, inp, mask, seg):
+                _, updated = model.apply({"params": p, "quant_stats": stats}, inp, mask, seg,
+                                         calibrate=True, mutable=["quant_stats"])
+                return updated["quant_stats"]
+
+            calib = self._calibrate_fn = jax.jit(calib)
+        zero = self._zero_quant_stats(model, inp, mask, seg)
+        self._quant_stats = calib(params["params"], zero, inp, mask, seg)
         logger.info("calibrated int8 activation scales on a %d-doc sample batch", int(inp.shape[0]))
+
+    def inference_variables(self, params):
+        """Variables dict for test(): training params plus the calibrated int8
+        scales as data (jit arguments — never trace-time constants)."""
+        if self.config.get("quantize", "none") != "int8" or getattr(self, "_quant_stats", None) is None:
+            return params
+        return {"params": params["params"], "quant_stats": self._quant_stats}
 
     def _inference_quant_stats(self, inp, mask, seg):
         stats = getattr(self, "_quant_stats", None)

@@ -96,8 +96,15 @@ class RerankingService(RetrievalService):
             import jax
 
             params = self.reranker.init_params(jax.random.PRNGKey(0), example_batch)
-            self._params, _ = self.reranker.trainer.load_checkpoint(
+            params, _ = self.reranker.trainer.load_checkpoint(
                 self._checkpoint_path, params, reranker=self.reranker)
+            # one-time inference prep (int8 scale calibration) against the
+            # restored weights, then bake the calibrated stats in as variables
+            if hasattr(self.reranker, "prepare_inference"):
+                self.reranker.prepare_inference(params, example_batch)
+            if hasattr(self.reranker, "inference_variables"):
+                params = self.reranker.inference_variables(params)
+            self._params = params
         return self._params
 
     def search(self, queries: Sequence[str], k: int = 10):

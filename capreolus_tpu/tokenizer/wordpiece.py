@@ -51,9 +51,11 @@ def _is_cjk(cp):
     )
 
 
-def basic_tokenize(text, do_lower_case=True):
+def basic_tokenize(text, do_lower_case=True, never_split=()):
     """BERT's BasicTokenizer: clean, space CJK, lowercase + strip accents, split
-    punctuation into standalone tokens."""
+    punctuation into standalone tokens. Tokens in ``never_split`` (HF passes all
+    special tokens) pass through verbatim when they appear whitespace-separated."""
+    never_split = frozenset(never_split)
     cleaned = []
     for ch in text:
         cp = ord(ch)
@@ -71,6 +73,9 @@ def basic_tokenize(text, do_lower_case=True):
 
     out = []
     for token in tokens:
+        if token in never_split:
+            out.append(token)
+            continue
         if do_lower_case:
             token = token.lower()
             # strip accents: NFD decompose, drop combining marks
@@ -144,9 +149,19 @@ class WordPieceTokenizer:
             setattr(self, f"{name}_token_id", self.vocab[tok])
 
     def tokenize(self, text):
+        import re
+
+        specials = (self.pad_token, self.cls_token, self.sep_token, self.unk_token, self.mask_token)
+        # HF splits special tokens out ANYWHERE in the text (tokens_trie), then
+        # never_split protects them from lowercasing/punct-splitting/wordpiece
+        pattern = "(" + "|".join(re.escape(s) for s in specials) + ")"
         out = []
-        for word in basic_tokenize(text, do_lower_case=self.do_lower_case):
-            out.extend(wordpiece_tokenize(word, self.vocab, self.unk_token))
+        for part in re.split(pattern, text):
+            if part in specials:
+                out.append(part)
+                continue
+            for word in basic_tokenize(part, do_lower_case=self.do_lower_case, never_split=specials):
+                out.extend(wordpiece_tokenize(word, self.vocab, self.unk_token))
         return out
 
     def convert_tokens_to_ids(self, tokens):

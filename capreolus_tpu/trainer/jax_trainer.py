@@ -476,7 +476,7 @@ class JaxTrainer(Trainer):
         # cache the materialized samples on the sampler across validation rounds —
         # but only while they fit a RAM budget: a testthreshold=1000 fold over a
         # large benchmark streams instead of materializing (VERDICT r1 weak #10)
-        sample_iter, samples_to_cache = self._predict_samples(pred_data)
+        sample_iter = self._predict_samples(pred_data)
 
         # cache the jitted scorer per reranker: a fresh closure every call would
         # re-trace the model each validation round
@@ -487,6 +487,7 @@ class JaxTrainer(Trainer):
 
         import itertools
 
+        prepared = False
         while True:
             chunk = list(itertools.islice(sample_iter, batch_size))
             if not chunk:
@@ -496,11 +497,16 @@ class JaxTrainer(Trainer):
             while len(chunk) < batch_size:  # pad to avoid recompilation
                 chunk.append(chunk[-1])
             batch = collate(chunk, ARRAY_KEYS)
-            if test_step is None:
+            if not prepared:
+                prepared = True
                 if hasattr(reranker, "prepare_inference"):
-                    # one-time inference preparation outside jit (e.g. int8 scale
-                    # calibration) on a sample batch, before the scorer is traced
+                    # per-predict inference preparation outside the jitted scorer
+                    # (int8 scale calibration against the CURRENT params)
                     reranker.prepare_inference(params, batch)
+                if hasattr(reranker, "inference_variables"):
+                    # calibrated stats enter as jit arguments, not constants
+                    params = reranker.inference_variables(params)
+            if test_step is None:
                 test_step = cache[id(reranker)] = jax.jit(lambda p, batch: reranker.test(p, batch))
             scores = np.asarray(test_step(params, batch))[:valid]
             for (qid, docid), score in zip(pairs, scores):
@@ -524,11 +530,11 @@ class JaxTrainer(Trainer):
 
         cached = getattr(pred_data, "_materialized_samples", None)
         if cached is not None:
-            return iter(cached), None
+            return iter(cached)
         it = iter(pred_data)
         first = next(it, None)
         if first is None:
-            return iter(()), None
+            return iter(())
         it = itertools.chain([first], it)
         per_sample = sum(np.asarray(first[k]).nbytes for k in ARRAY_KEYS if k in first)
         try:
@@ -541,11 +547,11 @@ class JaxTrainer(Trainer):
                 pred_data._materialized_samples = samples
             except AttributeError:
                 pass
-            return iter(samples), samples
+            return iter(samples)
         logger.info("streaming %s prediction samples (%.1f GiB of features exceeds the %d GiB cache budget)",
                     "unknown-count" if total is None else len(pred_data),
                     0.0 if total is None else total / 2**30, self.PREDICT_CACHE_BYTES >> 30)
-        return it, None
+        return it
 
     # ------------------------------------------------------------------ checkpoints
     def save_checkpoint(self, path, params, opt_state, reranker):

@@ -144,3 +144,27 @@ def test_predict_streaming_budget(tmpdir_as_cache, tmp_path, monkeypatch):
     streamed_preds = reranker.trainer.predict(reranker, pred2, params=params)
     assert getattr(pred2, "_materialized_samples", None) is None  # streamed
     assert streamed_preds == cached_preds
+
+
+def test_calibration_tracks_current_params(tmpdir_as_cache):
+    """prepare_inference recalibrates against the params it is given (stale
+    scales from round-1 weights must not survive into later predicts)."""
+    reranker = make_reranker("BERTMaxP", reranker_overrides={"quantize": "int8"})
+    prepared(reranker)
+    train, dev = _batches(reranker)
+    params1 = reranker.init_params(jax.random.PRNGKey(0), train)
+    reranker.prepare_inference(params1, dev)
+    stats1 = jax.tree_util.tree_map(np.asarray, reranker._quant_stats)
+
+    params2 = jax.tree_util.tree_map(lambda x: x * 2.0, params1)
+    reranker.prepare_inference(params2, dev)
+    stats2 = jax.tree_util.tree_map(np.asarray, reranker._quant_stats)
+    l1, l2 = jax.tree_util.tree_leaves(stats1), jax.tree_util.tree_leaves(stats2)
+    assert any(not np.allclose(a, b) for a, b in zip(l1, l2)), "stats did not follow the params"
+
+    # inference_variables carries the fresh stats as data
+    variables = reranker.inference_variables(params2)
+    assert "quant_stats" in variables
+    scores = np.asarray(reranker.test(variables, {"pos_bert_input": dev["pos_bert_input"],
+                                                  "pos_mask": dev["pos_mask"], "pos_seg": dev["pos_seg"]}))
+    assert np.isfinite(scores).all()

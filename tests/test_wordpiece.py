@@ -48,6 +48,9 @@ CORPUS = [
     "a.b,c!d?e",
     "trailing space ",
     "12quick34",
+    "the [CLS] quick",                  # never_split: specials pass through
+    "x[SEP]y [MASK], [UNK]!",           # specials split out mid-word (HF tokens_trie)
+    "[cls] [PAD][PAD]",                 # lowercase '[cls]' is NOT special
 ]
 
 
@@ -79,9 +82,13 @@ def test_random_fuzz_parity(referee):
     hf, vocab_path = referee
     ours = WordPieceTokenizer(vocab_path)
     alphabet = "abc 12,.!éü中-'\"QW\t"
+    specials = ["[CLS]", "[SEP]", "[MASK]"]
     rng = random.Random(1234)
     for _ in range(300):
         text = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        if rng.random() < 0.3:  # splice a special token at a random position
+            i = rng.randrange(0, len(text) + 1)
+            text = text[:i] + rng.choice(specials) + text[i:]
         assert ours.tokenize(text) == hf.tokenize(text), f"mismatch on {text!r}"
 
 
