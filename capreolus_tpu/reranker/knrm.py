@@ -88,3 +88,30 @@ class KNRM(Reranker):
 
     score = Reranker.score_default
     test = Reranker.test_default
+
+    def add_summary(self, params, niter, output_path):
+        """Also plot the combine-layer weights as a figure (parity: the
+        reference's KNRM.add_summary matshow, reranker/KNRM.py:71-79)."""
+        super().add_summary(params, niter, output_path)
+        if not self.config["singlefc"]:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import numpy as np
+            from pathlib import Path
+
+            kernel = np.asarray(params["params"]["combine"]["kernel"])
+            fig = plt.figure()
+            ax = fig.add_subplot(1, 1, 1)
+            ax.matshow(kernel.T)
+            output_path = Path(output_path)
+            output_path.mkdir(parents=True, exist_ok=True)
+            fig.savefig(output_path / f"combine_weight_{niter}.png", bbox_inches="tight")
+            plt.close(fig)
+        except Exception as e:  # plotting must never break training
+            from capreolus_tpu.utils.loginit import get_logger
+
+            get_logger(__name__).debug("combine-weight figure failed: %s", e)

@@ -167,3 +167,28 @@ def test_trainer_writes_tensorboard_and_metric_plot(tmp_path, monkeypatch):
     from capreolus_tpu.utils.tensorboard import crc32c
 
     assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_knrm_combine_weight_figure(tmpdir_as_cache, tmp_path):
+    """KNRM.add_summary writes the combine-layer weight figure (parity:
+    reference reranker/KNRM.py:71-79 matshow -> TensorBoard figure)."""
+    import jax
+    import numpy as np
+
+    from capreolus_tpu.reranker import Reranker
+
+    reranker = Reranker.create("KNRM", {"extractor": {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 8,
+                                                      "index": {"collection": {"name": "dummy"}}}})
+    from capreolus_tpu.benchmark import Benchmark
+
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5}}
+    reranker.extractor.preprocess(list(run), {"D001", "D002"}, benchmark.topics[benchmark.query_type])
+    feat = reranker.extractor.id2vec("301", "D001", "D002", label=[1, 0], training=True)
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    batch = collate([feat], ARRAY_KEYS)
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    reranker.add_summary(params, 3, tmp_path / "summ")
+    assert (tmp_path / "summ" / "param_stats_3.json").exists()
+    assert (tmp_path / "summ" / "combine_weight_3.png").exists()
