@@ -185,7 +185,11 @@ class DeviceIndex:
         norm_dl_table = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
         exact_dl_table = np.append(index_data.doclens.astype(np.float32), 1.0)
         self.norm_dl_tiles = put(compact_f(norm_dl_table[doc_ids].reshape(n_tiles, TILE)))
-        self.exact_dl_tiles = put(exact_dl_table[doc_ids].reshape(n_tiles, TILE).astype(np.float32))
+        # exact (unquantized) posting-aligned doc lengths are only needed by the
+        # QL/DFR model family; materialize lazily so BM25-only deployments keep
+        # 8 B/posting in HBM instead of 12 (PERF.md index-memory section)
+        self._exact_dl_tiles = None
+        self._exact_dl_src = (exact_dl_table, doc_ids.reshape(n_tiles, TILE), put)
         self.norm_dl = put(norm_dl_table)
         self.exact_dl = put(exact_dl_table)
 
@@ -201,6 +205,13 @@ class DeviceIndex:
         with np.errstate(divide="ignore"):
             self.idf = np.log(1.0 + (n - self.df + 0.5) / (self.df + 0.5))
         self.stats = {"avgdl": self.avgdl, "num_docs": float(self.num_docs), "total_terms": self.total_terms}
+
+    @property
+    def exact_dl_tiles(self):
+        if self._exact_dl_tiles is None:
+            exact_dl_table, doc_tile_ids, put = self._exact_dl_src
+            self._exact_dl_tiles = put(exact_dl_table[doc_tile_ids].astype(np.float32))
+        return self._exact_dl_tiles
 
 
 class TieredResult:
@@ -568,6 +579,8 @@ class ScoringEngine:
         grid = dict(grid or {})
         num_queries = len(term_lists)
         topk = min(topk, self.dindex.num_docs)
+        if model != "bm25":
+            _ = self.dindex.exact_dl_tiles  # lazy QL/DFR payload: materialize OUTSIDE jit
 
         if exact_topk is None:
             # exact dense top-k for small corpora (cheap + parity tests); the tiered
