@@ -308,6 +308,9 @@ class ScoringEngine:
 
         starts = d.term_offsets[tids]
         ends = d.term_offsets[tids + 1]
+        cap = getattr(self, "_max_postings", 0)
+        if cap > 0:
+            ends = np.minimum(ends, starts + cap)
         nonempty = ends > starts
         tids, qw, qix, starts, ends = tids[nonempty], qw[nonempty], qix[nonempty], starts[nonempty], ends[nonempty]
         if len(tids) == 0:
@@ -420,6 +423,10 @@ class ScoringEngine:
         if len(tids):
             starts = d.term_offsets[tids]
             ends = d.term_offsets[tids + 1]
+            cap = getattr(self, "_max_postings", 0)
+            if cap > 0:
+                # impact-ordered early termination: keep each term's high-impact prefix
+                ends = np.minimum(ends, starts + cap)
             keep = ends > starts
             tids, qw, qix, starts, ends = tids[keep], qw[keep], qix[keep], starts[keep], ends[keep]
         else:
@@ -564,8 +571,15 @@ class ScoringEngine:
         materialize: bool = True,
         score_dtype: str = "float32",
         pack_ords: bool = False,
+        max_postings_per_term: int = 0,
     ):
         """Score a batch of queries; returns (scores, doc_ords) numpy arrays.
+
+        ``max_postings_per_term`` > 0 enables impact-ordered early termination:
+        only each term's highest-impact prefix of that many postings is scored
+        (postings are impact-sorted at index build, index/tpu.py). APPROXIMATE —
+        returned scores are partial sums (always <= the exact score); recall
+        degrades gracefully with the cap. 0 = exact (default).
 
         Without ``grid``: shapes [Q, topk]. With ``grid`` (param -> list of values):
         shapes [len(v1), ..., len(vk), Q, topk] with axes ordered by sorted param name.
@@ -579,6 +593,7 @@ class ScoringEngine:
         grid = dict(grid or {})
         num_queries = len(term_lists)
         topk = min(topk, self.dindex.num_docs)
+        self._max_postings = int(max_postings_per_term or 0)
         if model != "bm25":
             _ = self.dindex.exact_dl_tiles  # lazy QL/DFR payload: materialize OUTSIDE jit
 

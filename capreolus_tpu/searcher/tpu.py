@@ -88,7 +88,8 @@ class TpuSearcherMixin:
         for start in range(0, len(topics), QUERY_BATCH):
             batch = topics[start : start + QUERY_BATCH]
             term_lists = [self.query_weights(text, engine) for _, text in batch]
-            scores, doc_ords = engine.search(term_lists, model=self.model, params=fixed, grid=grid, topk=hits)
+            scores, doc_ords = engine.search(term_lists, model=self.model, params=fixed, grid=grid, topk=hits,
+                                             max_postings_per_term=int(self.config.get("maxpostings", 0)))
             # axes: [len(p1), ..., len(pk), Q, hits] ordered by sorted param name
             flat_scores = scores.reshape(len(combos), len(batch), -1)
             flat_ords = doc_ords.reshape(len(combos), len(batch), -1)
@@ -144,6 +145,8 @@ class BM25(TpuSearcherBase):
         ConfigOption("fields", "title", "accepted for reference-config compatibility; "
                      "the TPU index searches merged document contents"),
         ConfigOption("shards", 1, "devices to shard the postings across (1 = single chip)"),
+        ConfigOption("maxpostings", 0, "impact-ordered early termination: score only each term's "
+                     "top-N highest-impact postings (0 = exact; approximate when set)"),
     ]
     config_keys_not_in_path = ["shards"]
 
