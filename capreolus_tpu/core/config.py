@@ -52,6 +52,13 @@ def _list_caster(elem_cast: Callable[[Any], Any]) -> Callable[[Any], Any]:
 
     def _cast(value: Any) -> tuple:
         if isinstance(value, str):
+            if ".." in value:
+                # profane range syntax "a..b" or "a..b,step" (inclusive), e.g. the
+                # reference CEDRKNRM's simmat_layers="0..12,1" (CEDRKNRM.py:200)
+                range_part, _, step_part = value.partition(",")
+                lo, _, hi = range_part.partition("..")
+                step = int(step_part) if step_part else 1
+                return tuple(elem_cast(v) for v in range(int(lo), int(hi) + 1, step))
             parts = [p for p in value.split(",") if p != ""]
             return tuple(elem_cast(p) for p in parts)
         if isinstance(value, (list, tuple)):

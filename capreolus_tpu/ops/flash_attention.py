@@ -23,12 +23,14 @@ BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _xla_attention(q, k, v, mask=None):
+def _xla_attention(q, k, v, mask=None, dropout_rate=0.0, dropout_rng=None):
     """Batched attention: [B, H, L, D] inputs, optional [B, L] key mask.
 
     Scores are kept in the input dtype (bf16 under the mixed_bfloat16 policy the
     reference also uses on TPU, trainer/tensorflow.py:107-109) — the [L, L] score
-    tensor dominates HBM traffic at f32. Mask fill is bf16-safe.
+    tensor dominates HBM traffic at f32. Mask fill is bf16-safe. Attention-prob
+    dropout (training only: dropout_rng given) matches HF BERT's
+    attention_probs_dropout_prob regularization.
     """
     scale = 1.0 / math.sqrt(q.shape[-1])
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype) * scale
@@ -36,6 +38,9 @@ def _xla_attention(q, k, v, mask=None):
         fill = jnp.asarray(-30000.0 if scores.dtype == jnp.bfloat16 else NEG_INF, dtype=scores.dtype)
         scores = jnp.where(mask[:, None, None, :], scores, fill)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
@@ -106,7 +111,7 @@ def _flash_attention_tpu(q, k, v, mask, block_q=BLOCK_Q, block_k=BLOCK_K):
     return out.reshape(b, h, l, d)
 
 
-def multihead_attention(q, k, v, mask=None, use_pallas=None):
+def multihead_attention(q, k, v, mask=None, use_pallas=None, dropout_rate=0.0, dropout_rng=None):
     """Multi-head attention [B, H, L, D] with optional [B, L] key mask.
 
     XLA is the production path at every length: measured on v5e at BERT-base
@@ -119,6 +124,8 @@ def multihead_attention(q, k, v, mask=None, use_pallas=None):
     memory-pressure scenarios; a head-batched variant that lost to XLA at all
     shapes was removed.
     """
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        use_pallas = False  # the opt-in Pallas kernel has no dropout support
     if use_pallas is None:
         import os
 
@@ -131,4 +138,4 @@ def multihead_attention(q, k, v, mask=None, use_pallas=None):
         )
     if use_pallas and mask is not None:
         return _flash_attention_tpu(q, k, v, mask)
-    return _xla_attention(q, k, v, mask)
+    return _xla_attention(q, k, v, mask, dropout_rate=dropout_rate, dropout_rng=dropout_rng)

@@ -38,6 +38,10 @@ class BertConfig:
     remat: bool = False  # rematerialize each layer's activations in the backward pass
     gelu_approximate: bool = True  # tanh GELU (fast on VPU); False for erf parity
     quantize: str = "none"  # "int8": int8 FFN matmuls at inference (v5e 2x int8 MACs)
+    # training-time regularization (parity: HF BertConfig / reference CEDRKNRM.py:199);
+    # active only when the model is applied with train=True and a "dropout" rng
+    hidden_dropout_prob: float = 0.1
+    attention_dropout_prob: float = 0.1
 
     @property
     def head_dim(self):
@@ -55,8 +59,17 @@ KNOWN_CONFIGS = {
     "Capreolus/electra-base-msmarco": BertConfig(),
 }
 
+# the reference accepts short model names and maps them to hub checkpoints
+# (TFBERTMaxP.py:29-40); same aliases here so its configs transfer verbatim
+PRETRAINED_ALIASES = {
+    "electra-base": "google/electra-base-discriminator",
+    "electra-base-msmarco": "Capreolus/electra-base-msmarco",
+    "bert-base-msmarco": "Capreolus/bert-base-msmarco",
+}
+
 
 def get_bert_config(name: str) -> BertConfig:
+    name = PRETRAINED_ALIASES.get(name, name)
     if name in KNOWN_CONFIGS:
         return KNOWN_CONFIGS[name]
     return BertConfig()
@@ -104,7 +117,7 @@ class BertSelfAttention(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, hidden, mask):
+    def __call__(self, hidden, mask, train=False):
         c = self.config
         dtype = jnp.dtype(c.dtype)
         b, l, _ = hidden.shape
@@ -117,7 +130,10 @@ class BertSelfAttention(nn.Module):
         def split(x):
             return x.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)
 
-        out = multihead_attention(split(q), split(k), split(v), mask=mask)
+        drop_rng = self.make_rng("dropout") if (train and c.attention_dropout_prob > 0.0) else None
+        out = multihead_attention(split(q), split(k), split(v), mask=mask,
+                                  dropout_rate=c.attention_dropout_prob if train else 0.0,
+                                  dropout_rng=drop_rng)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, c.hidden_size)
         return nn.Dense(c.hidden_size, name="output", dtype=dtype)(out)
 
@@ -126,10 +142,12 @@ class BertLayer(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, hidden, mask, calibrate=False):
+    def __call__(self, hidden, mask, calibrate=False, train=False):
         c = self.config
         dtype = jnp.dtype(c.dtype)
-        attn = BertSelfAttention(c, name="attention")(hidden, mask)
+        dropout = nn.Dropout(rate=c.hidden_dropout_prob, deterministic=not train)
+        attn = BertSelfAttention(c, name="attention")(hidden, mask, train)
+        attn = dropout(attn)
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln", dtype=jnp.float32)(
             (hidden + attn).astype(jnp.float32)
         ).astype(dtype)
@@ -141,6 +159,7 @@ class BertLayer(nn.Module):
             # the VPU (measured +20% monoBERT throughput) and differs by ~1e-3
             ff = nn.gelu(ff, approximate=c.gelu_approximate)
             ff = nn.Dense(c.hidden_size, name="ffn_output", dtype=dtype)(ff)
+        ff = dropout(ff)
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln", dtype=jnp.float32)(
             (hidden + ff).astype(jnp.float32)
         ).astype(dtype)
@@ -173,7 +192,7 @@ class BertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None, output_hidden_states=False,
-                 calibrate=False):
+                 calibrate=False, train=False):
         c = self.config
         dtype = jnp.dtype(c.dtype)
         b, l = input_ids.shape
@@ -195,6 +214,7 @@ class BertEncoder(nn.Module):
             + jnp.take(type_emb, token_type_ids % c.type_vocab_size, axis=0)
         )
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln", dtype=jnp.float32)(hidden)
+        hidden = nn.Dropout(rate=c.hidden_dropout_prob, deterministic=not train)(hidden)
         hidden = hidden.astype(dtype)
 
         mask = attention_mask.astype(jnp.bool_)
@@ -202,15 +222,11 @@ class BertEncoder(nn.Module):
         layer_cls = BertLayer
         if c.remat:
             # trade FLOPs for HBM: recompute each layer's activations in the
-            # backward pass (jax.checkpoint), enabling larger train batches
-            layer_cls = nn.remat(BertLayer)
+            # backward pass (jax.checkpoint), enabling larger train batches.
+            # calibrate/train are static python flags (argnums count self as 0)
+            layer_cls = nn.remat(BertLayer, static_argnums=(3, 4))
         for i in range(c.num_layers):
-            if c.remat:
-                # remat would trace the calibrate flag; calibration is inference-
-                # only and inference never uses remat (no backward pass)
-                hidden = layer_cls(c, name=f"layer_{i}")(hidden, mask)
-            else:
-                hidden = layer_cls(c, name=f"layer_{i}")(hidden, mask, calibrate)
+            hidden = layer_cls(c, name=f"layer_{i}")(hidden, mask, calibrate, train)
             if output_hidden_states:
                 all_hidden.append(hidden)
 
@@ -292,6 +308,7 @@ def load_pretrained_encoder(name: str, allow_random_init: bool = False):
     unless ``allow_random_init=True`` — silently training from random weights
     while claiming a pretrained name destroys effectiveness parity
     (reference consumes real checkpoints, TFBERTMaxP.py:20-35)."""
+    name = PRETRAINED_ALIASES.get(name, name)
     config = get_bert_config(name)
     if name == "tiny":
         return config, None

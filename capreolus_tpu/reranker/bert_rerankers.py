@@ -25,7 +25,7 @@ import numpy as np
 from capreolus_tpu.core import ConfigOption, Dependency
 from capreolus_tpu.reranker import Reranker
 from capreolus_tpu.reranker.bert import BertConfig, BertEncoder, get_bert_config, load_pretrained_encoder
-from capreolus_tpu.reranker.common import KNRM_MUS, KNRM_SIGMAS, rbf_kernel_bank
+from capreolus_tpu.reranker.common import rbf_kernel_bank
 from capreolus_tpu.utils.loginit import get_logger
 
 logger = get_logger(__name__)
@@ -35,6 +35,17 @@ BERT_BATCH_KEYS = ("pos_bert_input", "pos_mask", "pos_seg", "neg_bert_input", "n
 _QUANTIZE_OPT = ConfigOption(
     "quantize", "none",
     "inference-time quantization: none or int8 (int8 FFN matmuls on the v5e MXU double-rate path; training stays bf16/f32)")
+
+_DROPOUT_OPT = ConfigOption(
+    "hidden_dropout_prob", 0.1,
+    "dropout probability of the encoder's hidden layers during training (parity: CEDRKNRM.py:199 / HF BertConfig)")
+
+
+def _fold_rngs(rngs, i):
+    """Distinct dropout streams for the pos/neg (or LCE group) forward passes."""
+    if rngs is None:
+        return None
+    return {k: jax.random.fold_in(v, i) for k, v in rngs.items()}
 
 
 def _flatten_passages(inp, mask, seg):
@@ -67,10 +78,10 @@ class _BertScorer(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, inp, mask, seg, calibrate=False):
+    def __call__(self, inp, mask, seg, calibrate=False, train=False):
         flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
         _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg,
-                                                             calibrate=calibrate)
+                                                             calibrate=calibrate, train=train)
         scores = nn.Dense(1, name="classifier")(pooled.astype(jnp.float32))[:, 0]
         return scores.reshape(b, p)
 
@@ -95,6 +106,11 @@ class BertRerankerBase(Reranker):
         if gelu not in ("tanh", "erf"):
             raise ValueError(f"gelu must be 'tanh' or 'erf', got {gelu!r}")
         cfg = _dc.replace(cfg, gelu_approximate=(gelu == "tanh"))
+        hdp = self.config.get("hidden_dropout_prob")
+        if hdp is not None:
+            # one knob controls both dropout sites (the reference exposes only
+            # hidden_dropout_prob, CEDRKNRM.py:199)
+            cfg = _dc.replace(cfg, hidden_dropout_prob=float(hdp), attention_dropout_prob=float(hdp))
         return cfg
 
     def _passage_mask(self, mask):
@@ -119,22 +135,28 @@ class BertRerankerBase(Reranker):
                 logger.info("loaded pretrained weights into bert submodule")
         return params
 
-    def score(self, params, batch):
-        pos = self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"])
-        neg = self._score_doc(params, batch["neg_bert_input"], batch["neg_mask"], batch["neg_seg"])
+    accepts_rngs = True  # the trainer passes a dropout rng during training
+
+    def score(self, params, batch, rngs=None):
+        pos = self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"],
+                              rngs=rngs)
+        neg = self._score_doc(params, batch["neg_bert_input"], batch["neg_mask"], batch["neg_seg"],
+                              rngs=_fold_rngs(rngs, 1))
         return [pos, neg]
 
     def test(self, params, batch):
         return self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"],
                                inference=True)
 
-    def score_lce(self, params, batch):
+    def score_lce(self, params, batch, rngs=None):
         """[B, 1+nneg] group scores: positive followed by each negative."""
-        pos = self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"])
+        pos = self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"],
+                              rngs=rngs)
         negs = batch["neg_bert_input"]
         b, nneg = negs.shape[0], negs.shape[1]
         neg_scores = [
-            self._score_doc(params, negs[:, i], batch["neg_mask"][:, i], batch["neg_seg"][:, i])
+            self._score_doc(params, negs[:, i], batch["neg_mask"][:, i], batch["neg_seg"][:, i],
+                            rngs=_fold_rngs(rngs, i + 1))
             for i in range(nneg)
         ]
         return jnp.stack([pos] + neg_scores, axis=1)
@@ -148,12 +170,12 @@ class BertRerankerBase(Reranker):
         """Turn the model's [B, P] output into [B] document scores."""
         return aggregate_passage_scores(raw_scores, self._passage_mask(mask), self.config.get("aggregation", "max"))
 
-    def _score_doc(self, params, inp, mask, seg, inference=False):
+    def _score_doc(self, params, inp, mask, seg, inference=False, rngs=None):
         inp, mask, seg = self._shape_inputs(inp, mask, seg)
-        raw = self._apply_scorer(params, inp, mask, seg, inference)
+        raw = self._apply_scorer(params, inp, mask, seg, inference, rngs=rngs)
         return self._head_scores(raw, mask)
 
-    def _apply_scorer(self, params, inp, mask, seg, inference):
+    def _apply_scorer(self, params, inp, mask, seg, inference, rngs=None):
         if inference and self.config.get("quantize", "none") == "int8":
             model = self.build_test_model()
             # stats flow in as DATA (via inference_variables) whenever possible so
@@ -163,6 +185,10 @@ class BertRerankerBase(Reranker):
             return model.apply({"params": params["params"], "quant_stats": stats}, inp, mask, seg)
         if "quant_stats" in params:
             params = {"params": params["params"]}
+        if rngs is not None and not inference:
+            # training forward: dropout active (parity with the reference's
+            # torch/HF dropout regularization)
+            return self.build_model().apply(params, inp, mask, seg, train=True, rngs=rngs)
         return self.build_model().apply(params, inp, mask, seg)
 
     # ------------------------------------------------------------------ int8 inference
@@ -235,6 +261,7 @@ class BERTMaxP(BertRerankerBase):
         ConfigOption("aggregation", "max", "passage aggregation: max, first, sum, or avg"),
         ConfigOption("remat", False, "rematerialize encoder layers in the backward pass"),
         _QUANTIZE_OPT,
+        _DROPOUT_OPT,
     ]
 
     def build_model(self):
@@ -264,6 +291,7 @@ class VanillaBERT(BERTMaxP):
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "first", "single passage: always the first"),
         _QUANTIZE_OPT,
+        _DROPOUT_OPT,
     ]
 
 
@@ -273,10 +301,10 @@ class ParadeModel(nn.Module):
     num_passages: int = 16
 
     @nn.compact
-    def __call__(self, inp, mask, seg, calibrate=False):
+    def __call__(self, inp, mask, seg, calibrate=False, train=False):
         flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
         _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg,
-                                                             calibrate=calibrate)
+                                                             calibrate=calibrate, train=train)
         cls_vecs = pooled.reshape(b, p, -1).astype(jnp.float32)  # [B, P, H]
 
         if self.aggregation == "maxp":
@@ -295,7 +323,7 @@ class ParadeModel(nn.Module):
             full_mask = jnp.ones((b, p + 1), dtype=jnp.int32)
             for i in range(2):
                 x = BertLayer(self.config, name=f"agg_layer_{i}")(x.astype(jnp.dtype(self.config.dtype)),
-                                                                  full_mask, calibrate)
+                                                                  full_mask, calibrate, train)
             doc_vec = x[:, 0].astype(jnp.float32)
         else:
             raise ValueError(f"unknown PARADE aggregation {self.aggregation!r}")
@@ -319,6 +347,7 @@ class Parade(BertRerankerBase):
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "transformer", "passage aggregation: transformer, maxp, or avg"),
         _QUANTIZE_OPT,
+        _DROPOUT_OPT,
     ]
 
     def build_model(self):
@@ -350,12 +379,18 @@ class CedrKnrmModel(nn.Module):
     simmat_layers: tuple = (0, 6, 12)
     cls_mode: str = "avg"  # avg, max, or none
     maxqlen: int = 20
+    # kernel bank config (parity: CEDRKNRM.py:42-43 — an exact-match kernel
+    # mu=1.0/sigma=0.01 is appended to the configured mus)
+    mus: tuple = (-0.9, -0.7, -0.5, -0.3, -0.1, 0.1, 0.3, 0.5, 0.7, 0.9)
+    sigma: float = 0.1
+    gradkernels: bool = True
+    combine_hidden: int = 1024
 
     @nn.compact
-    def __call__(self, inp, mask, seg, calibrate=False):
+    def __call__(self, inp, mask, seg, calibrate=False, train=False):
         flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
         hidden, pooled, all_hidden = BertEncoder(self.config, name="bert")(
-            flat_inp, flat_mask, flat_seg, output_hidden_states=True, calibrate=calibrate
+            flat_inp, flat_mask, flat_seg, output_hidden_states=True, calibrate=calibrate, train=train
         )
         l = flat_inp.shape[1]
 
@@ -366,6 +401,14 @@ class CedrKnrmModel(nn.Module):
         q_mask = q_mask & (pos_ids <= self.maxqlen)
         d_mask = (flat_seg == 1) & is_valid
 
+        base_mus = np.asarray(list(self.mus) + [1.0], dtype=np.float32)
+        base_sigmas = np.asarray([self.sigma] * len(self.mus) + [0.01], dtype=np.float32)
+        if self.gradkernels:
+            mus = self.param("mus", lambda rng: jnp.asarray(base_mus))
+            sigmas = self.param("sigmas", lambda rng: jnp.asarray(base_sigmas))
+        else:
+            mus, sigmas = jnp.asarray(base_mus), jnp.asarray(base_sigmas)
+
         features = []
         for layer in self.simmat_layers:
             emb = all_hidden[min(layer, len(all_hidden) - 1)].astype(jnp.float32)  # [B*P, L, H]
@@ -374,10 +417,12 @@ class CedrKnrmModel(nn.Module):
             sim = jnp.where(q_mask[:, :, None] & d_mask[:, None, :], sim, 0.0)
             # concat passage simmats along doc axis (parity: CEDRKNRM.py:109-133)
             sim = sim.reshape(b, p, l, l).transpose(0, 2, 1, 3).reshape(b, l, p * l)
-            kernels = rbf_kernel_bank(sim, KNRM_MUS, KNRM_SIGMAS)  # [B, K, L, P*L]
+            kernels = rbf_kernel_bank(sim, mus, sigmas)  # [B, K, L, P*L]
             k_sum = kernels.sum(axis=3)  # [B, K, L]
             row_valid = (jnp.abs(sim).sum(axis=2) != 0.0)[:, None, :]
-            pooled_k = jnp.where(row_valid, jnp.log(k_sum + 1e-6), 0.0).sum(axis=2)  # [B, K]
+            # log(clamp(., 1e-10)) * 0.01 matches the reference's feature scaling
+            # (CEDRKNRM.py:128-131) so combine-layer weights transfer
+            pooled_k = jnp.where(row_valid, jnp.log(jnp.maximum(k_sum, 1e-10)) * 0.01, 0.0).sum(axis=2)  # [B, K]
             features.append(pooled_k)
 
         if self.cls_mode != "none":
@@ -386,6 +431,9 @@ class CedrKnrmModel(nn.Module):
             features.append(cls_feat)
 
         combined = jnp.concatenate(features, axis=1)
+        if self.combine_hidden > 0:
+            # two stacked linears, no activation between (parity: CEDRKNRM.py:61-70)
+            combined = nn.Dense(self.combine_hidden, name="combine_hidden")(combined)
         score = nn.Dense(1, name="combine")(combined)[:, 0]
         return score[:, None]
 
@@ -404,8 +452,15 @@ class CEDRKNRM(BertRerankerBase):
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
-        ConfigOption("simmat_layers", [0, 6, 12], "encoder layers to build simmats from", value_type="intlist"),
+        ConfigOption("simmat_layers", [0, 6, 12], "encoder layers to build simmats from "
+                     "(accepts the reference's range syntax, e.g. 0..12,1)", value_type="intlist"),
         ConfigOption("cls", "avg", "CLS feature pooling: avg, max, or none"),
+        ConfigOption("mus", [-0.9, -0.7, -0.5, -0.3, -0.1, 0.1, 0.3, 0.5, 0.7, 0.9],
+                     "RBF kernel centers (an exact-match kernel is appended)", value_type="floatlist"),
+        ConfigOption("sigma", 0.1, "RBF kernel width"),
+        ConfigOption("gradkernels", True, "tune mus and sigmas during training"),
+        ConfigOption("combine_hidden", 1024, "hidden size of the combination FC layer (0 to disable)"),
+        ConfigOption("hidden_dropout_prob", 0.1, "dropout probability of the encoder's hidden layers"),
         _QUANTIZE_OPT,
     ]
 
@@ -416,6 +471,10 @@ class CEDRKNRM(BertRerankerBase):
                 simmat_layers=tuple(self.config["simmat_layers"]),
                 cls_mode=self.config["cls"] or "none",
                 maxqlen=self.extractor.config["maxqlen"],
+                mus=tuple(self.config["mus"]),
+                sigma=float(self.config["sigma"]),
+                gradkernels=bool(self.config["gradkernels"]),
+                combine_hidden=int(self.config["combine_hidden"]),
             )
         return self.model
 
@@ -433,10 +492,10 @@ class BirchModel(nn.Module):
     topk: int = 3
 
     @nn.compact
-    def __call__(self, inp, mask, seg, calibrate=False):
+    def __call__(self, inp, mask, seg, calibrate=False, train=False):
         flat_inp, flat_mask, flat_seg, b, p = _flatten_passages(inp, mask, seg)
         _, pooled, _ = BertEncoder(self.config, name="bert")(flat_inp, flat_mask, flat_seg,
-                                                             calibrate=calibrate)
+                                                             calibrate=calibrate, train=train)
         psg_scores = nn.Dense(1, name="relevance")(pooled.astype(jnp.float32))[:, 0].reshape(b, p)
         k = min(self.topk, p)
         top_scores, _ = jax.lax.top_k(psg_scores, k)
@@ -461,6 +520,7 @@ class Birch(BertRerankerBase):
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("topk", 3, "number of top passages to combine"),
         _QUANTIZE_OPT,
+        _DROPOUT_OPT,
     ]
 
     def build_model(self):

@@ -154,7 +154,16 @@ class StaticTctColBert(StaticRunSearcher):
 
 @Searcher.register
 class MsPsgTop200(StaticRunSearcher):
-    """Top-200 candidates for MS MARCO passage (parity: searcher/special.py:216-305)."""
+    """Top-200 candidates for MS MARCO passage (parity: searcher/special.py:216-305).
+
+    The reference downloads per-split runs from Google Drive selected by the
+    ``firststage`` option (tct, bm25, or train>dev combos like tct>bm25); those
+    links require authentication, so here the option selects which local
+    ``runfile`` semantics apply and is accepted for config compatibility."""
 
     module_name = "msptop200"
     run_url = None
+    config_spec = StaticRunSearcher.config_spec + [
+        ConfigOption("firststage", "tct", "first-stage source: tct, bm25, tct>bm25, or bm25>tct "
+                     "(parity: searcher/special.py:225-231)"),
+    ]

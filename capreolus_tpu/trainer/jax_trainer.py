@@ -123,13 +123,25 @@ class JaxTrainer(Trainer):
         ConfigOption("decay", 0.0, "decay factor"),
         ConfigOption("decaytype", None, "decay type: exponential, linear, or None"),
         ConfigOption("decayiters", 3, "iterations over which exponential decay spreads"),
-        ConfigOption("amp", False, "use bfloat16 mixed precision for the forward/backward pass"),
+        ConfigOption("amp", "none", "bfloat16 mixed precision: none/False, train, pred, both, or True "
+                     "(string values match the reference pytorch trainer, pytorch.py:43)", value_type="str"),
         ConfigOption("tp", 1, "tensor-parallel degree: shard BERT matmuls over a 'model' mesh axis "
                      "(Megatron-style column/row split via GSPMD; for bert-large/PARADE-large)"),
         ConfigOption("boardname", "default", "experiment label for artifacts"),
         ConfigOption("profile", False, "capture a jax profiler trace of the first iteration"),
+        ConfigOption("evalbatch", 0, "prediction batch size (0 = use the training batch size)"),
+        ConfigOption("eager", False, "disable jit compilation (op-by-op debugging)"),
+        # reference-config compatibility (trainer/tensorflow.py options): accepted,
+        # not needed by the JAX runtime — caching is config-path based and TPUs
+        # are addressed through jax.devices(), not a TF cluster resolver
+        ConfigOption("usecache", False, "accepted for reference-config compatibility"),
+        ConfigOption("multithread", False, "accepted for reference-config compatibility (torch DataLoader workers)"),
+        ConfigOption("storage", None, "accepted for reference-config compatibility (TF GCS staging)"),
+        ConfigOption("tpuname", None, "accepted for reference-config compatibility (TF TPUClusterResolver)"),
+        ConfigOption("tpuzone", None, "accepted for reference-config compatibility (TF TPUClusterResolver)"),
     ]
-    config_keys_not_in_path = ["fastforward", "boardname", "validatefreq", "profile"]
+    config_keys_not_in_path = ["fastforward", "boardname", "validatefreq", "profile",
+                               "evalbatch", "eager", "usecache", "multithread", "storage", "tpuname", "tpuzone"]
 
     def build(self):
         self._data_mesh = None
@@ -137,6 +149,11 @@ class JaxTrainer(Trainer):
         self._opt_state = None
 
     # ------------------------------------------------------------------ setup
+    def _jit(self, fn, **kwargs):
+        if self.config.get("eager"):
+            return fn  # op-by-op execution for debugging
+        return jax.jit(fn, **kwargs)
+
     def _loss_fn(self):
         if self.config["softmaxloss"]:
             return LOSS_FUNCTIONS["pair_softmax_loss"]
@@ -244,35 +261,42 @@ class JaxTrainer(Trainer):
 
     # ------------------------------------------------------------------ train step
     def _build_train_step(self, reranker, tx, loss_fn):
-        amp = self.config["amp"]
+        amp = str(self.config["amp"]).lower() in ("true", "1", "train", "both")
+        # rerankers that opt in receive a dropout rng during the training forward
+        # (parity: the reference's torch/HF models train with dropout active)
+        use_rngs = bool(getattr(reranker, "accepts_rngs", False))
 
-        def compute_loss(params, micro):
+        def compute_loss(params, micro, rng):
             if amp:
                 params = jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
                 )
+            rngs = {"dropout": rng} if use_rngs else None
+            kwargs = {"rngs": rngs} if use_rngs else {}
             if self.config["loss"] == "lce":
-                scores = reranker.score_lce(params, micro)
+                scores = reranker.score_lce(params, micro, **kwargs)
                 loss = loss_fn(scores, micro.get("label"))
             elif self.config["loss"] == "crossentropy":
-                pos, neg = reranker.score(params, micro)
+                pos, neg = reranker.score(params, micro, **kwargs)
                 loss = loss_fn(jnp.stack([neg, pos], axis=1).astype(jnp.float32), micro["label"])
             else:
-                pos, neg = reranker.score(params, micro)
+                pos, neg = reranker.score(params, micro, **kwargs)
                 loss = loss_fn([pos.astype(jnp.float32), neg.astype(jnp.float32)])
             return loss
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batches):
+        @functools.partial(self._jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batches, step_rng):
             # batches: pytree with leading [gradacc, batch, ...] axes
-            def micro_grads(carry, micro):
-                loss, grads = jax.value_and_grad(compute_loss)(params, micro)
+            def micro_grads(carry, xs):
+                micro, rng = xs
+                loss, grads = jax.value_and_grad(compute_loss)(params, micro, rng)
                 acc_loss, acc_grads = carry
                 return (acc_loss + loss, jax.tree_util.tree_map(jnp.add, acc_grads, grads)), None
 
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
-            (loss_sum, grads), _ = jax.lax.scan(micro_grads, (0.0, zero_grads), batches)
             gradacc = self.config["gradacc"]
+            micro_rngs = jax.random.split(step_rng, gradacc)
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (loss_sum, grads), _ = jax.lax.scan(micro_grads, (0.0, zero_grads), (batches, micro_rngs))
             grads = jax.tree_util.tree_map(lambda g: (g / gradacc).astype(jnp.float32), grads)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -298,6 +322,7 @@ class JaxTrainer(Trainer):
         first_samples = [next(train_iter) for _ in range(batch_size)]
         init_batch = collate(first_samples, ARRAY_KEYS)
         params = reranker.init_params(jax.random.PRNGKey(self.config["seed"]), init_batch)
+        dropout_rng = jax.random.PRNGKey(self.config["seed"] + 0x5eed)
 
         # data parallelism: batch axis sharded over the mesh, params replicated;
         # XLA inserts the gradient allreduce (TPUStrategy equivalent)
@@ -381,12 +406,15 @@ class JaxTrainer(Trainer):
                 profiling = True
             iter_start = time.time()
             iter_loss = []
-            for _ in range(self.steps_per_iter):
+            for step_i in range(self.steps_per_iter):
                 item = batch_queue.get()
                 if isinstance(item, BaseException):
                     raise item
                 batches = self._shard_batch(item)
-                params, opt_state, loss = train_step(params, opt_state, batches)
+                # per-step dropout stream: deterministic in (seed, iter, step) so
+                # fastforward resume replays identical regularization noise
+                step_rng = jax.random.fold_in(dropout_rng, niter * self.steps_per_iter + step_i)
+                params, opt_state, loss = train_step(params, opt_state, batches, step_rng)
                 iter_loss.append(float(loss))
             train_loss.append(float(np.mean(iter_loss)))
             logger.info("iter=%d loss=%.6f (%.1fs)", niter, train_loss[-1], time.time() - iter_start)
@@ -469,7 +497,7 @@ class JaxTrainer(Trainer):
         if params is None:
             params = self._params
         model = reranker.build_model()
-        batch_size = self.config["batch"]
+        batch_size = int(self.config.get("evalbatch") or 0) or self.config["batch"]
 
         preds = {}
         # feature extraction for the dev set is expensive (per-passage encoding);
@@ -507,7 +535,7 @@ class JaxTrainer(Trainer):
                     # calibrated stats enter as jit arguments, not constants
                     params = reranker.inference_variables(params)
             if test_step is None:
-                test_step = cache[id(reranker)] = jax.jit(lambda p, batch: reranker.test(p, batch))
+                test_step = cache[id(reranker)] = self._jit(lambda p, batch: reranker.test(p, batch))
             scores = np.asarray(test_step(params, batch))[:valid]
             for (qid, docid), score in zip(pairs, scores):
                 preds.setdefault(qid, {})[docid] = float(score)
@@ -616,3 +644,18 @@ class JaxTrainer(Trainer):
         params, _ = self.load_checkpoint(train_output_path / "dev.best", params, reranker=reranker)
         self._params = params
         return params
+
+
+@Trainer.register
+class PytorchTrainerAlias(JaxTrainer):
+    """Alias so reference configs using trainer.name=pytorch keep working
+    (the single JAX trainer replaces both reference trainers, SURVEY 2.9)."""
+
+    module_name = "pytorch"
+
+
+@Trainer.register
+class TensorflowTrainerAlias(JaxTrainer):
+    """Alias so reference configs using trainer.name=tensorflow keep working."""
+
+    module_name = "tensorflow"
