@@ -83,12 +83,18 @@ class Reranker(ModuleBase):
 
     # default score/test implementations for models with
     # __call__(querytoks, doctoks, query_idf) -> [B] signature
-    def _apply(self, params, query, doc, query_idf):
+    # rerankers whose models apply dropout set this True; the trainer then passes
+    # a "dropout" rng during training forwards (inference stays deterministic)
+    accepts_rngs = False
+
+    def _apply(self, params, query, doc, query_idf, rngs=None):
+        if rngs is not None and self.accepts_rngs:
+            return self.model.apply(params, query, doc, query_idf, train=True, rngs=rngs)
         return self.model.apply(params, query, doc, query_idf)
 
-    def score_default(self, params, batch):
-        pos = self._apply(params, batch["query"], batch["posdoc"], batch["query_idf"])
-        neg = self._apply(params, batch["query"], batch["negdoc"], batch["query_idf"])
+    def score_default(self, params, batch, rngs=None):
+        pos = self._apply(params, batch["query"], batch["posdoc"], batch["query_idf"], rngs=rngs)
+        neg = self._apply(params, batch["query"], batch["negdoc"], batch["query_idf"], rngs=rngs)
         return [pos.reshape(-1), neg.reshape(-1)]
 
     def test_default(self, params, batch):

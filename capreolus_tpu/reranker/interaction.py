@@ -346,13 +346,15 @@ class DSSMModel(nn.Module):
     nhiddens: tuple = (56,)
 
     @nn.compact
-    def __call__(self, query_vec, doc_vec):
+    def __call__(self, query_vec, doc_vec, train=False):
         # siamese towers: the same layer instances score query and doc (shared weights)
         layers = [nn.Dense(n, name=f"ffw_{i}") for i, n in enumerate(self.nhiddens)]
+        # the reference hardcodes Dropout(0.5) between FC layers (DSSM.py:21)
+        drop = nn.Dropout(rate=0.5, deterministic=not train)
 
         def tower(x):
             for layer in layers:
-                x = jnp.tanh(layer(x))
+                x = drop(jnp.tanh(layer(x)))
             return x
 
         q = tower(query_vec)
@@ -387,9 +389,12 @@ class DSSM(Reranker):
         model = self.build_model()
         return model.init(rng, jnp.asarray(batch["query"]), jnp.asarray(batch["posdoc"]))
 
-    def score(self, params, batch):
-        pos = self.model.apply(params, batch["query"], batch["posdoc"])
-        neg = self.model.apply(params, batch["query"], batch["negdoc"])
+    accepts_rngs = True  # DSSM trains with FC dropout
+
+    def score(self, params, batch, rngs=None):
+        kwargs = {"train": True, "rngs": rngs} if rngs is not None else {}
+        pos = self.model.apply(params, batch["query"], batch["posdoc"], **kwargs)
+        neg = self.model.apply(params, batch["query"], batch["negdoc"], **kwargs)
         return [pos.reshape(-1), neg.reshape(-1)]
 
     def test(self, params, batch):
@@ -403,16 +408,18 @@ class CDSSMModel(nn.Module):
     nkernel: int = 3
     nhiddens: int = 30
     windowsize: int = 3
+    dropoutrate: float = 0.0  # conv dropout during training (parity: CDSSM.py:16)
 
     @nn.compact
-    def __call__(self, querytoks, doctoks, query_idf=None):
+    def __call__(self, querytoks, doctoks, query_idf=None, train=False):
         embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
         conv = nn.Conv(self.nfilter, kernel_size=(self.windowsize,), padding="SAME", name="conv")
         sem = nn.Dense(self.nhiddens, name="sem")
+        drop = nn.Dropout(rate=self.dropoutrate, deterministic=not train)
 
         def tower(toks):
             emb = jnp.take(embedding, jnp.maximum(toks, 0), axis=0)  # [B, L, E]
-            h = jnp.tanh(conv(emb))  # [B, L, F]
+            h = drop(jnp.tanh(conv(emb)))  # [B, L, F]
             mask = (toks != 0)[..., None]
             h = jnp.where(mask, h, -1e7)
             pooled = jnp.max(h, axis=1)  # [B, F]
@@ -444,6 +451,8 @@ class CDSSM(Reranker):
         ConfigOption("dropoutrate", 0.0, "dropout rate"),
     ]
 
+    accepts_rngs = True  # CDSSM trains with conv dropout
+
     def build_model(self):
         if not hasattr(self, "model"):
             self.model = CDSSMModel(
@@ -452,6 +461,7 @@ class CDSSM(Reranker):
                 nkernel=self.config["nkernel"],
                 nhiddens=self.config["nhiddens"],
                 windowsize=self.config["windowsize"],
+                dropoutrate=self.config["dropoutrate"],
             )
         return self.model
 

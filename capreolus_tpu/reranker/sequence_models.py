@@ -50,10 +50,12 @@ class DUETModel(nn.Module):
     nhidden: int = 699
     idfweight: bool = True
     activation: str = "relu"
+    dropoutrate: float = 0.5  # applied in training only (parity: DUET.py:28,73,83)
 
     @nn.compact
-    def __call__(self, querytoks, doctoks, query_idf):
+    def __call__(self, querytoks, doctoks, query_idf, train=False):
         act = nn.relu if self.activation == "relu" else jnp.tanh
+        drop = nn.Dropout(rate=self.dropoutrate, deterministic=not train)
         embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
 
         # local model: binary exact-match matrix, optionally idf-weighted rows
@@ -62,7 +64,7 @@ class DUETModel(nn.Module):
             exact = exact * query_idf[:, :, None]
         h = act(nn.Conv(self.nfilters, kernel_size=(1,), name="local_conv")(exact))  # conv over doc axis
         h = h.reshape(h.shape[0], -1)
-        local = act(nn.Dense(self.lmhidden, name="local_ffw1")(h))
+        local = drop(act(nn.Dense(self.lmhidden, name="local_ffw1")(h)))
         local_score = nn.Dense(1, name="local_out")(local)[:, 0]
 
         # distributed model: convolved semantic representations, elementwise interaction
@@ -73,7 +75,7 @@ class DUETModel(nn.Module):
         q_vec = jnp.max(jnp.where((querytoks != 0)[..., None], conv_q, -1e7), axis=1)
         d_vec = jnp.max(jnp.where((doctoks != 0)[..., None], conv_d, -1e7), axis=1)
         inter = jnp.concatenate([q_vec * d_vec, q_vec, d_vec], axis=-1)
-        dist = act(nn.Dense(self.nhidden, name="dist_ffw1")(inter))
+        dist = drop(act(nn.Dense(self.nhidden, name="dist_ffw1")(inter)))
         dist_score = nn.Dense(1, name="dist_out")(dist)[:, 0]
 
         return local_score + dist_score
@@ -98,6 +100,8 @@ class DUET(Reranker):
         ConfigOption("activation", "relu", "tanh or relu"),
     ]
 
+    accepts_rngs = True  # DUET trains with dropout
+
     def build_model(self):
         if not hasattr(self, "model"):
             self.model = DUETModel(
@@ -107,6 +111,7 @@ class DUET(Reranker):
                 nhidden=self.config["nhidden"],
                 idfweight=self.config["idfweight"],
                 activation=self.config["activation"],
+                dropoutrate=self.config["dropoutrate"],
             )
         return self.model
 

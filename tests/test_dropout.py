@@ -66,3 +66,28 @@ def test_trainer_passes_dropout_rng(tmpdir_as_cache, tmp_path):
     metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
                                      benchmark.qrels, metric="map")
     assert np.isfinite(metrics["map"])
+
+
+def test_interaction_model_dropout(tmpdir_as_cache):
+    """DUET/CDSSM/DSSM apply their (reference-parity) dropout when given rngs."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.reranker import Reranker
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    reranker = Reranker.create("DUET", {"dropoutrate": 0.5,
+                                        "extractor": {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 16,
+                                                      "index": {"collection": {"name": "dummy"}}}})
+    assert reranker.accepts_rngs
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5}}
+    reranker.extractor.preprocess(list(run), {"D001", "D002"}, benchmark.topics[benchmark.query_type])
+    feat = [reranker.extractor.id2vec("301", "D001", "D002", label=[1, 0], training=True) for _ in range(2)]
+    batch = collate(feat, ARRAY_KEYS)
+    reranker.build_model()
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    pos_a, _ = reranker.score(params, batch, rngs={"dropout": jax.random.PRNGKey(1)})
+    pos_b, _ = reranker.score(params, batch, rngs={"dropout": jax.random.PRNGKey(2)})
+    pos_det, _ = reranker.score(params, batch)
+    assert not np.allclose(np.asarray(pos_a), np.asarray(pos_b))
+    np.testing.assert_array_equal(np.asarray(reranker.test(params, batch)),
+                                  np.asarray(reranker.test(params, batch)))
