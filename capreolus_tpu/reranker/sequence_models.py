@@ -129,10 +129,12 @@ class POSITDRMMModel(nn.Module):
     topk: int = 5
 
     @nn.compact
-    def __call__(self, querytoks, doctoks, query_idf):
+    def __call__(self, querytoks, doctoks, query_idf, train=False):
         embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
-        q_emb = jnp.take(embedding, jnp.maximum(querytoks, 0), axis=0)
-        d_emb = jnp.take(embedding, jnp.maximum(doctoks, 0), axis=0)
+        # dropout on the encoder inputs during training (parity: POSITDRMM.py:35,66,71)
+        drop = nn.Dropout(rate=0.2, deterministic=not train)
+        q_emb = drop(jnp.take(embedding, jnp.maximum(querytoks, 0), axis=0))
+        d_emb = drop(jnp.take(embedding, jnp.maximum(doctoks, 0), axis=0))
 
         # contextualization with a shared BiGRU + residual (as in the paper)
         encoder = _BiGRU(self.hidden, name="context_gru")
@@ -171,6 +173,8 @@ class POSITDRMM(Reranker):
         Dependency(key="trainer", module="trainer", name="jax"),
     ]
     config_spec = [ConfigOption("hidden", 32, "BiGRU hidden size"), ConfigOption("topk", 5, "top-k matches per term")]
+
+    accepts_rngs = True  # trains with input dropout
 
     def build_model(self):
         if not hasattr(self, "model"):
