@@ -490,6 +490,7 @@ class TFCEDRKNRMAlias(CEDRKNRM):
 class BirchModel(nn.Module):
     config: BertConfig
     topk: int = 3
+    hidden: int = 0  # 0: weighted sum of topk scores; >0: MLP combiner (parity: birch.py:41-47)
 
     @nn.compact
     def __call__(self, inp, mask, seg, calibrate=False, train=False):
@@ -499,8 +500,12 @@ class BirchModel(nn.Module):
         psg_scores = nn.Dense(1, name="relevance")(pooled.astype(jnp.float32))[:, 0].reshape(b, p)
         k = min(self.topk, p)
         top_scores, _ = jax.lax.top_k(psg_scores, k)
-        weights = self.param("topk_weights", nn.initializers.ones, (k,), jnp.float32)
-        score = (top_scores * weights).sum(axis=1)
+        if self.hidden > 0:
+            h = nn.relu(nn.Dense(self.hidden, name="combine_hidden")(top_scores))
+            score = nn.Dense(1, name="combine_out")(h)[:, 0]
+        else:
+            weights = self.param("topk_weights", nn.initializers.ones, (k,), jnp.float32)
+            score = (top_scores * weights).sum(axis=1)
         return score[:, None]
 
 
@@ -519,14 +524,23 @@ class Birch(BertRerankerBase):
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("topk", 3, "number of top passages to combine"),
+        ConfigOption("hidden", 0, "combiner hidden size, or 0 for a weighted sum of the topk "
+                     "(parity: birch.py:136)"),
+        ConfigOption("finetune", False, "fine-tune the BERT model (frozen otherwise, parity: birch.py:66,137)"),
         _QUANTIZE_OPT,
         _DROPOUT_OPT,
     ]
 
     def build_model(self):
         if not hasattr(self, "model"):
-            self.model = BirchModel(self.encoder_config(), topk=self.config["topk"])
+            self.model = BirchModel(self.encoder_config(), topk=self.config["topk"],
+                                    hidden=int(self.config["hidden"]))
         return self.model
+
+    def trainable(self, path, value):
+        if not self.config["finetune"] and "bert" in "/".join(map(str, path)):
+            return False
+        return True
 
     _shape_inputs = Parade._shape_inputs
     _head_scores = Parade._head_scores

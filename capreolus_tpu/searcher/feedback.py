@@ -7,7 +7,7 @@ Capability parity with /root/reference/capreolus/searcher/anserini.py:
   axiomatic (:379-403)  axiomatic semantic matching: expansion terms scored by a
              deterministic mutual-information signal over R feedback + N*R random docs
   BM25Postprocess (:233-252 + PostprocessMixin :86-147)  passage-id -> doc max-pool
-             dedup and topx truncation
+             dedup and topn truncation
   SDM       (:526-549)  sequential dependence model: unigram QL plus ordered/unordered
              bigram windows. TPU design: the device scores unigrams collection-wide,
              then the bigram components are computed exactly on the top candidates
@@ -41,7 +41,7 @@ class BM25Postprocess(TpuSearcherBase):
         ConfigOption("k1", [0.9], "term saturation", value_type="floatlist"),
         ConfigOption("b", [0.4], "length normalization", value_type="floatlist"),
         ConfigOption("hits", 1000, "hits retrieved per query before pooling"),
-        ConfigOption("topx", 1000, "results kept after pooling"),
+        ConfigOption("topn", 1000, "results kept after the filtering/pooling (parity: anserini.py:240)"),
         ConfigOption("dedup", False, "max-pool passage ids (docid.passageid) into docids"),
         ConfigOption("fields", "title", "query fields"),
     ]
@@ -52,8 +52,8 @@ class BM25Postprocess(TpuSearcherBase):
     def _write_run(self, run, outfn):
         if self.config["dedup"]:
             run = max_pool_trec_passage_run(run)
-        topx = self.config["topx"]
-        run = {qid: dict(sorted(docs.items(), key=lambda kv: -kv[1])[:topx]) for qid, docs in run.items()}
+        topn = self.config["topn"]
+        run = {qid: dict(sorted(docs.items(), key=lambda kv: -kv[1])[:topn]) for qid, docs in run.items()}
         super()._write_run(run, outfn)
 
 
@@ -244,12 +244,16 @@ class SDM(TpuSearcherBase):
     """
 
     module_name = "SDM"
-    model = "qld"
+    model = "bm25"
     dependencies = [
         Dependency(key="index", module="index", name="tpu", default_config_overrides={"storepositions": True}),
     ]
     config_spec = [
-        ConfigOption("mu", [1000], "Dirichlet smoothing", value_type="floatlist"),
+        ConfigOption("k1", [0.9], "BM25 term saturation (parity: anserini.py:534)", value_type="floatlist"),
+        ConfigOption("b", [0.4], "BM25 length normalization", value_type="floatlist"),
+        ConfigOption("unigram", "bm25", "unigram/window scoring model: bm25 (Anserini/Lucene SDM "
+                     "semantics) or qld (the original Metzler-Croft Indri formulation)"),
+        ConfigOption("mu", [1000], "Dirichlet smoothing (unigram=qld only)", value_type="floatlist"),
         ConfigOption("tw", 0.85, "term weight"),
         ConfigOption("ow", 0.1, "ordered window weight"),
         ConfigOption("uw", 0.05, "unordered window weight"),
@@ -260,40 +264,62 @@ class SDM(TpuSearcherBase):
     ]
 
     def grid_params(self):
-        return {}, {"mu": list(self.config["mu"])}
+        if self.config["unigram"] == "qld":
+            return {}, {"mu": list(self.config["mu"])}
+        return {}, {"k1": list(self.config["k1"]), "b": list(self.config["b"])}
 
     def _search_all(self, topicsfn, output_path):
         engine = self.get_engine()
-        data = engine.dindex.host
         if not self.index.config.get("storepositions"):
             raise ValueError("SDM requires index.storepositions=True")
         topics = _load_topics_tsv(topicsfn)
         hits = min(int(self.config["hits"]), engine.dindex.num_docs)
         rescore_depth = min(engine.dindex.num_docs, max(hits, 2 * hits))
         c = self.config
+        qld = c["unigram"] == "qld"
+        model = "qld" if qld else "bm25"
+        combos = ([{"mu": mu} for mu in c["mu"]] if qld
+                  else [{"k1": k1, "b": b} for k1 in c["k1"] for b in c["b"]])
 
-        for mu in c["mu"]:
+        for params in combos:
             run = {}
             for start in range(0, len(topics), QUERY_BATCH):
                 batch = topics[start : start + QUERY_BATCH]
                 analyzed = [self.index.analyze(text) for _, text in batch]
                 term_lists = [self.query_weights(text, engine) for _, text in batch]
-                scores, doc_ords = engine.search(term_lists, model="qld", params={"mu": mu}, topk=rescore_depth)
+                scores, doc_ords = engine.search(term_lists, model=model, params=params, topk=rescore_depth)
                 for qi, (qid, _) in enumerate(batch):
                     if not term_lists[qi]:
                         continue
-                    run[qid] = self._sdm_rescore(analyzed[qi], scores[qi], doc_ords[qi], mu, hits)
-            tag = self._param_tag({}, {"mu": mu})
+                    run[qid] = self._sdm_rescore(analyzed[qi], scores[qi], doc_ords[qi], params, hits)
+            tag = self._param_tag({}, params)
             self._write_run(run, output_path / tag)
             logger.info("wrote SDM run file %s", output_path / tag)
 
-    def _sdm_rescore(self, query_terms, uni_scores, doc_ords, mu, hits):
+    def _window_score(self, count, dl, df_bound, params):
+        """Score one window pseudo-term occurrence count in a document.
+
+        unigram=bm25: Lucene BM25 formula with the window clause's df bounded by
+        the rarer constituent term (Lucene computes the true window df during
+        evaluation; min(df1, df2) is its upper bound, so the idf is a documented
+        lower bound). unigram=qld: Dirichlet with a 1/|C| collection prior."""
+        data = self.index.data
+        if self.config["unigram"] == "qld":
+            mu = params["mu"]
+            prior = 1.0 / float(data.total_term_count)
+            return math.log((count + mu * prior) / (dl + mu))
+        n = float(data.num_docs)
+        idf = math.log(1.0 + (n - df_bound + 0.5) / (df_bound + 0.5))
+        k1, b = params["k1"], params["b"]
+        return idf * count / (count + k1 * (1.0 - b + b * dl / data.avgdl))
+
+    def _sdm_rescore(self, query_terms, uni_scores, doc_ords, params, hits):
         data = self.index.data
         vocab = data.vocab
         tids = [vocab[t] for t in query_terms if t in vocab]
         bigrams = list(zip(tids, tids[1:]))
         c = self.config
-        total_terms = float(data.total_term_count)
+        df = data.df_array
 
         results = {}
         valid = uni_scores > 0
@@ -304,10 +330,9 @@ class SDM(TpuSearcherBase):
                 dl = max(1, len(tokens))
                 for t1, t2 in bigrams:
                     od, uw = _window_counts(tokens, t1, t2, c["ows"], c["uws"])
-                    # Dirichlet smoothing with a small collection prior for pseudo-terms
-                    prior = 1.0 / total_terms
-                    sdm_score += c["ow"] * math.log((od + mu * prior) / (dl + mu))
-                    sdm_score += c["uw"] * math.log((uw + mu * prior) / (dl + mu))
+                    df_bound = max(1.0, float(min(df[t1], df[t2])))
+                    sdm_score += c["ow"] * self._window_score(od, dl, df_bound, params)
+                    sdm_score += c["uw"] * self._window_score(uw, dl, df_bound, params)
             results[data.docid_strings[int(ord_)]] = sdm_score
         return dict(sorted(results.items(), key=lambda kv: -kv[1])[:hits])
 

@@ -92,7 +92,9 @@ class MsmarcoPsg(Searcher):
     module_name = "msmarcopsg"
     dependencies = [Dependency(key="benchmark", module="benchmark", name="msmarcopsg")]
     config_spec = [ConfigOption("tripletsfile", None, "path to qidpidtriples train file"),
-                   ConfigOption("top1000file", None, "path to top1000.dev file")]
+                   ConfigOption("top1000file", None, "path to top1000.dev file"),
+                   ConfigOption("tripleversion", "small", "triples file version: small, large.v1, or "
+                                "large.v2 (parity: special.py:81; selects which official file to supply)")]
 
     def query_from_file(self, topicsfn, output_path):
         from pathlib import Path
@@ -141,6 +143,8 @@ class MsmarcoPsgBm25(BM25):
         ConfigOption("b", [0.68], "length normalization", value_type="floatlist"),
         ConfigOption("hits", 1000, "number of results"),
         ConfigOption("fields", "title", "query fields"),
+        ConfigOption("tripleversion", "small", "triples file version: small, large.v1, or large.v2 "
+                     "(parity: special.py:129)"),
     ]
 
 

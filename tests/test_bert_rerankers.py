@@ -268,3 +268,26 @@ def test_pretrained_load_fails_loudly_offline():
     # 'tiny' stays the sanctioned offline config
     cfg, params = load_pretrained_encoder("tiny")
     assert params is None
+
+
+def test_birch_hidden_and_finetune(tmpdir_as_cache):
+    """birch.hidden>0 uses the MLP combiner; finetune=False freezes bert params
+    (parity: birch.py:41-47, 66, 136-137)."""
+    import jax
+
+    reranker = make_reranker("birch", reranker_overrides={"hidden": 7, "pretrained": "tiny"})
+    prepared(reranker)
+    ext = reranker.extractor
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    train = collate([ext.id2vec(qid, "D001", "D002", label=[1, 0], training=True) for qid in ("301", "302")],
+                    ARRAY_KEYS)
+    params = reranker.init_params(jax.random.PRNGKey(0), train)
+    flat = params["params"]
+    assert "combine_hidden" in flat and "combine_out" in flat
+    assert "topk_weights" not in flat
+    # finetune defaults False: bert params frozen
+    assert not reranker.trainable(("bert", "layer_0", "attention", "query", "kernel"), None)
+    assert reranker.trainable(("combine_out", "kernel"), None)
+    r2 = make_reranker("birch", reranker_overrides={"finetune": True, "pretrained": "tiny"})
+    assert r2.trainable(("bert", "layer_0", "attention", "query", "kernel"), None)

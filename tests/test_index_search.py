@@ -197,3 +197,23 @@ def test_scoring_engine_accumulator_overflow_guard():
     with _pytest.raises(ValueError, match="overflows"):
         eng._check_accumulator_bounds(64)
     eng._check_accumulator_bounds(16)  # under the limit: fine
+
+
+def test_sdm_bm25_window_semantics(tmpdir_as_cache, tmp_path):
+    """SDM defaults to Anserini/Lucene semantics: BM25 unigrams (k1/b grid) with
+    BM25-scored window pseudo-terms; unigram=qld selects the Indri formulation."""
+    searcher = Searcher.create("SDM", {"k1": "0.9,1.2", "b": [0.4],
+                                       "index": {"storepositions": True, "collection": {"name": "dummy"}}})
+    runs = _search(searcher, [("1", "distant galaxies")], tmp_path)
+    assert len(runs) == 2  # k1 grid
+    for tag, run in runs.items():
+        assert "k1-" in tag and "b-" in tag
+        assert run["1"]
+        # window pseudo-terms only ADD for docs containing the ordered bigram;
+        # every score must be >= tw * plain-BM25 contribution (positive here)
+        assert all(v > 0 for v in run["1"].values())
+
+    qld = Searcher.create("SDM", {"unigram": "qld", "mu": [500],
+                                  "index": {"storepositions": True, "collection": {"name": "dummy"}}})
+    runs_qld = _search(qld, [("1", "distant galaxies")], tmp_path / "qld")
+    assert any("mu-" in tag for tag in runs_qld)

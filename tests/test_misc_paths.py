@@ -26,7 +26,7 @@ def test_bm25postprocess_dedup(tmpdir_as_cache, tmp_path):
     from capreolus_tpu.searcher.feedback import BM25Postprocess
 
     searcher = BM25Postprocess.create("BM25Postprocess",
-                                      {"dedup": True, "topx": 5, "index": {"collection": {"name": "dummy"}}})
+                                      {"dedup": True, "topn": 5, "index": {"collection": {"name": "dummy"}}})
     # simulate passage-style run through the postprocess writer
     run = {"1": {"D1.0": 1.0, "D1.1": 3.0, "D2.0": 2.0}}
     out = tmp_path / "run"
