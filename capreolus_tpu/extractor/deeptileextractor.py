@@ -37,7 +37,7 @@ class DeepTileExtractor(Extractor):
         ConfigOption("passagelen", 20, "number of tiles per document"),
         ConfigOption("maxqlen", 4, "maximum query length"),
         ConfigOption("maxdoclen", 800, "maximum doc length"),
-        ConfigOption("usecache", False, "cache extracted features"),
+        ConfigOption("usecache", True, "cache extracted features (reference default)"),
     ]
     config_keys_not_in_path = ["usecache"]
 

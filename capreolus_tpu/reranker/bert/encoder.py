@@ -57,6 +57,9 @@ KNOWN_CONFIGS = {
     "bert-large-uncased": BertConfig(hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096),
     "google/electra-base-discriminator": BertConfig(),
     "Capreolus/electra-base-msmarco": BertConfig(),
+    "Capreolus/birch-bert-large-mb": BertConfig(hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096),
+    "Capreolus/birch-bert-large-msmarco_mb": BertConfig(hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096),
+    "Capreolus/birch-bert-large-car_mb": BertConfig(hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096),
 }
 
 # the reference accepts short model names and maps them to hub checkpoints
@@ -65,6 +68,10 @@ PRETRAINED_ALIASES = {
     "electra-base": "google/electra-base-discriminator",
     "electra-base-msmarco": "Capreolus/electra-base-msmarco",
     "bert-base-msmarco": "Capreolus/bert-base-msmarco",
+    # birch checkpoints (bert-large shape; birch.py:64)
+    "mb": "Capreolus/birch-bert-large-mb",
+    "msmarco_mb": "Capreolus/birch-bert-large-msmarco_mb",
+    "car_mb": "Capreolus/birch-bert-large-car_mb",
 }
 
 

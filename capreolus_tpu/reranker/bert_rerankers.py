@@ -449,11 +449,11 @@ class CEDRKNRM(BertRerankerBase):
         Dependency(key="trainer", module="trainer", name="jax"),
     ]
     config_spec = [
-        ConfigOption("pretrained", "bert-base-uncased", "pretrained model"),
+        ConfigOption("pretrained", "electra-base", "pretrained model (reference default, CEDRKNRM.py:193)"),
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
-        ConfigOption("simmat_layers", [0, 6, 12], "encoder layers to build simmats from "
-                     "(accepts the reference's range syntax, e.g. 0..12,1)", value_type="intlist"),
+        ConfigOption("simmat_layers", "0..12,1", "encoder layers to build simmats from "
+                     "(range syntax a..b,step or a comma list)", value_type="intlist"),
         ConfigOption("cls", "avg", "CLS feature pooling: avg, max, or none"),
         ConfigOption("mus", [-0.9, -0.7, -0.5, -0.3, -0.1, 0.1, 0.3, 0.5, 0.7, 0.9],
                      "RBF kernel centers (an exact-match kernel is appended)", value_type="floatlist"),
@@ -504,7 +504,8 @@ class BirchModel(nn.Module):
             h = nn.relu(nn.Dense(self.hidden, name="combine_hidden")(top_scores))
             score = nn.Dense(1, name="combine_out")(h)[:, 0]
         else:
-            weights = self.param("topk_weights", nn.initializers.ones, (k,), jnp.float32)
+            # initialized to 1/topk like the reference's combine layer (birch.py:44)
+            weights = self.param("topk_weights", lambda rng: jnp.full((k,), 1.0 / k, jnp.float32))
             score = (top_scores * weights).sum(axis=1)
         return score[:, None]
 
@@ -520,7 +521,8 @@ class Birch(BertRerankerBase):
         Dependency(key="trainer", module="trainer", name="jax"),
     ]
     config_spec = [
-        ConfigOption("pretrained", "bert-large-uncased", "pretrained model"),
+        ConfigOption("pretrained", "msmarco_mb", "pretrained Birch model: mb, msmarco_mb, or car_mb "
+                     "(reference default, birch.py:138), or any BERT checkpoint name"),
         ConfigOption("gelu", "tanh", "GELU variant: tanh (fast approximation) or erf (exact HF parity)"),
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("topk", 3, "number of top passages to combine"),

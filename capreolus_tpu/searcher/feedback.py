@@ -255,7 +255,7 @@ class SDM(TpuSearcherBase):
                      "semantics) or qld (the original Metzler-Croft Indri formulation)"),
         ConfigOption("mu", [1000], "Dirichlet smoothing (unigram=qld only)", value_type="floatlist"),
         ConfigOption("tw", 0.85, "term weight"),
-        ConfigOption("ow", 0.1, "ordered window weight"),
+        ConfigOption("ow", 0.15, "ordered window weight"),
         ConfigOption("uw", 0.05, "unordered window weight"),
         ConfigOption("ows", 1, "ordered window size (gap)"),
         ConfigOption("uws", 8, "unordered window size"),

@@ -341,8 +341,8 @@ class BM25RM3(TpuSearcherBase):
     config_spec = [
         ConfigOption("k1", [0.9], "term saturation", value_type="floatlist"),
         ConfigOption("b", [0.4], "length normalization", value_type="floatlist"),
-        ConfigOption("fbTerms", [10], "expansion terms", value_type="intlist"),
-        ConfigOption("fbDocs", [10], "feedback depth", value_type="intlist"),
+        ConfigOption("fbTerms", [5, 25], "expansion terms", value_type="intlist"),
+        ConfigOption("fbDocs", [5, 10], "feedback depth", value_type="intlist"),
         ConfigOption("originalQueryWeight", [0.5], "original query interpolation", value_type="floatlist"),
         ConfigOption("hits", 1000, "number of results"),
         ConfigOption("fields", "title", "query fields"),
