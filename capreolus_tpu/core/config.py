@@ -52,13 +52,25 @@ def _list_caster(elem_cast: Callable[[Any], Any]) -> Callable[[Any], Any]:
 
     def _cast(value: Any) -> tuple:
         if isinstance(value, str):
-            if ".." in value:
-                # profane range syntax "a..b" or "a..b,step" (inclusive), e.g. the
-                # reference CEDRKNRM's simmat_layers="0..12,1" (CEDRKNRM.py:200)
-                range_part, _, step_part = value.partition(",")
-                lo, _, hi = range_part.partition("..")
-                step = int(step_part) if step_part else 1
-                return tuple(elem_cast(v) for v in range(int(lo), int(hi) + 1, step))
+            if ".." in value and elem_cast in (int, float):
+                # profane range syntax "a..b" or "a..b,step", inclusive of b:
+                # intlist "0..12,1" (CEDRKNRM.py:200) and floatlist "0.4..1,0.2"
+                # (BM25RM3 docstring, anserini.py:205)
+                try:
+                    range_part, _, step_part = value.partition(",")
+                    lo_s, _, hi_s = range_part.partition("..")
+                    lo, hi = float(lo_s), float(hi_s)
+                    step = float(step_part) if step_part else 1.0
+                    if step <= 0 or hi < lo:
+                        raise ValueError("range needs hi >= lo and step > 0")
+                    out = []
+                    v = lo
+                    while v <= hi + 1e-9:
+                        out.append(elem_cast(round(v, 10)))
+                        v += step
+                    return tuple(out)
+                except ValueError as e:
+                    raise ConfigError(f"cannot interpret {value!r} as a range (a..b or a..b,step): {e}") from None
             parts = [p for p in value.split(",") if p != ""]
             return tuple(elem_cast(p) for p in parts)
         if isinstance(value, (list, tuple)):

@@ -92,9 +92,19 @@ class Reranker(ModuleBase):
             return self.model.apply(params, query, doc, query_idf, train=True, rngs=rngs)
         return self.model.apply(params, query, doc, query_idf)
 
+    @staticmethod
+    def fold_rngs(rngs, i):
+        """Distinct dropout streams for the pos vs neg forward passes."""
+        if rngs is None:
+            return None
+        import jax
+
+        return {k: jax.random.fold_in(v, i) for k, v in rngs.items()}
+
     def score_default(self, params, batch, rngs=None):
         pos = self._apply(params, batch["query"], batch["posdoc"], batch["query_idf"], rngs=rngs)
-        neg = self._apply(params, batch["query"], batch["negdoc"], batch["query_idf"], rngs=rngs)
+        neg = self._apply(params, batch["query"], batch["negdoc"], batch["query_idf"],
+                          rngs=self.fold_rngs(rngs, 1))
         return [pos.reshape(-1), neg.reshape(-1)]
 
     def test_default(self, params, batch):

@@ -352,3 +352,23 @@ def load_pretrained_encoder(name: str, allow_random_init: bool = False):
             "(allowrandominit=True)", name, e
         )
         return config, None
+
+
+def load_pretrained_nsp_head(name: str):
+    """Load the next-sentence-prediction head of a Birch checkpoint as a 1-output
+    relevance head: score = logit(isNext) - logit(notNext), which is monotone in
+    softmax(isNext) so rankings match the reference's NSP-based scoring
+    (birch.py:72-83). Returns {"kernel": [H, 1], "bias": [1]} or None offline."""
+    name = PRETRAINED_ALIASES.get(name, name)
+    try:
+        import numpy as _np
+        from transformers import BertForNextSentencePrediction
+
+        model = BertForNextSentencePrediction.from_pretrained(name)
+        sd = model.state_dict()
+        w = _np.asarray(sd["cls.seq_relationship.weight"])  # [2, H]
+        b = _np.asarray(sd["cls.seq_relationship.bias"])  # [2]
+        return {"kernel": (w[0] - w[1])[:, None].astype(_np.float32),
+                "bias": _np.asarray([b[0] - b[1]], dtype=_np.float32)}
+    except Exception:
+        return None

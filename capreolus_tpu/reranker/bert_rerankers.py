@@ -539,9 +539,35 @@ class Birch(BertRerankerBase):
                                     hidden=int(self.config["hidden"]))
         return self.model
 
+    def init_params(self, rng, batch):
+        params = super().init_params(rng, batch)
+        if getattr(self, "_pretrained_params", None) is not None:
+            # the reference scores passages with the checkpoint's fine-tuned NSP
+            # head (birch.py:72-83); load it into the relevance Dense so frozen-
+            # BERT training starts from the pretrained passage-relevance signal
+            from capreolus_tpu.reranker.bert.encoder import load_pretrained_nsp_head
+
+            head = load_pretrained_nsp_head(self.config["pretrained"])
+            if head is not None:
+                params["params"]["relevance"] = jax.tree_util.tree_map(jnp.asarray, head)
+                self._nsp_head_loaded = True
+                logger.info("loaded pretrained NSP head into the relevance layer")
+            else:
+                logger.warning("could not load the %s NSP head; the relevance layer starts "
+                               "from random init over %s BERT features",
+                               self.config["pretrained"],
+                               "frozen" if not self.config["finetune"] else "trainable")
+        return params
+
     def trainable(self, path, value):
-        if not self.config["finetune"] and "bert" in "/".join(map(str, path)):
-            return False
+        name = "/".join(map(str, path))
+        if not self.config["finetune"]:
+            if "bert" in name:
+                return False
+            # reference freezes the whole NSP model incl. its head (birch.py:66);
+            # a randomly-initialized head (offline/tiny) must stay trainable
+            if "relevance" in name and getattr(self, "_nsp_head_loaded", False):
+                return False
         return True
 
     _shape_inputs = Parade._shape_inputs

@@ -392,9 +392,10 @@ class DSSM(Reranker):
     accepts_rngs = True  # DSSM trains with FC dropout
 
     def score(self, params, batch, rngs=None):
-        kwargs = {"train": True, "rngs": rngs} if rngs is not None else {}
-        pos = self.model.apply(params, batch["query"], batch["posdoc"], **kwargs)
-        neg = self.model.apply(params, batch["query"], batch["negdoc"], **kwargs)
+        pos_kw = {"train": True, "rngs": rngs} if rngs is not None else {}
+        neg_kw = {"train": True, "rngs": self.fold_rngs(rngs, 1)} if rngs is not None else {}
+        pos = self.model.apply(params, batch["query"], batch["posdoc"], **pos_kw)
+        neg = self.model.apply(params, batch["query"], batch["negdoc"], **neg_kw)
         return [pos.reshape(-1), neg.reshape(-1)]
 
     def test(self, params, batch):

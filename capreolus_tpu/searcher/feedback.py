@@ -12,7 +12,7 @@ Capability parity with /root/reference/capreolus/searcher/anserini.py:
              bigram windows. TPU design: the device scores unigrams collection-wide,
              then the bigram components are computed exactly on the top candidates
              from the positional forward index and interpolated (term/ordered/unordered
-             weights 0.85/0.1/0.05 as in Anserini).
+             weights 0.85/0.15/0.05 as in Anserini).
 """
 
 from __future__ import annotations
@@ -276,6 +276,10 @@ class SDM(TpuSearcherBase):
         hits = min(int(self.config["hits"]), engine.dindex.num_docs)
         rescore_depth = min(engine.dindex.num_docs, max(hits, 2 * hits))
         c = self.config
+        if c["unigram"] not in ("bm25", "qld"):
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(f"SDM unigram must be 'bm25' or 'qld', got {c['unigram']!r}")
         qld = c["unigram"] == "qld"
         model = "qld" if qld else "bm25"
         combos = ([{"mu": mu} for mu in c["mu"]] if qld
@@ -296,30 +300,37 @@ class SDM(TpuSearcherBase):
             self._write_run(run, output_path / tag)
             logger.info("wrote SDM run file %s", output_path / tag)
 
-    def _window_score(self, count, dl, df_bound, params):
-        """Score one window pseudo-term occurrence count in a document.
+    def _sdm_rescore(self, query_terms, uni_scores, doc_ords, params, hits):
+        """Window pseudo-term scoring per candidate doc.
 
         unigram=bm25: Lucene BM25 formula with the window clause's df bounded by
         the rarer constituent term (Lucene computes the true window df during
         evaluation; min(df1, df2) is its upper bound, so the idf is a documented
         lower bound). unigram=qld: Dirichlet with a 1/|C| collection prior."""
         data = self.index.data
-        if self.config["unigram"] == "qld":
-            mu = params["mu"]
-            prior = 1.0 / float(data.total_term_count)
-            return math.log((count + mu * prior) / (dl + mu))
-        n = float(data.num_docs)
-        idf = math.log(1.0 + (n - df_bound + 0.5) / (df_bound + 0.5))
-        k1, b = params["k1"], params["b"]
-        return idf * count / (count + k1 * (1.0 - b + b * dl / data.avgdl))
-
-    def _sdm_rescore(self, query_terms, uni_scores, doc_ords, params, hits):
-        data = self.index.data
         vocab = data.vocab
         tids = [vocab[t] for t in query_terms if t in vocab]
         bigrams = list(zip(tids, tids[1:]))
         c = self.config
         df = data.df_array
+        qld = c["unigram"] == "qld"
+        # per-combo / per-bigram constants hoisted out of the per-doc loop
+        if qld:
+            mu = params["mu"]
+            prior = 1.0 / float(data.total_term_count)
+
+            def window_score(count, dl, idf):
+                return math.log((count + mu * prior) / (dl + mu))
+
+            idfs = [0.0] * len(bigrams)
+        else:
+            k1, b, avgdl, n = params["k1"], params["b"], data.avgdl, float(data.num_docs)
+
+            def window_score(count, dl, idf):
+                return idf * count / (count + k1 * (1.0 - b + b * dl / avgdl))
+
+            idfs = [math.log(1.0 + (n - dfb + 0.5) / (dfb + 0.5))
+                    for dfb in (max(1.0, float(min(df[t1], df[t2]))) for t1, t2 in bigrams)]
 
         results = {}
         valid = uni_scores > 0
@@ -328,11 +339,10 @@ class SDM(TpuSearcherBase):
             if bigrams:
                 tokens = self.index.get_doc_term_ids(int(ord_))
                 dl = max(1, len(tokens))
-                for t1, t2 in bigrams:
+                for (t1, t2), idf in zip(bigrams, idfs):
                     od, uw = _window_counts(tokens, t1, t2, c["ows"], c["uws"])
-                    df_bound = max(1.0, float(min(df[t1], df[t2])))
-                    sdm_score += c["ow"] * self._window_score(od, dl, df_bound, params)
-                    sdm_score += c["uw"] * self._window_score(uw, dl, df_bound, params)
+                    sdm_score += c["ow"] * window_score(od, dl, idf)
+                    sdm_score += c["uw"] * window_score(uw, dl, idf)
             results[data.docid_strings[int(ord_)]] = sdm_score
         return dict(sorted(results.items(), key=lambda kv: -kv[1])[:hits])
 

@@ -156,6 +156,11 @@ class BM25(TpuSearcherBase):
     def _search_all(self, topicsfn, output_path):
         if self.config["shards"] <= 1:
             return super()._search_all(topicsfn, output_path)
+        if int(self.config.get("maxpostings", 0)) > 0:
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError("searcher.maxpostings (early termination) is not yet supported with "
+                              "searcher.shards > 1; drop one of the two options")
         self._search_all_sharded(topicsfn, output_path)
 
     def _search_all_sharded(self, topicsfn, output_path):

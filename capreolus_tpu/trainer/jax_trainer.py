@@ -149,6 +149,18 @@ class JaxTrainer(Trainer):
         self._opt_state = None
 
     # ------------------------------------------------------------------ setup
+    def _amp_mode(self):
+        """Normalized amp mode: none, train, pred, or both (validated like the
+        reference pytorch trainer, pytorch.py:70-71)."""
+        raw = str(self.config["amp"]).lower()
+        mode = {"false": "none", "none": "none", "0": "none", "": "none",
+                "true": "both", "1": "both"}.get(raw, raw)
+        if mode not in ("none", "train", "pred", "both"):
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(f"amp must be one of: none, train, pred, both (got {self.config['amp']!r})")
+        return mode
+
     def _jit(self, fn, **kwargs):
         if self.config.get("eager"):
             return fn  # op-by-op execution for debugging
@@ -261,7 +273,7 @@ class JaxTrainer(Trainer):
 
     # ------------------------------------------------------------------ train step
     def _build_train_step(self, reranker, tx, loss_fn):
-        amp = str(self.config["amp"]).lower() in ("true", "1", "train", "both")
+        amp = self._amp_mode() in ("train", "both")
         # rerankers that opt in receive a dropout rng during the training forward
         # (parity: the reference's torch/HF models train with dropout active)
         use_rngs = bool(getattr(reranker, "accepts_rngs", False))
@@ -534,6 +546,7 @@ class JaxTrainer(Trainer):
                 if hasattr(reranker, "inference_variables"):
                     # calibrated stats enter as jit arguments, not constants
                     params = reranker.inference_variables(params)
+                params = self._amp_pred_params(params)  # amp=pred/both: bf16 inference
             if test_step is None:
                 test_step = cache[id(reranker)] = self._jit(lambda p, batch: reranker.test(p, batch))
             scores = np.asarray(test_step(params, batch))[:valid]
@@ -547,6 +560,13 @@ class JaxTrainer(Trainer):
 
             write_trec_run(preds, pred_fn)
         return preds
+
+    def _amp_pred_params(self, params):
+        if self._amp_mode() in ("pred", "both"):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
+        return params
 
     PREDICT_CACHE_BYTES = 2 << 30  # materialize+cache pred features up to 2 GiB
 

@@ -112,3 +112,20 @@ def test_config_list_to_dict():
 
 def test_registry_listing():
     assert "blue" in module_registry.get_module_names("testwidget")
+
+
+def test_float_range_syntax():
+    """profane float range syntax '0.4..1,0.2' (BM25RM3 docstring, anserini.py:205)."""
+    from capreolus_tpu.core.config import _VALUE_TYPES, ConfigError
+
+    assert _VALUE_TYPES["floatlist"]("0.4..1,0.2") == (0.4, 0.6, 0.8, 1.0)
+    assert _VALUE_TYPES["intlist"]("0..12,1") == tuple(range(13))
+    assert _VALUE_TYPES["intlist"]("2..8,2") == (2, 4, 6, 8)
+    # strlist values containing '..' are NOT ranges
+    assert _VALUE_TYPES["strlist"]("a..b") == ("a..b",)
+    import pytest
+
+    with pytest.raises(ConfigError):
+        _VALUE_TYPES["floatlist"]("1..0")  # hi < lo
+    with pytest.raises(ConfigError):
+        _VALUE_TYPES["intlist"]("a..b")

@@ -91,3 +91,24 @@ def test_interaction_model_dropout(tmpdir_as_cache):
     assert not np.allclose(np.asarray(pos_a), np.asarray(pos_b))
     np.testing.assert_array_equal(np.asarray(reranker.test(params, batch)),
                                   np.asarray(reranker.test(params, batch)))
+
+
+def test_pos_neg_dropout_streams_differ(tmpdir_as_cache):
+    """pos and neg forwards must use distinct dropout masks (folded rngs)."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.reranker import Reranker
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    reranker = Reranker.create("DUET", {"dropoutrate": 0.5,
+                                        "extractor": {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 16,
+                                                      "index": {"collection": {"name": "dummy"}}}})
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5}}
+    reranker.extractor.preprocess(list(run), {"D001", "D002"}, benchmark.topics[benchmark.query_type])
+    feat = reranker.extractor.id2vec("301", "D001", "D001", label=[1, 0], training=True)  # SAME doc pos+neg
+    batch = collate([feat, feat], ARRAY_KEYS)
+    reranker.build_model()
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    pos, neg = reranker.score(params, batch, rngs={"dropout": jax.random.PRNGKey(7)})
+    # identical inputs: only the dropout stream distinguishes pos from neg
+    assert not np.allclose(np.asarray(pos), np.asarray(neg))

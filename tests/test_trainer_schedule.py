@@ -73,3 +73,28 @@ def test_loss_file_two_writer_detection(tmp_path):
         Trainer.load_loss_file(fn)
     fn.write_text("0 1.0\n1 0.9\n")
     assert Trainer.load_loss_file(fn) == [1.0, 0.9]
+
+
+def test_amp_string_modes(tmpdir_as_cache, tmp_path):
+    """amp accepts the reference pytorch trainer's string modes; invalid raises."""
+    import numpy as np
+    import pytest
+
+    from capreolus_tpu.core import ConfigError
+    from capreolus_tpu.sampler import Sampler
+    from tests.test_bert_rerankers import make_reranker, prepared
+
+    reranker = make_reranker("BERTMaxP", reranker_overrides={
+        "trainer": {"niters": 1, "itersize": 4, "batch": 2, "validatefreq": 1, "amp": "both"}})
+    benchmark, run = prepared(reranker)
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                                     benchmark.qrels, metric="map")
+    assert np.isfinite(metrics["map"])
+
+    bad = make_reranker("BERTMaxP", reranker_overrides={"trainer": {"amp": "ture"}})
+    with pytest.raises(ConfigError):
+        bad.trainer._amp_mode()
