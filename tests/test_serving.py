@@ -50,3 +50,26 @@ def test_reranking_service(tmpdir_as_cache, tmp_path):
     assert len(results) == 1 and len(results[0]) >= 1
     docids = [d for d, _ in results[0]]
     assert set(docids) <= {"D001", "D002", "D003"}
+
+
+def test_reranking_service_int8(tmpdir_as_cache, tmp_path):
+    """Serving with quantize=int8 calibrates on the first batch (prepare_inference
+    is invoked against the restored weights) and returns ranked hits."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.sampler import Sampler
+    from capreolus_tpu.serving import RerankingService
+    from tests.test_bert_rerankers import make_reranker, prepared
+
+    reranker = make_reranker("BERTMaxP", reranker_overrides={"quantize": "int8"})
+    benchmark, run = prepared(reranker)
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                           benchmark.qrels, metric="map")
+
+    svc = RerankingService(reranker.extractor.index, reranker, tmp_path / "t" / "dev.best", topn=3)
+    results = svc.search(["distant galaxies telescope"], k=3)
+    assert len(results) == 1 and len(results[0]) >= 1
+    assert reranker._quant_stats is not None, "serving must calibrate the int8 scales"
