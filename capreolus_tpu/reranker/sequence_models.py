@@ -260,7 +260,7 @@ class TKModel(nn.Module):
     scoretanh: bool = False
 
     @nn.compact
-    def __call__(self, querytoks, doctoks, query_idf=None):
+    def __call__(self, querytoks, doctoks, query_idf=None, train=False):
         embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
         mus = self.param("mus", lambda rng: jnp.asarray(KNRM_MUS, dtype=jnp.float32))
         sigmas = self.param("sigmas", lambda rng: jnp.asarray(KNRM_SIGMAS, dtype=jnp.float32))
@@ -268,6 +268,16 @@ class TKModel(nn.Module):
         emb_dim = self.embedding_init.shape[-1]
         heads = self.numattheads
         att_dim = max(heads, (emb_dim // heads) * heads)
+        pe_drop = nn.Dropout(rate=0.1, deterministic=not train)  # parity: TK.py:16-18
+
+        def positional_encoding(length):
+            # sinusoidal PE (parity: TK.py:20-25)
+            position = np.arange(length, dtype=np.float32)[:, None]
+            div_term = np.exp(np.arange(0, emb_dim, 2, dtype=np.float32) * (-np.log(10000.0) / emb_dim))
+            pe = np.zeros((length, emb_dim), dtype=np.float32)
+            pe[:, 0::2] = np.sin(position * div_term)
+            pe[:, 1::2] = np.cos(position * div_term[: pe[:, 1::2].shape[1]])
+            return jnp.asarray(pe)
 
         layers = [
             (nn.MultiHeadDotProductAttention(num_heads=heads, qkv_features=att_dim, name=f"att_{i}"),
@@ -288,8 +298,11 @@ class TKModel(nn.Module):
         d_mask = doctoks != 0
         q_emb = jnp.take(embedding, jnp.maximum(querytoks, 0), axis=0)
         d_emb = jnp.take(embedding, jnp.maximum(doctoks, 0), axis=0)
-        q_mix = self.alpha * q_emb + (1 - self.alpha) * contextualize(q_emb, q_mask)
-        d_mix = self.alpha * d_emb + (1 - self.alpha) * contextualize(d_emb, d_mask)
+        # positional encoding feeds only the contextualization branch (TK.py:115)
+        q_pos = pe_drop(q_emb + positional_encoding(q_emb.shape[1])[None])
+        d_pos = pe_drop(d_emb + positional_encoding(d_emb.shape[1])[None])
+        q_mix = self.alpha * q_emb + (1 - self.alpha) * contextualize(q_pos, q_mask)
+        d_mix = self.alpha * d_emb + (1 - self.alpha) * contextualize(d_pos, d_mask)
 
         def norm(x):
             return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-9)
@@ -330,6 +343,8 @@ class TK(Reranker):
         ConfigOption("usemixer", False, "use mixer"),
         ConfigOption("finetune", False, "fine-tune embeddings"),
     ]
+
+    accepts_rngs = True  # positional-encoding dropout during training
 
     def build_model(self):
         if not hasattr(self, "model"):
