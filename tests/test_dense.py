@@ -1,0 +1,71 @@
+"""Dense retrieval searcher: exact MIPS over BERT embeddings (searcher/dense.py).
+
+A capability BEYOND the reference (it can only consume pre-computed dense runs,
+special.py:170-212); validated here against a numpy referee on the dummy corpus.
+"""
+
+import numpy as np
+import pytest
+
+import capreolus_tpu
+
+capreolus_tpu.load_all_modules()
+
+from capreolus_tpu.searcher import Searcher
+
+
+def _make(tmp_overrides=None):
+    return Searcher.create("dense", {"pretrained": "tiny", "maxdoclen": 32, "maxqlen": 8,
+                                     "index": {"collection": {"name": "dummy"}},
+                                     **(tmp_overrides or {})})
+
+
+def test_dense_matches_numpy_referee(tmpdir_as_cache, tmp_path):
+    searcher = _make()
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n302\twhales ocean\n")
+    out = searcher.query_from_file(topicsfn, tmp_path / "out")
+    runfn = next(p for p in out.iterdir() if p.name != "done")
+    run = Searcher.load_trec_run(runfn)
+    assert set(run) == {"301", "302"}
+    docids = searcher.index.data.docid_strings
+    assert all(set(docs) == set(docids) for docs in run.values())  # hits >= corpus
+
+    # referee: embed with the same encoder, cosine-rank in numpy (f32 vs the
+    # engine's bf16 doc matrix: allow small score tolerance, exact top-1)
+    searcher._embed_maxlen = 32
+    doc_emb = searcher._embed_texts([searcher.index.get_doc(d) for d in docids])
+    searcher._embed_maxlen = 8
+    q_emb = searcher._embed_texts(["distant galaxies collide"])
+    ref_scores = q_emb @ doc_emb.T
+    ref_best = docids[int(np.argmax(ref_scores[0]))]
+    engine_best = max(run["301"].items(), key=lambda kv: kv[1])[0]
+    assert engine_best == ref_best
+    for d, s in run["301"].items():
+        assert s == pytest.approx(float(ref_scores[0][docids.index(d)]), abs=2e-2)
+
+
+def test_dense_embedding_cache(tmpdir_as_cache, tmp_path):
+    searcher = _make()
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("1\ttelescope\n")
+    searcher.query_from_file(topicsfn, tmp_path / "o1")
+    cache_fn = searcher.get_cache_path() / "doc_embeddings.npy"
+    assert cache_fn.exists()
+    mtime = cache_fn.stat().st_mtime
+    # second searcher instance reuses the on-disk doc embeddings
+    s2 = _make()
+    s2.query_from_file(topicsfn, tmp_path / "o2")
+    assert cache_fn.stat().st_mtime == mtime
+
+
+def test_dense_interactive_query(tmpdir_as_cache):
+    searcher = _make()
+    results = searcher.query("galaxies collide")
+    assert len(results) == 3 and all(isinstance(v, float) for v in results.values())
+
+
+def test_dense_unknown_checkpoint_fails_loudly(tmpdir_as_cache):
+    searcher = _make({"pretrained": "not-a-real-model-xyz"})
+    with pytest.raises(RuntimeError):
+        searcher._encoder()
