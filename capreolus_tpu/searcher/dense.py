@@ -47,6 +47,8 @@ class DenseSearcher(Searcher):
         ConfigOption("hits", 1000, "number of results"),
         ConfigOption("allowrandominit", False, "allow a randomly-initialized encoder when the "
                      "checkpoint cannot be loaded (smoke tests only)"),
+        ConfigOption("shards", 1, "devices to shard the embedding matrix across (doc-partitioned; "
+                     "per-shard top-k merged over ICI, like searcher.shards on BM25)"),
     ]
     config_keys_not_in_path = ["batch"]
 
@@ -156,11 +158,15 @@ class DenseSearcher(Searcher):
         # the doc matrix is an ARGUMENT, not a closure capture: captured constants
         # are embedded into the compile payload, which fails for multi-hundred-MB
         # arrays on remote-compilation backends (observed: tunnel HTTP 413)
-        @jax.jit
-        def topk(q_emb, docs):
-            scores = jnp.einsum("qd,nd->qn", q_emb.astype(jnp.bfloat16), docs,
-                                preferred_element_type=jnp.float32)
-            return jax.lax.top_k(scores, hits)
+        shards = int(self.config.get("shards", 1))
+        if shards > 1:
+            topk, docs = self._sharded_topk(docs, hits, shards)
+        else:
+            @jax.jit
+            def topk(q_emb, docs):
+                scores = jnp.einsum("qd,nd->qn", q_emb.astype(jnp.bfloat16), docs,
+                                    preferred_element_type=jnp.float32)
+                return jax.lax.top_k(scores, hits)
 
         self._embed_maxlen = int(self.config["maxqlen"])
         run = OrderedDict()
@@ -179,6 +185,51 @@ class DenseSearcher(Searcher):
                 for rank, (docid, score) in enumerate(docs_.items(), start=1):
                     f.write(f"{qid} Q0 {docid} {rank} {score:.6f} capreolus_tpu\n")
         logger.info("wrote dense run file %s (%d queries)", outfn, len(run))
+
+    def _sharded_topk(self, docs, hits, shards):
+        """Doc-partitioned dense search over a 'shard' mesh: each chip scores its
+        slice of the embedding matrix and computes a local top-k; candidates are
+        merged with an allgather over ICI (the same pattern as the sparse
+        engine's index sharding, parallel/sharded_search.py)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()
+        if len(devices) < shards:
+            raise ValueError(f"searcher.shards={shards} but only {len(devices)} devices are available")
+        n = docs.shape[0]
+        pad = (-n) % shards
+        docs_padded = jnp.concatenate([docs, jnp.zeros((pad, docs.shape[1]), docs.dtype)]) if pad else docs
+        mesh = Mesh(np.array(devices[:shards]), ("shard",))
+        docs_sharded = jax.device_put(docs_padded, NamedSharding(mesh, P("shard", None)))
+        per_shard = docs_padded.shape[0] // shards
+        local_k = min(hits, per_shard)
+
+        def shard_fn(q_emb, docs_local):
+            scores = jnp.einsum("qd,nd->qn", q_emb.astype(jnp.bfloat16), docs_local,
+                                preferred_element_type=jnp.float32)
+            s, o = jax.lax.top_k(scores, local_k)
+            shard_id = jax.lax.axis_index("shard")
+            o = o + shard_id * per_shard  # local ordinal -> global
+            # allgather candidates from every shard over ICI, merge on each chip
+            s_all = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
+            o_all = jax.lax.all_gather(o, "shard", axis=1, tiled=True)
+            ms, idx = jax.lax.top_k(s_all, hits)
+            return ms, jnp.take_along_axis(o_all, idx, axis=1)
+
+        # outputs ARE replicated (every shard merges the same allgathered
+        # candidates) but the static checker cannot infer it: check_vma=False,
+        # matching parallel/sharded_search.py:252
+        mapped = jax.shard_map(shard_fn, mesh=mesh,
+                               in_specs=(P(), P("shard", None)),
+                               out_specs=(P(), P()), check_vma=False)
+
+        @jax.jit
+        def topk(q_emb, docs_sharded):
+            return mapped(q_emb, docs_sharded)
+
+        return topk, docs_sharded
 
     def query(self, query_string):
         import tempfile

@@ -69,3 +69,20 @@ def test_dense_unknown_checkpoint_fails_loudly(tmpdir_as_cache):
     searcher = _make({"pretrained": "not-a-real-model-xyz"})
     with pytest.raises(RuntimeError):
         searcher._encoder()
+
+
+def test_dense_sharded_matches_single(tmpdir_as_cache, tmp_path):
+    """shards=4 doc-partitioned dense search == single-device (4-dev CPU mesh)."""
+    single = _make()
+    sharded = _make({"shards": 4})
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n302\twhales ocean\n")
+    run1 = Searcher.load_trec_run(next(p for p in single.query_from_file(topicsfn, tmp_path / "s1").iterdir()
+                                       if p.name != "done"))
+    run4 = Searcher.load_trec_run(next(p for p in sharded.query_from_file(topicsfn, tmp_path / "s4").iterdir()
+                                       if p.name != "done"))
+    assert set(run1) == set(run4)
+    for qid in run1:
+        assert list(run1[qid]) == list(run4[qid])  # same ranking
+        for d in run1[qid]:
+            assert run1[qid][d] == pytest.approx(run4[qid][d], abs=1e-4)
