@@ -50,7 +50,7 @@ class DenseSearcher(Searcher):
         ConfigOption("shards", 1, "devices to shard the embedding matrix across (doc-partitioned; "
                      "per-shard top-k merged over ICI, like searcher.shards on BM25)"),
     ]
-    config_keys_not_in_path = ["batch"]
+    config_keys_not_in_path = ["batch", "shards"]  # neither changes results
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
