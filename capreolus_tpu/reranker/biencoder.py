@@ -1,0 +1,100 @@
+"""Trainable dense bi-encoder (DPR/TCT-ColBERT-style), beyond the reference.
+
+The reference can only CONSUME dense runs (static_tct_colbert downloads one,
+/root/reference/capreolus/searcher/special.py:170-212). This module closes the
+loop in-framework: a shared BERT encoder embeds query and document separately
+(mean or CLS pooling, L2-normalized), scored by scaled cosine similarity, and
+trains with the standard trainer + samplers (triplet hinge by default; LCE with
+hard negatives reproduces the TCT/monoELECTRA recipe). The trained checkpoint
+plugs straight into the dense searcher (`searcher.name=dense
+searcher.checkpointfile=.../dev.best.params`) for exact MIPS retrieval.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from capreolus_tpu.core import ConfigOption, Dependency
+from capreolus_tpu.reranker import Reranker
+from capreolus_tpu.reranker.bert import BertConfig, BertEncoder, load_pretrained_encoder
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+
+class BiEncoderModel(nn.Module):
+    """Shared-encoder bi-encoder: score = scale * cos(embed(q), embed(d))."""
+
+    config: BertConfig
+    pooling: str = "mean"
+    scale: float = 20.0  # cosine in [-1,1] is too flat for softmax/hinge losses
+
+    @nn.compact
+    def __call__(self, querytoks, doctoks, query_idf=None, train=False):
+        encoder = BertEncoder(self.config, name="bert")
+
+        def embed(toks):
+            toks = jnp.asarray(toks, dtype=jnp.int32)
+            mask = (toks != 0).astype(jnp.int32)  # WordPiece [PAD] = 0
+            hidden, _, _ = encoder(toks, mask, train=train)
+            if self.pooling == "cls":
+                vec = hidden[:, 0]
+            else:
+                m = mask[..., None].astype(hidden.dtype)
+                vec = (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+            vec = vec.astype(jnp.float32)
+            return vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-9)
+
+        q = embed(querytoks)
+        d = embed(doctoks)
+        return self.scale * (q * d).sum(axis=-1)
+
+
+@Reranker.register
+class BiEncoder(Reranker):
+    """Dense retriever trained in-framework; export to the dense searcher."""
+
+    module_name = "biencoder"
+    dependencies = [
+        Dependency(key="extractor", module="extractor", name="berttext"),
+        Dependency(key="trainer", module="trainer", name="jax"),
+    ]
+    config_spec = [
+        ConfigOption("pretrained", "bert-base-uncased", "encoder checkpoint (or 'tiny' offline)"),
+        ConfigOption("pooling", "mean", "embedding pooling: mean or cls"),
+        ConfigOption("scale", 20.0, "cosine similarity scale (logit temperature)"),
+        ConfigOption("gelu", "tanh", "GELU variant: tanh or erf"),
+        ConfigOption("allowrandominit", False, "allow random init when the checkpoint cannot be loaded"),
+        ConfigOption("hidden_dropout_prob", 0.1, "encoder dropout during training"),
+    ]
+
+    accepts_rngs = True  # encoder dropout during training
+
+    def build_model(self):
+        if not hasattr(self, "model"):
+            import dataclasses as _dc
+
+            name = self.config["pretrained"]
+            cfg, self._pretrained_params = load_pretrained_encoder(
+                name, allow_random_init=bool(self.config["allowrandominit"]))
+            cfg = _dc.replace(cfg, gelu_approximate=(self.config["gelu"] == "tanh"),
+                              hidden_dropout_prob=float(self.config["hidden_dropout_prob"]),
+                              attention_dropout_prob=float(self.config["hidden_dropout_prob"]))
+            self.model = BiEncoderModel(cfg, pooling=self.config["pooling"],
+                                        scale=float(self.config["scale"]))
+        return self.model
+
+    def init_params(self, rng, batch):
+        model = self.build_model()
+        params = model.init(rng, jnp.asarray(batch["query"]), jnp.asarray(batch["posdoc"]))
+        pretrained = getattr(self, "_pretrained_params", None)
+        if pretrained is not None:
+            params["params"]["bert"] = jax.device_put(jax.tree_util.tree_map(jnp.asarray, pretrained))
+            logger.info("loaded pretrained weights into the bi-encoder")
+        return params
+
+    score = Reranker.score_default
+    test = Reranker.test_default

@@ -40,6 +40,8 @@ class DenseSearcher(Searcher):
     ]
     config_spec = [
         ConfigOption("pretrained", "tiny", "encoder checkpoint (bert/electra names; 'tiny' for offline smoke)"),
+        ConfigOption("checkpointfile", None, "framework checkpoint (e.g. a trained biencoder's "
+                     "dev.best.params) whose 'bert' submodule overrides the encoder weights"),
         ConfigOption("pooling", "mean", "doc/query embedding pooling: mean or cls"),
         ConfigOption("maxdoclen", 256, "document tokens fed to the encoder"),
         ConfigOption("maxqlen", 32, "query tokens fed to the encoder"),
@@ -70,6 +72,18 @@ class DenseSearcher(Searcher):
                 params = variables["params"]
                 if name != "tiny":
                     logger.warning("dense encoder %s running from RANDOM init", name)
+            ckpt = self.config.get("checkpointfile")
+            if ckpt:
+                # a trained biencoder checkpoint: its 'bert' submodule IS the encoder
+                from flax import serialization
+
+                restored = serialization.msgpack_restore(open(ckpt, "rb").read())
+                tree = restored.get("params", restored)
+                if "bert" not in tree:
+                    raise ValueError(f"checkpoint {ckpt} has no 'bert' submodule "
+                                     f"(top-level keys: {sorted(tree)[:8]})")
+                params = jax.tree_util.tree_map(np.asarray, tree["bert"])
+                logger.info("dense encoder weights restored from %s", ckpt)
             self._enc = (model, {"params": params}, cfg)
         return self._enc
 

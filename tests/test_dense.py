@@ -86,3 +86,39 @@ def test_dense_sharded_matches_single(tmpdir_as_cache, tmp_path):
         assert list(run1[qid]) == list(run4[qid])  # same ranking
         for d in run1[qid]:
             assert run1[qid][d] == pytest.approx(run4[qid][d], abs=1e-4)
+
+
+def test_biencoder_train_then_dense_search(tmpdir_as_cache, tmp_path):
+    """Full dense loop IN-FRAMEWORK: train the bi-encoder, export its checkpoint
+    into the dense searcher, search with the trained weights."""
+    import jax
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.reranker import Reranker
+    from capreolus_tpu.sampler import Sampler
+
+    reranker = Reranker.create("biencoder", {
+        "pretrained": "tiny", "allowrandominit": True,
+        "extractor": {"maxqlen": 4, "maxdoclen": 16, "index": {"collection": {"name": "dummy"}}},
+        "trainer": {"niters": 1, "itersize": 4, "batch": 2, "validatefreq": 1},
+    })
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                                     benchmark.qrels, metric="map")
+    assert np.isfinite(metrics["map"])
+    ckpt = tmp_path / "t" / "dev.best.params"
+    assert ckpt.exists()
+
+    searcher = _make({"checkpointfile": str(ckpt)})
+    _, variables, _ = searcher._encoder()
+    # the trained (non-random) word embeddings made it into the dense encoder
+    trained = np.asarray(reranker.trainer._params["params"]["bert"]["word_embeddings"])
+    np.testing.assert_allclose(np.asarray(variables["params"]["word_embeddings"]), trained, atol=1e-6)
+    results = searcher.query("galaxies collide")
+    assert len(results) == 3
