@@ -26,6 +26,7 @@ class BertText(Extractor):
     config_spec = [
         ConfigOption("maxqlen", 4, "maximum query length"),
         ConfigOption("maxdoclen", 800, "maximum doc length"),
+        ConfigOption("specialtokens", False, "wrap sequences as [CLS] ... [SEP] (the bi-encoder trains with the same layout the dense searcher serves)"),
         ConfigOption("usecache", False, "cache extracted features"),
     ]
     config_keys_not_in_path = ["usecache"]
@@ -58,7 +59,12 @@ class BertText(Extractor):
             self._cache_state(qids, docids)
 
     def _to_ids(self, toks, maxlen):
-        ids = self.tokenizer.convert_tokens_to_ids(toks[:maxlen])
+        if self.config.get("specialtokens"):
+            ids = ([self.tokenizer.cls_id]
+                   + self.tokenizer.convert_tokens_to_ids(toks[: maxlen - 2])
+                   + [self.tokenizer.sep_id])
+        else:
+            ids = self.tokenizer.convert_tokens_to_ids(toks[:maxlen])
         return np.array(padlist(ids, maxlen, self.tokenizer.pad_id), dtype=np.int64)
 
     def id2vec(self, qid, posid, negid=None, label=None, training=True):

@@ -4,8 +4,9 @@ The reference can only CONSUME dense runs (static_tct_colbert downloads one,
 /root/reference/capreolus/searcher/special.py:170-212). This module closes the
 loop in-framework: a shared BERT encoder embeds query and document separately
 (mean or CLS pooling, L2-normalized), scored by scaled cosine similarity, and
-trains with the standard trainer + samplers (triplet hinge by default; LCE with
-hard negatives reproduces the TCT/monoELECTRA recipe). The trained checkpoint
+trains with the standard trainer + samplers (triplet hinge or pairwise
+softmax/crossentropy; LCE needs a multi-negative extractor and is not wired
+for the bi-encoder yet). The trained checkpoint
 plugs straight into the dense searcher (`searcher.name=dense
 searcher.checkpointfile=.../dev.best.params`) for exact MIPS retrieval.
 """
@@ -59,7 +60,10 @@ class BiEncoder(Reranker):
 
     module_name = "biencoder"
     dependencies = [
-        Dependency(key="extractor", module="extractor", name="berttext"),
+        # specialtokens: train on the same [CLS] ... [SEP] layout the dense
+        # searcher serves at inference (no train/serve input skew)
+        Dependency(key="extractor", module="extractor", name="berttext",
+                   default_config_overrides={"specialtokens": True}),
         Dependency(key="trainer", module="trainer", name="jax"),
     ]
     config_spec = [
@@ -72,6 +76,14 @@ class BiEncoder(Reranker):
     ]
 
     accepts_rngs = True  # encoder dropout during training
+
+    def build(self):
+        from capreolus_tpu.core import ConfigError
+
+        if self.config["pooling"] not in ("mean", "cls"):
+            raise ConfigError(f"biencoder pooling must be 'mean' or 'cls', got {self.config['pooling']!r}")
+        if self.config["gelu"] not in ("tanh", "erf"):
+            raise ConfigError(f"biencoder gelu must be 'tanh' or 'erf', got {self.config['gelu']!r}")
 
     def build_model(self):
         if not hasattr(self, "model"):

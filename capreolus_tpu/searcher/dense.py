@@ -54,6 +54,12 @@ class DenseSearcher(Searcher):
     ]
     config_keys_not_in_path = ["batch", "shards"]  # neither changes results
 
+    def build(self):
+        from capreolus_tpu.core import ConfigError
+
+        if self.config["pooling"] not in ("mean", "cls"):
+            raise ConfigError(f"dense pooling must be 'mean' or 'cls', got {self.config['pooling']!r}")
+
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
         if getattr(self, "_enc", None) is None:
@@ -85,28 +91,34 @@ class DenseSearcher(Searcher):
                 params = jax.tree_util.tree_map(np.asarray, tree["bert"])
                 logger.info("dense encoder weights restored from %s", ckpt)
             self._enc = (model, {"params": params}, cfg)
+
+            # jit once and cache: a fresh closure per call would retrace (and
+            # remote-recompile) the encoder for every query batch. params are
+            # ARGUMENTS, not closure captures (remote-compile payload limit).
+            import jax.numpy as jnp
+
+            pooling = self.config["pooling"]
+
+            def encode(variables, inp, mask):
+                hidden, pooled, _ = model.apply(variables, inp, mask)
+                if pooling == "cls":
+                    vec = hidden[:, 0]
+                else:
+                    m = mask[..., None].astype(hidden.dtype)
+                    vec = (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+                vec = vec.astype(jnp.float32)
+                return vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-9)
+
+            self._encode_jit = jax.jit(encode)
         return self._enc
 
     def _embed_texts(self, texts):
         """Tokenize + encode + pool + normalize a list of strings -> [N, D] f32."""
-        import jax
         import jax.numpy as jnp
 
         model, variables, cfg = self._encoder()
+        encode = self._encode_jit
         tok = self.tokenizer
-        pooling = self.config["pooling"]
-
-        # params as arguments, not closure captures (remote-compile payload limit)
-        @jax.jit
-        def encode(variables, inp, mask):
-            hidden, pooled, _ = model.apply(variables, inp, mask)
-            if pooling == "cls":
-                vec = hidden[:, 0]
-            else:
-                m = mask[..., None].astype(hidden.dtype)
-                vec = (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
-            vec = vec.astype(jnp.float32)
-            return vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-9)
 
         maxlen = self._embed_maxlen
         batch = int(self.config["batch"])
@@ -123,12 +135,28 @@ class DenseSearcher(Searcher):
         return np.concatenate(out, axis=0) if out else np.zeros((0, 1), np.float32)
 
     # ------------------------------------------------------------------ doc embeddings
+    def _doc_cache_file(self):
+        """Cache path keyed ONLY by what affects doc embeddings (encoder identity
+        incl. checkpoint content, pooling, maxdoclen) — stored under the index's
+        cache so changing hits/maxqlen/etc never re-embeds the corpus, and
+        retraining over the same checkpoint path invalidates it (size+mtime)."""
+        import hashlib
+        import os as _os
+
+        parts = [self.config["pretrained"], self.config["pooling"], str(self.config["maxdoclen"])]
+        ckpt = self.config.get("checkpointfile")
+        if ckpt:
+            st = _os.stat(ckpt)
+            parts += [ckpt, str(st.st_size), str(st.st_mtime_ns)]
+        key = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+        return self.index.get_cache_path() / "dense" / f"doc_embeddings_{key}.npy"
+
     def _doc_matrix(self):
-        """[N, D] document embeddings, cached on disk keyed by the config path."""
+        """[N, D] document embeddings, disk-cached (atomic write)."""
         if getattr(self, "_docs_emb", None) is not None:
             return self._docs_emb
         self.index.create_index()
-        cache_fn = self.get_cache_path() / "doc_embeddings.npy"
+        cache_fn = self._doc_cache_file()
         docid_strings = self.index.data.docid_strings
         if cache_fn.exists():
             emb = np.load(cache_fn)
@@ -137,8 +165,13 @@ class DenseSearcher(Searcher):
             texts = [self.index.get_doc(d) for d in docid_strings]
             logger.info("embedding %d documents with the %s encoder", len(texts), self.config["pretrained"])
             emb = self._embed_texts(texts)
-            cache_fn.parent.mkdir(parents=True, exist_ok=True)
-            np.save(cache_fn, emb)
+            from capreolus_tpu.utils.caching import TargetFileExists, cached_file
+
+            try:
+                with cached_file(cache_fn, "wb") as f:
+                    np.save(f, emb)
+            except TargetFileExists:
+                pass  # a concurrent process won the race with identical content
         import jax.numpy as jnp
 
         self._docs_emb = jnp.asarray(emb, dtype=jnp.bfloat16)  # HBM resident
@@ -162,12 +195,9 @@ class DenseSearcher(Searcher):
         docid_strings = self.index.data.docid_strings
         hits = min(int(self.config["hits"]), docs.shape[0])
 
-        topics = []
-        with open(topicsfn, encoding="utf-8") as f:
-            for line in f:
-                if line.strip():
-                    qid, text = line.rstrip("\n").split("\t", 1)
-                    topics.append((qid, text))
+        from capreolus_tpu.searcher.tpu import _load_topics_tsv
+
+        topics = _load_topics_tsv(topicsfn)
 
         # the doc matrix is an ARGUMENT, not a closure capture: captured constants
         # are embedded into the compile payload, which fails for multi-hundred-MB
@@ -226,6 +256,10 @@ class DenseSearcher(Searcher):
             s, o = jax.lax.top_k(scores, local_k)
             shard_id = jax.lax.axis_index("shard")
             o = o + shard_id * per_shard  # local ordinal -> global
+            # zero-padded rows (corpus not divisible by shards) must never win:
+            # their dot is 0, which beats real negative cosines (the sparse
+            # engine's equivalent guard: sharded_search.py pad masking)
+            s = jnp.where(o < n, s, -jnp.inf)
             # allgather candidates from every shard over ICI, merge on each chip
             s_all = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
             o_all = jax.lax.all_gather(o, "shard", axis=1, tiled=True)
@@ -244,14 +278,3 @@ class DenseSearcher(Searcher):
             return mapped(q_emb, docs_sharded)
 
         return topk, docs_sharded
-
-    def query(self, query_string):
-        import tempfile
-        from pathlib import Path
-
-        with tempfile.TemporaryDirectory() as tmp:
-            topicsfn = Path(tmp) / "topics.tsv"
-            topicsfn.write_text(f"q1\t{query_string}\n")
-            out = self.query_from_file(topicsfn, Path(tmp) / "out")
-            runfn = next(p for p in out.iterdir() if p.name != "done")
-            return Searcher.load_trec_run(runfn)["q1"]

@@ -274,6 +274,12 @@ class JaxTrainer(Trainer):
     # ------------------------------------------------------------------ train step
     def _build_train_step(self, reranker, tx, loss_fn):
         amp = self._amp_mode() in ("train", "both")
+        if self.config["loss"] == "lce" and not hasattr(reranker, "score_lce"):
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(
+                f"trainer.loss=lce needs a reranker with multi-negative scoring "
+                f"(score_lce); {type(reranker).module_name} does not support it")
         # rerankers that opt in receive a dropout rng during the training forward
         # (parity: the reference's torch/HF models train with dropout active)
         use_rngs = bool(getattr(reranker, "accepts_rngs", False))

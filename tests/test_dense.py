@@ -50,8 +50,12 @@ def test_dense_embedding_cache(tmpdir_as_cache, tmp_path):
     topicsfn = tmp_path / "topics.tsv"
     topicsfn.write_text("1\ttelescope\n")
     searcher.query_from_file(topicsfn, tmp_path / "o1")
-    cache_fn = searcher.get_cache_path() / "doc_embeddings.npy"
+    cache_fn = searcher._doc_cache_file()
     assert cache_fn.exists()
+    # the cache key ignores results-only options (hits/maxqlen) but tracks
+    # embedding-relevant ones (pooling)
+    assert _make({"hits": 7})._doc_cache_file() == cache_fn
+    assert _make({"pooling": "cls"})._doc_cache_file() != cache_fn
     mtime = cache_fn.stat().st_mtime
     # second searcher instance reuses the on-disk doc embeddings
     s2 = _make()
