@@ -168,3 +168,39 @@ def test_calibration_tracks_current_params(tmpdir_as_cache):
     scores = np.asarray(reranker.test(variables, {"pos_bert_input": dev["pos_bert_input"],
                                                   "pos_mask": dev["pos_mask"], "pos_seg": dev["pos_seg"]}))
     assert np.isfinite(scores).all()
+
+
+def test_int8_ranking_preservation_at_scale(tmpdir_as_cache):
+    """int8 vs full-precision scores over 256 synthetic passages: rank
+    correlation ~1 and top-10 agreement (quality evidence beyond the 6-doc
+    pipeline test; real-checkpoint effectiveness needs the online corpora)."""
+    import dataclasses
+
+    from capreolus_tpu.reranker.bert.encoder import BertConfig
+    from capreolus_tpu.reranker.bert_rerankers import _BertScorer
+
+    cfg = BertConfig(vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+                     intermediate_size=128, max_position=64)
+    fp = _BertScorer(cfg)
+    q = _BertScorer(dataclasses.replace(cfg, quantize="int8"))
+    rng = np.random.Generator(np.random.PCG64(11))
+    inp = rng.integers(1, 512, size=(256, 48)).astype(np.int32)
+    mask = np.ones_like(inp)
+    seg = np.zeros_like(inp); seg[:, 8:] = 1
+    variables = fp.init(jax.random.PRNGKey(0), inp[:2], mask[:2], seg[:2])
+
+    fp_scores = np.asarray(fp.apply(variables, inp, mask, seg))[:, 0]
+    shapes = jax.eval_shape(lambda: q.init(jax.random.PRNGKey(0), inp[:2], mask[:2], seg[:2]))
+    zero = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes["quant_stats"])
+    _, stats = q.apply({"params": variables["params"], "quant_stats": zero},
+                       inp, mask, seg, calibrate=True, mutable=["quant_stats"])
+    q_scores = np.asarray(q.apply({"params": variables["params"], **stats}, inp, mask, seg))[:, 0]
+
+    # Spearman rank correlation
+    fp_rank = np.argsort(np.argsort(fp_scores))
+    q_rank = np.argsort(np.argsort(q_scores))
+    rho = np.corrcoef(fp_rank, q_rank)[0, 1]
+    assert rho > 0.98, f"rank correlation {rho:.4f}"
+    top10_fp = set(np.argsort(-fp_scores)[:10].tolist())
+    top10_q = set(np.argsort(-q_scores)[:10].tolist())
+    assert len(top10_fp & top10_q) >= 8, f"top-10 overlap {len(top10_fp & top10_q)}"
