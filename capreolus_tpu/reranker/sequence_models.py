@@ -195,6 +195,7 @@ class HINTModel(nn.Module):
     lstm_dim: int = 6
     kmax: int = 10
     window: int = 20
+    depth: int = 2  # stacked accumulation GRUs (the reference's spatialGRU depth)
 
     @nn.compact
     def __call__(self, querytoks, doctoks, query_idf):
@@ -210,8 +211,13 @@ class HINTModel(nn.Module):
             [windows.max(axis=3), windows.mean(axis=3)], axis=1
         ).transpose(0, 2, 1)  # [B, n_win, 2Q]
 
-        # GRU accumulates evidence across windows (spatial GRU stand-in)
-        seq = _BiGRU(self.lstm_dim, name="accumulate")(win_feat)  # [B, n_win, 2*dim]
+        # GRU stack accumulates evidence across windows (spatial GRU stand-in;
+        # a true 2D spatial GRU recurs over Q+D anti-diagonal steps — sequential
+        # control flow that maps poorly to the TPU; the windowed formulation
+        # keeps the hierarchical local->global evidence structure)
+        seq = win_feat
+        for i in range(max(1, self.depth)):
+            seq = _BiGRU(self.lstm_dim, name=f"accumulate_{i}")(seq)  # [B, n_win, 2*dim]
         k = min(self.kmax, seq.shape[1])
         top_states, _ = jax.lax.top_k(seq.transpose(0, 2, 1), k)  # [B, 2*dim, k]
         feats = top_states.reshape(b, -1)
@@ -238,7 +244,8 @@ class HINT(Reranker):
     def build_model(self):
         if not hasattr(self, "model"):
             self.model = HINTModel(embedding_init=self.extractor.embeddings,
-                                   lstm_dim=self.config["LSTMdim"], kmax=self.config["kmax"])
+                                   lstm_dim=self.config["LSTMdim"], kmax=self.config["kmax"],
+                                   depth=int(self.config["spatialGRU"]))
         return self.model
 
     def trainable(self, path, value):
