@@ -133,6 +133,58 @@ class Covid(DownloadableBenchmark):
         return f"https://ir.nist.gov/covidSubmit/data/qrels-covid_d{rnd}_j0.5-{rnd}.txt"
 
     @property
+    def topics(self):
+        """TREC-COVID topics come as XML; convert like the reference
+        (covid.py:154-181): title from <query>, desc from <question>, with
+        optional udel query expansion folding the expanded desc into the
+        title."""
+        if not hasattr(self, "_topics"):
+            text = open(self.topic_file, encoding="utf-8").read()
+            if not text.lstrip().startswith("<"):
+                from capreolus_tpu.utils.trec import load_trec_topics
+
+                self._topics = load_trec_topics(self.topic_file)
+                return self._topics
+            import re as _re
+
+            title_d, desc_d = {}, {}
+            for m in _re.finditer(r'<topic number="(\d+)".*?</topic>', text, _re.S):
+                block, qid = m.group(0), m.group(1)
+                def field(tag):
+                    fm = _re.search(rf"<{tag}>(.*?)</{tag}>", block, _re.S)
+                    return (fm.group(1).strip() if fm else "")
+                title, desc = field("query"), field("question")
+                if self.config.get("udelqexpand"):
+                    from capreolus_tpu.utils.udel import udel_expand
+
+                    title = udel_expand(title, question=desc)
+                    desc = " "
+                title_d[qid], desc_d[qid] = title, desc
+            self._topics = {"title": title_d, "desc": desc_d, "query": title_d}
+        return self._topics
+
+    @property
+    def qrels(self):
+        """When useprevqrels (the reference default), judgments from rounds
+        1..round are combined (covid.py:85-108; the round>=3 docid back-mapping
+        via the NIST changedIds files is not applied — supply
+        benchmark.qrelfile for byte-exact historical reproductions)."""
+        if not hasattr(self, "_qrels"):
+            from capreolus_tpu.utils.trec import load_qrels
+
+            if self.config.get("qrelfile") or not self.config.get("useprevqrels") or self.config["round"] <= 1:
+                self._qrels = load_qrels(self.qrel_file)
+            else:
+                combined = {}
+                for rnd in range(1, int(self.config["round"]) + 1):
+                    url = f"https://ir.nist.gov/covidSubmit/data/qrels-covid_d{rnd}_j0.5-{rnd}.txt"
+                    fn = self._file(f"qrels_rnd{rnd}", url, "qrelfile")
+                    for qid, docs in load_qrels(fn).items():
+                        combined.setdefault(qid, {}).update(docs)
+                self._qrels = combined
+        return self._qrels
+
+    @property
     def fold_file(self):
         # the reference builds this trivial single fold programmatically
         # (covid.py:107), so generating it IS the published behavior

@@ -111,3 +111,33 @@ def test_static_run_searcher_with_local_file(tmpdir_as_cache, tmp_path):
     out = s.query_from_file(tmp_path / "unused.tsv", tmp_path / "out")
     run = Searcher.load_trec_run(out / "static_run")
     assert run["301"]["D001"] == 2.0
+
+
+def test_covid_xml_topics_and_udel(tmpdir_as_cache, tmp_path):
+    """covid parses NIST XML topics and applies udel expansion (reference
+    covid.py:154-181); previously the XML would have been fed to the TREC
+    parser."""
+    xml = """<topics>
+<topic number="1"><query>coronavirus origin</query>
+<question>what is the origin of COVID-19</question>
+<narrative>n</narrative></topic>
+<topic number="2"><query>virus spread</query>
+<question>how does the coronavirus respond to changes in the weather</question>
+<narrative>n</narrative></topic>
+</topics>"""
+    topicfn = tmp_path / "topics.xml"
+    topicfn.write_text(xml)
+    qrelfn = tmp_path / "qrels.txt"
+    qrelfn.write_text("1 Q0  d1 2\n2 Q0  d2 1\n")
+    from capreolus_tpu.benchmark import Benchmark
+
+    plain = Benchmark.create("covid", {"topicfile": str(topicfn), "qrelfile": str(qrelfn)})
+    assert plain.topics["title"]["1"] == "coronavirus origin"
+    assert plain.topics["desc"]["2"].startswith("how does")
+    assert plain.qrels["1"]["d1"] == 2
+
+    expanded = Benchmark.create("covid", {"topicfile": str(topicfn), "qrelfile": str(qrelfn),
+                                          "udelqexpand": True})
+    t = expanded.topics["title"]["1"]
+    assert "coronavirus" in t and t != "coronavirus origin"  # desc folded in
+    assert expanded.topics["desc"]["1"] == " "
