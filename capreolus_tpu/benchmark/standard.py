@@ -219,6 +219,50 @@ class CovidQA(DownloadableBenchmark):
     topic_url = "https://raw.githubusercontent.com/castorini/pygaggle/master/data/kaggle-lit-review-0.2.json"
 
     @property
+    def topics(self):
+        """CovidQA distributes a kaggle-lit-review JSON; queries are the
+        sub-category kq/nq names, qids start at 2001 to stay disjoint from the
+        TREC-COVID topics (reference covid.py:211-239)."""
+        self._parse_kaggle_json()
+        return self._topics
+
+    @property
+    def qrels(self):
+        """Answer document ids become relevance-1 judgments (covid.py:233-235)."""
+        self._parse_kaggle_json()
+        return self._qrels
+
+    def _parse_kaggle_json(self):
+        if hasattr(self, "_topics"):
+            return
+        import json as _json
+
+        text = open(self.topic_file, encoding="utf-8").read()
+        if not text.lstrip().startswith("{"):
+            from capreolus_tpu.utils.trec import load_qrels, load_trec_topics
+
+            self._topics = load_trec_topics(self.topic_file)
+            self._qrels = load_qrels(self.qrel_file)
+            return
+        qa = _json.loads(text)
+        title, desc, qrels = {}, {}, {}
+        qid = 2001
+        for cate in qa.get("categories", []):
+            for sub in cate.get("sub_categories", []):
+                title[str(qid)] = sub.get("kq_name", "")
+                desc[str(qid)] = sub.get("nq_name", "")
+                for ans in sub.get("answers", []):
+                    qrels.setdefault(str(qid), {})[str(ans["id"])] = 1
+                qid += 1
+        self._topics = {"title": title, "desc": desc, "query": title}
+        self._qrels = qrels
+
+    @property
+    def qrel_file(self):
+        # qrels are derived from the topics JSON unless a file is supplied
+        return self.config.get("qrelfile") or self.topic_file
+
+    @property
     def fold_file(self):
         # reference builds the trivial all-qids fold programmatically (covid.py:240)
         configured = self.config.get("foldfile")
@@ -252,3 +296,26 @@ class CodeSearchNetChallenge(CodeSearchNetCorpus):
 
     module_name = "codesearchnet_challenge"
     topic_url = "https://raw.githubusercontent.com/github/CodeSearchNet/master/resources/queries.csv"
+
+    @property
+    def topics(self):
+        """The distributed queries.csv (one query per line after the header)
+        becomes sequentially-numbered topics (reference codesearchnet.py:189+);
+        the challenge is submission-only, so qrels require a local file."""
+        if not hasattr(self, "_topics"):
+            lines = [l.strip() for l in open(self.topic_file, encoding="utf-8")]
+            if lines and lines[0].lower() in ("query", "queries"):
+                lines = lines[1:]
+            title = {str(i + 1): q for i, q in enumerate(l for l in lines if l)}
+            self._topics = {"title": title, "query": title}
+        return self._topics
+
+    @property
+    def qrels(self):
+        if self.config.get("qrelfile"):
+            from capreolus_tpu.utils.trec import load_qrels
+
+            return load_qrels(self.config["qrelfile"])
+        raise ValueError("codesearchnet_challenge is a submission benchmark with no "
+                         "public qrels (reference codesearchnet.py:189); supply "
+                         "benchmark.qrelfile to evaluate locally")

@@ -141,3 +141,36 @@ def test_covid_xml_topics_and_udel(tmpdir_as_cache, tmp_path):
     t = expanded.topics["title"]["1"]
     assert "coronavirus" in t and t != "coronavirus origin"  # desc folded in
     assert expanded.topics["desc"]["1"] == " "
+
+
+def test_covidqa_json_topics_and_qrels(tmpdir_as_cache, tmp_path):
+    """covidqa parses the kaggle-lit-review JSON into topics (qid 2001+) and
+    answer-derived qrels (reference covid.py:211-239)."""
+    import json
+
+    data = {"categories": [{"name": "c", "sub_categories": [
+        {"kq_name": "incubation period", "nq_name": "how long is incubation",
+         "answers": [{"id": "doc1"}, {"id": "doc2"}]},
+        {"kq_name": "transmission", "nq_name": "how does it spread",
+         "answers": [{"id": "doc3"}]},
+    ]}]}
+    fn = tmp_path / "covidqa.json"
+    fn.write_text(json.dumps(data))
+    from capreolus_tpu.benchmark import Benchmark
+
+    b = Benchmark.create("covidqa", {"topicfile": str(fn)})
+    assert b.topics["title"]["2001"] == "incubation period"
+    assert b.qrels["2001"] == {"doc1": 1, "doc2": 1}
+    assert b.qrels["2002"] == {"doc3": 1}
+
+
+def test_csn_challenge_csv_topics(tmpdir_as_cache, tmp_path):
+    fn = tmp_path / "queries.csv"
+    fn.write_text("query\nconvert int to string\npriority queue\n")
+    from capreolus_tpu.benchmark import Benchmark
+    import pytest as _pytest
+
+    b = Benchmark.create("codesearchnet_challenge", {"topicfile": str(fn)})
+    assert b.topics["title"] == {"1": "convert int to string", "2": "priority queue"}
+    with _pytest.raises(ValueError):
+        b.qrels
