@@ -98,3 +98,26 @@ def test_amp_string_modes(tmpdir_as_cache, tmp_path):
     bad = make_reranker("BERTMaxP", reranker_overrides={"trainer": {"amp": "ture"}})
     with pytest.raises(ConfigError):
         bad.trainer._amp_mode()
+
+
+def test_evalbatch_and_eager(tmpdir_as_cache, tmp_path):
+    """evalbatch sets the predict batch size; eager disables jit (both accepted
+    reference keys with real behavior here)."""
+    import numpy as np
+
+    from capreolus_tpu.sampler import Sampler
+    from tests.test_bert_rerankers import make_reranker, prepared
+
+    reranker = make_reranker("BERTMaxP", reranker_overrides={
+        "trainer": {"niters": 1, "itersize": 4, "batch": 2, "validatefreq": 1,
+                    "evalbatch": 3, "eager": True}})
+    benchmark, run = prepared(reranker)
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                                     benchmark.qrels, metric="map")
+    assert np.isfinite(metrics["map"])
+    preds = reranker.trainer.predict(reranker, dev, params=reranker.trainer._params)
+    assert preds and all(np.isfinite(list(d.values())).all() for d in preds.values())
