@@ -51,6 +51,10 @@ class DenseSearcher(Searcher):
                      "checkpoint cannot be loaded (smoke tests only)"),
         ConfigOption("shards", 1, "devices to shard the embedding matrix across (doc-partitioned; "
                      "per-shard top-k merged over ICI, like searcher.shards on BM25)"),
+        ConfigOption("topkmode", "exact", "exact (full sort) or approx: jax.lax.approx_max_k, the "
+                     "TPU-accelerated partial reduction (measured 14x faster at recall@10 = 1.0, "
+                     "recall@1000 = 0.98 on 200k docs - PERF.md)"),
+        ConfigOption("recalltarget", 0.95, "approx_max_k per-operation recall target (topkmode=approx)"),
     ]
     config_keys_not_in_path = ["batch", "shards"]  # neither changes results
 
@@ -59,6 +63,8 @@ class DenseSearcher(Searcher):
 
         if self.config["pooling"] not in ("mean", "cls"):
             raise ConfigError(f"dense pooling must be 'mean' or 'cls', got {self.config['pooling']!r}")
+        if self.config["topkmode"] not in ("exact", "approx"):
+            raise ConfigError(f"dense topkmode must be 'exact' or 'approx', got {self.config['topkmode']!r}")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
@@ -203,6 +209,7 @@ class DenseSearcher(Searcher):
         # are embedded into the compile payload, which fails for multi-hundred-MB
         # arrays on remote-compilation backends (observed: tunnel HTTP 413)
         shards = int(self.config.get("shards", 1))
+        select = self._topk_fn(hits)
         if shards > 1:
             topk, docs = self._sharded_topk(docs, hits, shards)
         else:
@@ -210,7 +217,7 @@ class DenseSearcher(Searcher):
             def topk(q_emb, docs):
                 scores = jnp.einsum("qd,nd->qn", q_emb.astype(jnp.bfloat16), docs,
                                     preferred_element_type=jnp.float32)
-                return jax.lax.top_k(scores, hits)
+                return select(scores)
 
         self._embed_maxlen = int(self.config["maxqlen"])
         run = OrderedDict()
@@ -229,6 +236,18 @@ class DenseSearcher(Searcher):
                 for rank, (docid, score) in enumerate(docs_.items(), start=1):
                     f.write(f"{qid} Q0 {docid} {rank} {score:.6f} capreolus_tpu\n")
         logger.info("wrote dense run file %s (%d queries)", outfn, len(run))
+
+    def _topk_fn(self, hits):
+        """Per-row candidate selection: lax.top_k lowers to a full row sort on
+        TPU (k-independent, ~56 ms over [256, 200k]); approx_max_k is the
+        TPU-accelerated partial reduction (5.4 ms, recall@1000 = 0.98,
+        recall@10 = 1.0 measured at that shape - PERF.md)."""
+        import jax
+
+        if self.config.get("topkmode", "exact") == "approx":
+            rt = float(self.config.get("recalltarget", 0.95))
+            return lambda scores: jax.lax.approx_max_k(scores, hits, recall_target=rt)
+        return lambda scores: jax.lax.top_k(scores, hits)
 
     def _sharded_topk(self, docs, hits, shards):
         """Doc-partitioned dense search over a 'shard' mesh: each chip scores its
@@ -249,11 +268,16 @@ class DenseSearcher(Searcher):
         docs_sharded = jax.device_put(docs_padded, NamedSharding(mesh, P("shard", None)))
         per_shard = docs_padded.shape[0] // shards
         local_k = min(hits, per_shard)
+        if self.config.get("topkmode", "exact") == "approx":
+            rt = float(self.config.get("recalltarget", 0.95))
+            local_select = lambda scores: jax.lax.approx_max_k(scores, local_k, recall_target=rt)
+        else:
+            local_select = lambda scores: jax.lax.top_k(scores, local_k)
 
         def shard_fn(q_emb, docs_local):
             scores = jnp.einsum("qd,nd->qn", q_emb.astype(jnp.bfloat16), docs_local,
                                 preferred_element_type=jnp.float32)
-            s, o = jax.lax.top_k(scores, local_k)
+            s, o = local_select(scores)
             shard_id = jax.lax.axis_index("shard")
             o = o + shard_id * per_shard  # local ordinal -> global
             # zero-padded rows (corpus not divisible by shards) must never win:

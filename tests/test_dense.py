@@ -126,3 +126,23 @@ def test_biencoder_train_then_dense_search(tmpdir_as_cache, tmp_path):
     np.testing.assert_allclose(np.asarray(variables["params"]["word_embeddings"]), trained, atol=1e-6)
     results = searcher.query("galaxies collide")
     assert len(results) == 3
+
+
+def test_dense_approx_topk_mode(tmpdir_as_cache, tmp_path):
+    """topkmode=approx (jax.lax.approx_max_k) returns the same tiny-corpus
+    results as exact (3 docs: recall is trivially 1) and validates the option."""
+    import pytest as _pytest
+
+    from capreolus_tpu.core import ConfigError
+
+    exact = _make()
+    approx = _make({"topkmode": "approx", "recalltarget": 0.9})
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("1\tdistant galaxies\n")
+    r_e = Searcher.load_trec_run(next(p for p in exact.query_from_file(topicsfn, tmp_path / "e").iterdir()
+                                      if p.name != "done"))
+    r_a = Searcher.load_trec_run(next(p for p in approx.query_from_file(topicsfn, tmp_path / "a").iterdir()
+                                      if p.name != "done"))
+    assert set(r_e["1"]) == set(r_a["1"])
+    with _pytest.raises(ConfigError):
+        Searcher.create("dense", {"topkmode": "sorta", "index": {"collection": {"name": "dummy"}}})
