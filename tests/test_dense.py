@@ -146,3 +146,22 @@ def test_dense_approx_topk_mode(tmpdir_as_cache, tmp_path):
     assert set(r_e["1"]) == set(r_a["1"])
     with _pytest.raises(ConfigError):
         Searcher.create("dense", {"topkmode": "sorta", "index": {"collection": {"name": "dummy"}}})
+
+
+def test_dense_first_stage_feeds_rerank(tmpdir_as_cache, tmp_path, monkeypatch):
+    """retrieve-then-rerank with a DENSE first stage through the real task
+    pipeline (rank.searcher.name=dense + KNRM rerank) — the modern pipeline the
+    reference cannot run (it only consumes pre-computed dense runs)."""
+    from capreolus_tpu.core import constants
+    from capreolus_tpu.task import Task
+
+    monkeypatch.setitem(constants, "RESULTS_BASE_PATH", tmp_path / "results")
+    task = Task.create("rerank", {
+        "benchmark": {"name": "dummy"},
+        "rank": {"searcher": {"name": "dense", "maxdoclen": 32}},
+        "reranker": {"name": "KNRM",
+                     "extractor": {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 16},
+                     "trainer": {"niters": 1, "itersize": 4, "batch": 2, "validatefreq": 1}},
+    })
+    result = task.traineval()
+    assert result  # per-fold metrics dict
