@@ -105,3 +105,25 @@ ignored section
     assert len(native) == 25
     assert native[0][0] == "NT000"
     assert "ignored section" not in native[0][1]
+
+
+def test_native_ascii_fuzz():
+    """Random ASCII (punctuation runs, controls, digits, possessives): the native
+    C++ path must match the pure-python implementation token-for-token."""
+    import random
+
+    pools = ["abcdefgh ", "THE and of ", "a.b,c'd-e ", "\t\n\x01 ", "123a456 ",
+             "o'brien's ", "-x_y-- ", "U.S.A. 3.14 "]
+    rng = random.Random(7)
+    for _ in range(400):
+        text = "".join(rng.choice(pools)[rng.randrange(0, 3):] for _ in range(rng.randrange(1, 12)))
+        for use_porter in (True, False):
+            assert native_analyze(text, use_porter, False) == _python_analyze(text, use_porter, False), repr(text)
+
+
+def test_analyzer_unicode_falls_back_to_python():
+    """Non-ASCII text routes around the ASCII-only native library (analyzer.py
+    isascii() guard) instead of crashing; results equal the pure-python path."""
+    analyzer = EnglishAnalyzer(stemmer="porter", keep_stopwords=False)
+    for text in ["café naïve Zürich", "中文漢字 mixed words", "emoji 🙂 test", "𝔘nicode"]:
+        assert analyzer.analyze(text) == _python_analyze(text, True, False)
