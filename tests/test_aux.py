@@ -192,3 +192,22 @@ def test_knrm_combine_weight_figure(tmpdir_as_cache, tmp_path):
     reranker.add_summary(params, 3, tmp_path / "summ")
     assert (tmp_path / "summ" / "param_stats_3.json").exists()
     assert (tmp_path / "summ" / "combine_weight_3.png").exists()
+
+
+def test_profiler_trace_artifact(tmpdir_as_cache, tmp_path):
+    """trainer.profile=True captures a jax.profiler trace of the first iteration
+    (tracing parity beyond the reference's TensorBoard scalars, SURVEY §5)."""
+    from capreolus_tpu.sampler import Sampler
+    from tests.test_bert_rerankers import make_reranker, prepared
+
+    reranker = make_reranker("BERTMaxP", reranker_overrides={
+        "trainer": {"niters": 1, "itersize": 4, "batch": 2, "validatefreq": 1, "profile": True}})
+    benchmark, run = prepared(reranker)
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                           benchmark.qrels, metric="map")
+    profile_dir = tmp_path / "t" / "info" / "profile"
+    assert profile_dir.exists() and any(profile_dir.rglob("*")), "no trace captured"
