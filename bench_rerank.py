@@ -1,7 +1,7 @@
 """Secondary benchmark: monoBERT reranking throughput (docs/sec/chip).
 
 BASELINE.json target: >= 2,000 docs/sec/chip on v5e. One doc = one 256-token
-[CLS] q [SEP] passage [SEP] sequence through BERT-base (bf16, flash attention)
+[CLS] q [SEP] passage [SEP] sequence through BERT-base (bf16, XLA-fused attention)
 plus the relevance head — the MS MARCO passage configuration. Prints one JSON line
 (same shape as bench.py; the driver's headline metric remains bench.py).
 """
