@@ -356,9 +356,11 @@ def load_pretrained_encoder(name: str, allow_random_init: bool = False):
 
 def load_pretrained_nsp_head(name: str):
     """Load the next-sentence-prediction head of a Birch checkpoint as a 1-output
-    relevance head: score = logit(isNext) - logit(notNext), which is monotone in
-    softmax(isNext) so rankings match the reference's NSP-based scoring
-    (birch.py:72-83). Returns {"kernel": [H, 1], "bias": [1]} or None offline."""
+    relevance head. The reference ranks passages by RAW NSP logit index 1
+    (birch.py:79 ``scores[:, :, 1]  # take second output`` — no softmax), and
+    that logit is itself linear in the pooled vector, so the faithful 1-output
+    head is exactly row 1 of the NSP weight: score == reference score verbatim.
+    Returns {"kernel": [H, 1], "bias": [1]} or None offline."""
     name = PRETRAINED_ALIASES.get(name, name)
     try:
         import numpy as _np
@@ -368,7 +370,20 @@ def load_pretrained_nsp_head(name: str):
         sd = model.state_dict()
         w = _np.asarray(sd["cls.seq_relationship.weight"])  # [2, H]
         b = _np.asarray(sd["cls.seq_relationship.bias"])  # [2]
-        return {"kernel": (w[0] - w[1])[:, None].astype(_np.float32),
-                "bias": _np.asarray([b[0] - b[1]], dtype=_np.float32)}
+        return nsp_logits_to_relevance_head(w, b)
     except Exception:
         return None
+
+
+def nsp_logits_to_relevance_head(w, b):
+    """Collapse a 2-logit NSP head [2, H] / [2] into the 1-output relevance head:
+    score = raw logit[1], exactly the value birch.py:79 ranks by (it applies no
+    softmax, and a single logit is linear in the pooled vector). Split out for
+    direction-parity testing (ADVICE round 2, high: the previous logit[0]-logit[1]
+    head scored in the inverted direction)."""
+    import numpy as _np
+
+    w = _np.asarray(w)
+    b = _np.asarray(b)
+    return {"kernel": w[1][:, None].astype(_np.float32),
+            "bias": _np.asarray([b[1]], dtype=_np.float32)}

@@ -77,6 +77,7 @@ class DenseSearcher(Searcher):
             cfg, params = load_pretrained_encoder(
                 name, allow_random_init=bool(self.config["allowrandominit"]) or name == "tiny")
             model = BertEncoder(cfg)
+            self._random_init = params is None
             if params is None:
                 rng = jax.random.PRNGKey(0)
                 dummy = np.zeros((1, 8), dtype=np.int32)
@@ -95,6 +96,7 @@ class DenseSearcher(Searcher):
                     raise ValueError(f"checkpoint {ckpt} has no 'bert' submodule "
                                      f"(top-level keys: {sorted(tree)[:8]})")
                 params = jax.tree_util.tree_map(np.asarray, tree["bert"])
+                self._random_init = False  # real trained weights override the fallback
                 logger.info("dense encoder weights restored from %s", ckpt)
             self._enc = (model, {"params": params}, cfg)
 
@@ -142,14 +144,21 @@ class DenseSearcher(Searcher):
 
     # ------------------------------------------------------------------ doc embeddings
     def _doc_cache_file(self):
-        """Cache path keyed ONLY by what affects doc embeddings (encoder identity
-        incl. checkpoint content, pooling, maxdoclen) — stored under the index's
-        cache so changing hits/maxqlen/etc never re-embeds the corpus, and
-        retraining over the same checkpoint path invalidates it (size+mtime)."""
+        """Cache path keyed by EVERYTHING that affects doc embeddings: encoder
+        identity (incl. checkpoint content via size+mtime), pooling, maxdoclen,
+        AND (ADVICE round 2, medium) the tokenizer actually in use plus a
+        random-init marker: an offline run with the hash-wordpiece fallback or a
+        randomly-initialized encoder gets a key DISJOINT from any later online
+        run with real weights, so stale/random embeddings are never served
+        across that boundary (random init is deterministic — PRNGKey(0) — so
+        reuse within the random-init world itself is sound)."""
         import hashlib
         import os as _os
 
-        parts = [self.config["pretrained"], self.config["pooling"], str(self.config["maxdoclen"])]
+        self._encoder()  # resolves _random_init and the actual tokenizer choice
+        parts = [self.config["pretrained"], self.config["pooling"], str(self.config["maxdoclen"]),
+                 self.tokenizer.fingerprint,
+                 "randominit" if getattr(self, "_random_init", False) else "pretrained"]
         ckpt = self.config.get("checkpointfile")
         if ckpt:
             st = _os.stat(ckpt)
@@ -227,8 +236,12 @@ class DenseSearcher(Searcher):
             q_emb = self._embed_texts([t for _, t in chunk])
             scores, ords = topk(jnp.asarray(q_emb), docs)
             scores, ords = np.asarray(scores), np.asarray(ords)
+            n_docs = len(docid_strings)
             for qi, (qid, _) in enumerate(chunk):
-                run[qid] = {docid_strings[int(o)]: float(s) for s, o in zip(scores[qi], ords[qi])}
+                # defensively drop out-of-range ordinals: sharded padding rows
+                # carry ordinal >= n with score -inf and must never be looked up
+                run[qid] = {docid_strings[int(o)]: float(s)
+                            for s, o in zip(scores[qi], ords[qi]) if int(o) < n_docs}
 
         outfn = output_path / f"searcher_dense_pooling-{self.config['pooling']}"
         with open(outfn, "wt", encoding="utf-8") as f:

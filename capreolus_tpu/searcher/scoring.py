@@ -289,10 +289,13 @@ class ScoringEngine:
             )
 
     # ------------------------------------------------------------------- exact path
-    def _build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str):
+    def _build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str,
+                          max_postings: int = 0):
         """Flatten a batch of queries into per-(query, tile) work units (vectorized).
 
         Returns numpy arrays (tile_idx, qidx, w1, w2, lo, hi) and the unit count.
+        ``max_postings`` is threaded explicitly (never instance state) so
+        interleaved searches with different caps cannot race (ADVICE round 2).
         """
         d = self.dindex
         w2_source = _W2_SOURCE[model]
@@ -308,9 +311,8 @@ class ScoringEngine:
 
         starts = d.term_offsets[tids]
         ends = d.term_offsets[tids + 1]
-        cap = getattr(self, "_max_postings", 0)
-        if cap > 0:
-            ends = np.minimum(ends, starts + cap)
+        if max_postings > 0:
+            ends = np.minimum(ends, starts + max_postings)
         nonempty = ends > starts
         tids, qw, qix, starts, ends = tids[nonempty], qw[nonempty], qix[nonempty], starts[nonempty], ends[nonempty]
         if len(tids) == 0:
@@ -406,10 +408,11 @@ class ScoringEngine:
                 return tuple(tiers)
             lanes *= 4
 
-    def _build_tiered(self, term_lists, model):
+    def _build_tiered(self, term_lists, model, max_postings: int = 0):
         """Host side: tier-sort queries, pad each query's units to its tier width.
 
         Returns (packed [5, u_pad], tiers [(uw, qt_real)], u0s, inv_order, r_max).
+        ``max_postings`` is an explicit parameter, not instance state (ADVICE round 2).
         """
         d = self.dindex
         nq = len(term_lists)
@@ -423,10 +426,9 @@ class ScoringEngine:
         if len(tids):
             starts = d.term_offsets[tids]
             ends = d.term_offsets[tids + 1]
-            cap = getattr(self, "_max_postings", 0)
-            if cap > 0:
+            if max_postings > 0:
                 # impact-ordered early termination: keep each term's high-impact prefix
-                ends = np.minimum(ends, starts + cap)
+                ends = np.minimum(ends, starts + max_postings)
             keep = ends > starts
             tids, qw, qix, starts, ends = tids[keep], qw[keep], qix[keep], starts[keep], ends[keep]
         else:
@@ -593,7 +595,7 @@ class ScoringEngine:
         grid = dict(grid or {})
         num_queries = len(term_lists)
         topk = min(topk, self.dindex.num_docs)
-        self._max_postings = int(max_postings_per_term or 0)
+        max_postings = int(max_postings_per_term or 0)
         if model != "bm25":
             _ = self.dindex.exact_dl_tiles  # lazy QL/DFR payload: materialize OUTSIDE jit
 
@@ -610,7 +612,7 @@ class ScoringEngine:
 
         if exact_topk:
             self._check_accumulator_bounds(num_queries)
-            tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model)
+            tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model, max_postings)
             u_pad = _bucket(max(n, 1))
             pad = u_pad - n
             if pad:
@@ -628,7 +630,7 @@ class ScoringEngine:
             return np.asarray(scores).astype(np.dtype(score_dtype)), np.asarray(doc_ords)
 
         pack_ords = bool(pack_ords) and self.dindex.num_docs < (1 << 24)
-        packed, tiers, u0s, inv_order, r_max = self._build_tiered(term_lists, model)
+        packed, tiers, u0s, inv_order, r_max = self._build_tiered(term_lists, model, max_postings)
         tier_shapes = tuple((uw, qt_pad) for uw, qt_pad, _, _ in tiers)
         outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
                                   str(score_dtype), pack_ords, packed, u0s, device_params)

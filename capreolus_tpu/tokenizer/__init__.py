@@ -148,6 +148,29 @@ class BertTokenizer(Tokenizer):
     def sep_id(self):
         return self.bert_tokenizer.sep_token_id
 
+    @property
+    def fingerprint(self):
+        """Identity of the ACTUAL tokenizer in use (not just the requested name):
+        distinguishes the HF tokenizer, the from-scratch WordPiece (keyed by its
+        vocab file), and the hash fallback. Consumers that cache tokenized
+        artifacts (e.g. dense doc embeddings) must fold this into their cache key
+        so an offline hash-fallback run never poisons a later online run."""
+        tok = self.bert_tokenizer
+        if isinstance(tok, _HashWordpieceFallback):
+            return "hashfallback"
+        from capreolus_tpu.tokenizer.wordpiece import WordPieceTokenizer
+
+        if isinstance(tok, WordPieceTokenizer):
+            import os
+
+            vf = self.config.get("vocabfile", "")
+            try:
+                st = os.stat(vf)
+                return f"wordpiece:{vf}:{st.st_size}:{st.st_mtime_ns}"
+            except OSError:
+                return f"wordpiece:{vf}"
+        return f"hf:{self.config['pretrained']}"
+
     def convert_tokens_to_ids(self, tokens):
         return self.bert_tokenizer.convert_tokens_to_ids(tokens)
 

@@ -291,3 +291,35 @@ def test_birch_hidden_and_finetune(tmpdir_as_cache):
     assert reranker.trainable(("combine_out", "kernel"), None)
     r2 = make_reranker("birch", reranker_overrides={"finetune": True, "pretrained": "tiny"})
     assert r2.trainable(("bert", "layer_0", "attention", "query", "kernel"), None)
+
+
+def test_nsp_head_scoring_direction():
+    """The collapsed 1-output Birch relevance head must rank passages in the same
+    order as the reference's NSP scoring, which takes logit index 1
+    (birch.py:79 'scores[:, :, 1]  # take second output'). With the head frozen
+    by default (finetune=False), a flipped direction would invert rankings and
+    training could never correct it (ADVICE round 2, high)."""
+    import numpy as np
+    from capreolus_tpu.reranker.bert.encoder import nsp_logits_to_relevance_head
+
+    rng = np.random.RandomState(0)
+    H = 32
+    w = rng.randn(2, H).astype(np.float32)  # [2, H] NSP seq_relationship weight
+    b = rng.randn(2).astype(np.float32)
+    head = nsp_logits_to_relevance_head(w, b)
+    assert head["kernel"].shape == (H, 1) and head["bias"].shape == (1,)
+
+    pooled = rng.randn(50, H).astype(np.float32)  # 50 pooled passage vectors
+    ref_logits = pooled @ w.T + b  # [50, 2]
+    ref_scores = ref_logits[:, 1]  # the reference's ranking signal (raw, no softmax)
+    ours = (pooled @ head["kernel"])[:, 0] + head["bias"][0]
+    # the collapsed head reproduces the reference score VERBATIM, not just in order
+    # (f32 matmul reassociation tolerance only)
+    np.testing.assert_allclose(ours, ref_scores, rtol=1e-4, atol=1e-5)
+    assert np.array_equal(np.argsort(ref_scores), np.argsort(ours))
+    # and a clearly-relevant direction must outscore a random one
+    relevant = w[1] * 3.0  # aligned with the isNext-index-1 weight row
+    random_psg = rng.randn(H).astype(np.float32)
+    s_rel = float(relevant @ head["kernel"][:, 0] + head["bias"][0])
+    s_rnd = float(random_psg @ head["kernel"][:, 0] + head["bias"][0])
+    assert s_rel > s_rnd

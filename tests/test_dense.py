@@ -56,6 +56,21 @@ def test_dense_embedding_cache(tmpdir_as_cache, tmp_path):
     # embedding-relevant ones (pooling)
     assert _make({"hits": 7})._doc_cache_file() == cache_fn
     assert _make({"pooling": "cls"})._doc_cache_file() != cache_fn
+    # (ADVICE round 2, medium) the key covers the ACTUAL tokenizer and whether
+    # the encoder ran from random init: flipping either must change the key so
+    # an offline fallback run can never poison a later real-weights run
+    from capreolus_tpu.tokenizer.wordpiece import WordPieceTokenizer
+
+    vocabfn = tmp_path / "vocab.txt"
+    vocabfn.write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "tele", "##scope"]))
+    s_tok = _make()
+    s_tok._doc_cache_file()  # resolve the encoder/tokenizer first
+    s_tok.tokenizer._bert_tokenizer = WordPieceTokenizer(str(vocabfn))
+    assert s_tok._doc_cache_file() != cache_fn
+    s_real = _make()
+    s_real._encoder()
+    s_real._random_init = False  # simulate real pretrained weights
+    assert s_real._doc_cache_file() != cache_fn
     mtime = cache_fn.stat().st_mtime
     # second searcher instance reuses the on-disk doc embeddings
     s2 = _make()

@@ -77,11 +77,8 @@ def test_capped_scores_bounded_and_overlap(synth):
 
 def test_cap_shrinks_device_work(synth):
     engine, queries = synth
-    engine._max_postings = 0
-    packed_exact, *_ = engine._build_tiered(queries, "bm25")
-    engine._max_postings = 100
-    packed_capped, *_ = engine._build_tiered(queries, "bm25")
-    engine._max_postings = 0
+    packed_exact, *_ = engine._build_tiered(queries, "bm25", max_postings=0)
+    packed_capped, *_ = engine._build_tiered(queries, "bm25", max_postings=100)
     assert packed_capped.shape[-1] < packed_exact.shape[-1]
 
 
