@@ -1,9 +1,10 @@
 """DeepTileExtractor: topical-tile feature matrices for DeepTileBar.
 
 Capability parity with /root/reference/capreolus/extractor/deeptileextractor.py:28:
-documents are segmented into topical tiles (NLTK TextTiling when its data is
-available, otherwise fixed-length slices) and each (query term, tile) cell carries
-up to three channels: term frequency, idf, and max embedding similarity.
+documents are segmented into topical tiles with the from-scratch TextTiling
+implementation (analysis/segmentation.py — NLTK-compatible behavior, fully
+offline) and each (query term, tile) cell carries up to three channels: term
+frequency, idf, and max embedding similarity.
 """
 
 from __future__ import annotations
@@ -57,12 +58,38 @@ class DeepTileExtractor(Extractor):
         self.__dict__.update(state)
         self._preprocessed = True
 
+    def _segmenter(self):
+        if getattr(self, "_tt", None) is None:
+            from capreolus_tpu.analysis.segmentation import TextTilingSegmenter
+
+            # k=6 matches the reference's TextTilingTokenizer(k=6)
+            # (deeptileextractor.py:218); from-scratch implementation runs
+            # offline with NLTK-compatible behavior (analysis/segmentation.py)
+            self._tt = TextTilingSegmenter(k=6)
+        return self._tt
+
     def _tile_doc(self, text):
-        """Segment a document into tiles: TextTiling when available, else fixed slices."""
+        """Segment a document into topical tiles with TextTiling.
+
+        Reference behavior (deeptileextractor.py:92-116): tokens are joined into
+        slicelen-token slices separated by blank lines (candidate paragraph
+        breaks), TextTiling merges/cuts them at topic shifts, and failures on
+        short documents fall back to the raw slices. Long documents collapse the
+        extra segments into the last tile (clean_segments, :120-133)."""
         toks = self.tokenizer.tokenize(text)[: self.config["maxdoclen"]]
         size = self.config["slicelen"]
-        tiles = [toks[i : i + size] for i in range(0, max(1, len(toks)), size)]
-        return tiles[: self.config["passagelen"]]
+        slices = [" ".join(toks[i : i + size]) for i in range(0, max(1, len(toks)), size)]
+        try:
+            segments = self._segmenter().tokenize("\n\n".join(slices))
+            tiles = [seg.split() for seg in segments]
+        except ValueError:
+            tiles = [s.split() for s in slices]
+        ntiles = self.config["passagelen"]
+        if len(tiles) > ntiles:
+            # collapse the tail into the last tile (reference clean_segments)
+            tiles[ntiles - 1] = [t for tile in tiles[ntiles - 1 :] for t in tile]
+            tiles = tiles[:ntiles]
+        return tiles
 
     def preprocess(self, qids, docids, topics):
         if self._preprocessed:

@@ -31,15 +31,129 @@ from capreolus_tpu.utils.loginit import get_logger
 
 logger = get_logger(__name__)
 
+# postings layout version: bump when the canonical on-disk sort order or the
+# pruning side-tables change; loaders rebuild stale caches automatically
+LAYOUT_VERSION = 2
+
+# terms with df below this get no per-range tables. Default 1 = tables for
+# EVERY term: a term absent from the tables must be charged to every range's
+# bound, which measured out to defeat pruning entirely (a single table-less
+# query term inflates all U(R) above theta). Entries are host-side metadata
+# (like Lucene's skip files), bounded by the number of distinct (term, range)
+# pairs — ~33% of postings count on the bench corpus.
+HEAVY_DF = 1
+
+
+def pick_range_size(num_docs: int) -> int:
+    """Doc-range granularity for block-max pruning: power-of-two >= 64 chosen so
+    the corpus has at most ~4096 ranges (keeps per-query [Q, R] bound matrices
+    and per-term tables small while staying fine enough to prune)."""
+    size = 64
+    while num_docs // size > 4096:
+        size *= 2
+    return size
+
+
+def canonical_postings_order(term_ids, doc_ords, tfs, num_docs):
+    """Sort key for the canonical postings layout: (term, doc-range, impact desc,
+    doc asc). Range-major order makes each (term, range) a CONTIGUOUS span — the
+    unit the exact block-max pruner skips — while the impact sort within a range
+    preserves the high-impact-prefix semantics of approximate early termination
+    (searcher.maxpostings) at range granularity."""
+    range_size = pick_range_size(num_docs)
+    order = np.lexsort((doc_ords, -tfs, doc_ords // range_size, term_ids))
+    return order, range_size
+
+
+def build_prune_tables(term_offsets, doc_ids, tfs, norm_doclens, num_docs,
+                       range_size=None, heavy_df=HEAVY_DF):
+    """Block-max side tables for exact dynamic pruning (the TPU-native analog of
+    Lucene's per-block skip data + impact metadata, which WAND/MaxScore consume:
+    /root/reference/capreolus/searcher/anserini.py:151-176 runs exact BM25 over
+    Lucene's doc-ordered blocks). Postings MUST be in canonical
+    (term, range, impact desc) order.
+
+    Returns a dict of arrays:
+      range_size            scalar
+      rt_offsets [V+1]      CSR over table entries per term (empty for light terms)
+      rt_range   [E]        range id of each (term, nonempty-range) span
+      rt_start   [E]        posting offset where the span begins
+      rt_end     [E]        posting offset where the span ends
+      rt_max_tf  [E]        max term frequency within the span (= first posting's,
+                            thanks to the impact sort within ranges)
+      rt_min_dl  [E]        min quantized doc length within the span
+      gmax_tf    [V]        per-term global max tf (light-term bound)
+      gmin_dl    [V]        per-term global min quantized dl
+    """
+    if range_size is None:
+        range_size = pick_range_size(num_docs)
+    num_terms = len(term_offsets) - 1
+    nnz = len(doc_ids)
+    dl_of_posting = norm_doclens.astype(np.float32)[doc_ids]
+    tfs_f = tfs.astype(np.float32)
+
+    # per-term global bounds (all terms)
+    gmax_tf = np.zeros(num_terms, np.float32)
+    gmin_dl = np.full(num_terms, np.float32(np.inf))
+    starts = term_offsets[:-1]
+    nonempty = term_offsets[1:] > starts
+    if nnz:
+        gmax_tf[nonempty] = np.maximum.reduceat(tfs_f, starts[nonempty])
+        gmin_dl[nonempty] = np.minimum.reduceat(dl_of_posting, starts[nonempty])
+
+    # heavy terms: one entry per (term, nonempty range)
+    df = np.diff(term_offsets)
+    term_of_posting = np.repeat(np.arange(num_terms, dtype=np.int64), df)
+    heavy_posting = df[term_of_posting] >= heavy_df
+    ranges = (doc_ids.astype(np.int64) // range_size)
+    key = np.where(heavy_posting, term_of_posting * (num_docs // range_size + 2) + ranges, -1)
+    # spans are contiguous runs of equal key (postings already range-major)
+    if nnz:
+        is_start = np.concatenate([[True], key[1:] != key[:-1]]) & (key >= 0)
+    else:
+        is_start = np.zeros(0, bool)
+    entry_start = np.flatnonzero(is_start)
+    E = len(entry_start)
+    rt_start = entry_start.astype(np.int64)
+    # span end: next span start within the same term, else the term's end
+    entry_term = term_of_posting[entry_start] if E else np.zeros(0, np.int64)
+    rt_end = np.empty(E, np.int64)
+    if E:
+        rt_end[:-1] = rt_start[1:]
+        rt_end[-1] = term_offsets[entry_term[-1] + 1]
+        # fix ends at term boundaries
+        term_change = np.flatnonzero(entry_term[1:] != entry_term[:-1])
+        rt_end[term_change] = term_offsets[entry_term[term_change] + 1]
+    rt_range = ranges[entry_start].astype(np.int32) if E else np.zeros(0, np.int32)
+    rt_max_tf = tfs_f[entry_start] if E else np.zeros(0, np.float32)  # impact sort: first = max
+    # reduceat segments run start->next start; at term boundaries they may spill
+    # into the next (light) term's postings, which can only SHRINK the min ->
+    # a larger (still valid) upper bound. Exactness is unaffected.
+    rt_min_dl = (np.minimum.reduceat(dl_of_posting, rt_start) if E else np.zeros(0, np.float32))
+    rt_offsets = np.zeros(num_terms + 1, np.int64)
+    if E:
+        np.cumsum(np.bincount(entry_term, minlength=num_terms), out=rt_offsets[1:])
+    return {
+        "range_size": np.int64(range_size),
+        "rt_offsets": rt_offsets,
+        "rt_range": rt_range,
+        "rt_start": rt_start,
+        "rt_end": rt_end,
+        "rt_max_tf": rt_max_tf,
+        "rt_min_dl": rt_min_dl.astype(np.float32),
+        "gmax_tf": gmax_tf,
+        "gmin_dl": gmin_dl,
+    }
+
 
 class IndexData:
     """In-memory (host) view of the index artifacts; arrays are numpy, ready to be
     placed in HBM by the search engine."""
 
     def __init__(self, term_offsets, doc_ids, tfs, doclens, norm_doclens, docid_strings, vocab,
-                 fwd_offsets=None, fwd_term_ids=None, fwd_tfs=None):
+                 fwd_offsets=None, fwd_term_ids=None, fwd_tfs=None, prune_tables=None):
         self.term_offsets = term_offsets  # int64 [V+1]
-        self.doc_ids = doc_ids  # int32 [nnz], impact-sorted within each term
+        self.doc_ids = doc_ids  # int32 [nnz], canonical (range, impact desc) within each term
         self.tfs = tfs  # int32 [nnz]
         self.doclens = doclens  # int32 [N] exact lengths
         self.norm_doclens = norm_doclens  # int32 [N] Lucene-quantized lengths
@@ -48,6 +162,9 @@ class IndexData:
         self.fwd_offsets = fwd_offsets  # int64 [N+1]
         self.fwd_term_ids = fwd_term_ids  # int32 [nnz] sorted by doc
         self.fwd_tfs = fwd_tfs  # int32 [nnz]
+        # block-max side tables for exact dynamic pruning (build_prune_tables);
+        # None disables pruning (e.g. synthetic fixtures built in legacy order)
+        self.prune_tables = prune_tables
 
     @property
     def num_docs(self):
@@ -176,8 +293,10 @@ class TpuIndex(Index):
         tfs = np.concatenate(tf_chunks) if tf_chunks else np.zeros(0, dtype=np.int64)
         del term_chunks, doc_chunks, tf_chunks
 
-        # segmented sort: by term, then impact (tf desc), then doc id asc
-        order = np.lexsort((doc_ords, -tfs, term_ids))
+        # canonical segmented sort: by term, then doc range, then impact (tf desc),
+        # then doc id asc — range-major spans enable exact block-max pruning while
+        # the within-range impact sort keeps maxpostings' high-impact prefixes
+        order, range_size = canonical_postings_order(term_ids, doc_ords, tfs, num_docs)
         term_ids, doc_ords, tfs = term_ids[order], doc_ords[order], tfs[order]
 
         num_terms = len(vocab)
@@ -187,6 +306,9 @@ class TpuIndex(Index):
 
         doclens = np.asarray(doclens, dtype=np.int32)
         norm_doclens = quantize_lengths(doclens).astype(np.int32)
+        prune_tables = build_prune_tables(term_offsets, doc_ords.astype(np.int32),
+                                          tfs.astype(np.int32), norm_doclens, num_docs,
+                                          range_size=range_size)
 
         # forward index: same triples sorted by (doc, term)
         fwd_order = np.lexsort((term_ids, doc_ords))
@@ -208,6 +330,7 @@ class TpuIndex(Index):
             fwd_tfs=fwd_tfs,
             docid_strings=docid_strings,
             vocab=vocab,
+            prune_tables=prune_tables,
         )
         logger.info(
             "index built: %d docs, %d terms, %d postings, avgdl %.2f",
@@ -216,12 +339,14 @@ class TpuIndex(Index):
 
     @staticmethod
     def _save_artifacts(index_path, *, term_offsets, doc_ids, tfs, doclens, norm_doclens,
-                        fwd_offsets, fwd_term_ids, fwd_tfs, docid_strings, vocab):
+                        fwd_offsets, fwd_term_ids, fwd_tfs, docid_strings, vocab,
+                        prune_tables):
         terms_by_id = sorted(vocab, key=vocab.get)
         (index_path / "vocab.txt").write_text("\n".join(terms_by_id), encoding="utf-8")
         (index_path / "docids.txt").write_text("\n".join(docid_strings), encoding="utf-8")
         np.savez(
             index_path / "postings.npz",
+            layout_version=np.int64(LAYOUT_VERSION),
             term_offsets=term_offsets,
             doc_ids=doc_ids,
             tfs=tfs,
@@ -230,6 +355,7 @@ class TpuIndex(Index):
             fwd_offsets=fwd_offsets,
             fwd_term_ids=fwd_term_ids,
             fwd_tfs=fwd_tfs,
+            **{f"pt_{k}": v for k, v in prune_tables.items()},
         )
 
     # ------------------------------------------------------------------ load/access
@@ -239,6 +365,18 @@ class TpuIndex(Index):
         self.create_index()
         index_path = self.get_index_path()
         npz = np.load(index_path / "postings.npz")
+        found_version = int(npz["layout_version"]) if "layout_version" in npz.files else 0
+        if found_version != LAYOUT_VERSION:
+            # stale cache from an older postings layout: rebuild in place (the
+            # done file lives inside index_path, so removing the dir resets it)
+            logger.warning("index at %s uses postings layout v%d (current v%d); rebuilding",
+                           index_path, found_version, LAYOUT_VERSION)
+            npz.close()
+            import shutil
+
+            shutil.rmtree(index_path, ignore_errors=True)
+            self.create_index()
+            npz = np.load(index_path / "postings.npz")
         vocab_list = (index_path / "vocab.txt").read_text(encoding="utf-8").splitlines()
         docid_strings = (index_path / "docids.txt").read_text(encoding="utf-8").splitlines()
         self._data = IndexData(
@@ -252,6 +390,7 @@ class TpuIndex(Index):
             fwd_offsets=npz["fwd_offsets"],
             fwd_term_ids=npz["fwd_term_ids"],
             fwd_tfs=npz["fwd_tfs"],
+            prune_tables={k[3:]: npz[k] for k in npz.files if k.startswith("pt_")} or None,
         )
         self._docid_to_ord = {d: i for i, d in enumerate(docid_strings)}
         self._doc_offsets = np.load(index_path / "doc_offsets.npy")

@@ -190,6 +190,135 @@ class POSITDRMM(Reranker):
 
 
 # ------------------------------------------------------------------------- HINT
+class SpatialGRU2D(nn.Module):
+    """Faithful 2D spatial GRU (reference HINT.py:15-81 GRUCell2d/GRUModel2d):
+    each grid cell's hidden state depends on its left, top, and diagonal
+    neighbors through 3 sigmoid reset gates and 4 softmax-normalized update
+    gates. TPU-idiomatic formulation: a lax.scan over the Q+D-1 anti-diagonals,
+    with every cell on a diagonal computed in parallel (the wavefront carries
+    the previous two diagonals; a 2D RNN has no intra-diagonal dependencies).
+    Returns the bottom-right cell's hidden state, like the reference."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, s):  # s: [N, Q, D, C]
+        n, qlen, dlen, cdim = s.shape
+        h = self.hidden
+        std = 1.0 / np.sqrt(h)
+
+        def init(key, shape):
+            return jax.random.uniform(key, shape, minval=-std, maxval=std)
+
+        wrz_k = self.param("Wrz_kernel", init, (3 * h + cdim, 7 * h))
+        wrz_b = self.param("Wrz_bias", init, (7 * h,))
+        w_k = self.param("W_kernel", init, (cdim, h))
+        w_b = self.param("W_bias", init, (h,))
+        u_k = self.param("U_kernel", init, (3 * h, h))
+        u_b = self.param("U_bias", init, (h,))
+
+        def cell(x, hdiag, htop, hleft):
+            # reference input order: [h_top, h_left, h_diag, x] (HINT.py:44)
+            q = jnp.concatenate([htop, hleft, hdiag, x], axis=-1)
+            rz = q @ wrz_k + wrz_b
+            rl, rt, rd, zi, zl, zt, zd = jnp.split(rz, 7, axis=-1)
+            rl, rt, rd = nn.sigmoid(rl), nn.sigmoid(rt), nn.sigmoid(rd)
+            z = jax.nn.softmax(jnp.stack([zi, zl, zt, zd]), axis=0)
+            zi, zl, zt, zd = z[0], z[1], z[2], z[3]
+            # reference quirk mirrored exactly: gate order [rl, rt, rd]
+            # multiplies neighbor order [h_top, h_left, h_diag] (HINT.py:51-54)
+            t11 = jnp.concatenate([htop, hleft, hdiag], axis=-1)
+            r = jnp.concatenate([rl, rt, rd], axis=-1)
+            h1 = jnp.tanh(x @ w_k + w_b + (r * t11) @ u_k + u_b)
+            return zl * hleft + zt * htop + zd * hdiag + zi * h1
+
+        iq = jnp.arange(qlen)
+
+        def step(carry, d):
+            hm1, hm2 = carry  # hidden on diagonals d-1 and d-2: [N, Q, h]
+            j = d - iq  # the doc position of row i's cell on diagonal d
+            jc = jnp.clip(j, 0, dlen - 1)
+            x = jnp.take_along_axis(s, jc[None, :, None, None], axis=2)[:, :, 0, :]
+
+            def up(a):  # neighbor at row i-1 (zero border at i=0)
+                return jnp.concatenate([jnp.zeros_like(a[:, :1]), a[:, :-1]], axis=1)
+
+            hnew = cell(x, up(hm2), up(hm1), hm1)
+            valid = ((j >= 0) & (j < dlen))[None, :, None]
+            return (jnp.where(valid, hnew, 0.0), hm1), None
+
+        h0 = jnp.zeros((n, qlen, h), jnp.float32)
+        (hlast, _), _ = jax.lax.scan(step, (h0, h0), jnp.arange(qlen + dlen - 1))
+        return hlast[:, qlen - 1]  # h(Q-1, D-1): the bottom-right corner
+
+
+class HINTSpatialModel(nn.Module):
+    """Faithful HiNT (reference HINT.py:84-214): per-100-token passage windows,
+    3-channel spatial tensors (query projection, doc projection, similarity),
+    XOR + cosine matrices each run through a forward and a flipped 2D spatial
+    GRU, passage evidence accumulated by a BiLSTM, k-max pooled, scored."""
+
+    embedding_init: np.ndarray
+    hidden: int = 2  # config spatialGRU = the 2D GRU hidden size (HINT.py:97)
+    lstm_dim: int = 6
+    kmax: int = 10
+    window: int = 100  # fixed by the reference (HINT.py:88 "100: windows size")
+
+    @nn.compact
+    def __call__(self, querytoks, doctoks, query_idf):
+        embedding = self.param("embedding", lambda rng: jnp.asarray(self.embedding_init))
+        b, qlen = querytoks.shape
+        dlen = doctoks.shape[1]
+
+        m_cos = similarity_matrix(embedding, querytoks, doctoks)  # [B, Q, D] cosine
+        m_xor = exact_match_matrix(querytoks, doctoks)
+        # reference masks positions where BOTH query and doc are padding
+        # (HINT.py:252-253: product of the two pad masks)
+        pad_mask = ((querytoks == 0)[:, :, None] & (doctoks == 0)[:, None, :]).astype(jnp.float32)
+
+        qvec = jnp.take(embedding, jnp.clip(querytoks, 0), axis=0)
+        dvec = jnp.take(embedding, jnp.clip(doctoks, 0), axis=0)
+        ws = nn.Dense(1, name="Ws")
+        x_i = ws(qvec)[:, :, 0]  # [B, Q]
+        y_j = ws(dvec)[:, :, 0]  # [B, D]
+
+        # split the document into P fixed windows (clamped for docs shorter
+        # than the reference's 100-token window)
+        w = min(self.window, dlen)
+        p = max(1, dlen // w)
+        trunc = p * w
+
+        def windows(m):  # [B, Q, D] -> [B, P, Q, W]
+            return m[:, :, :trunc].reshape(b, qlen, p, w).transpose(0, 2, 1, 3)
+
+        def stack_channels(m):  # -> [B, P, Q, W, 3]
+            xi = jnp.broadcast_to(x_i[:, None, :, None], (b, p, qlen, w))
+            yj = jnp.broadcast_to(y_j[:, :trunc].reshape(b, p, 1, w), (b, p, qlen, w))
+            s = jnp.stack([xi, yj, windows(m)], axis=-1)
+            return s * (1.0 - windows(pad_mask))[..., None]
+
+        s_cos = stack_channels(m_cos).reshape(b * p, qlen, w, 3)
+        s_xor = stack_channels(m_xor).reshape(b * p, qlen, w, 3)
+        both = jnp.concatenate([s_xor, s_cos], axis=0)  # [2*B*P, Q, W, 3]
+        h_fwd = SpatialGRU2D(self.hidden, name="GRU2d1")(both)  # [2BP, h]
+        h_inv = SpatialGRU2D(self.hidden, name="GRU2d3")(jnp.flip(both, axis=(1, 2)))
+        e = jnp.concatenate(
+            [h_fwd[: b * p], h_fwd[b * p:], h_inv[: b * p], h_inv[b * p:]], axis=-1
+        ).reshape(b, p, 4 * self.hidden)  # [B, P, 8]: xor+cos, fwd+inv
+
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim), name="lstm_fwd")(e)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim), name="lstm_bwd", reverse=True)(e)
+        lstm_out = fwd + bwd  # reference sums the directions (HINT.py:201)
+        vt = jnp.tanh(nn.Dense(self.lstm_dim, name="Wv")(e))
+        evidence = jnp.concatenate([vt, lstm_out], axis=1)  # [B, 2P, lstm_dim]
+        k = min(self.kmax, evidence.shape[1])
+        top, _ = jax.lax.top_k(evidence.transpose(0, 2, 1), k)  # [B, lstm_dim, kmax]
+        if k < self.kmax:  # pad so the fc layer has the reference's 6*kmax width
+            top = jnp.concatenate(
+                [top, jnp.zeros((b, self.lstm_dim, self.kmax - k))], axis=-1)
+        return nn.Dense(1, name="fc")(top.reshape(b, -1))[:, 0]
+
+
 class HINTModel(nn.Module):
     embedding_init: np.ndarray
     lstm_dim: int = 6
@@ -228,7 +357,9 @@ class HINTModel(nn.Module):
 @Reranker.register
 class HINT(Reranker):
     """Yixing Fan et al. 2018. Modeling Diverse Relevance Patterns in Ad-hoc Retrieval
-    (parity: HINT.py:328; the spatial GRU is modeled with windowed BiGRU accumulation)."""
+    (parity: HINT.py:328). Default mode=spatial runs the faithful 2D spatial GRU
+    (anti-diagonal wavefront scan, referee-tested against a numpy recurrence in
+    tests/test_sequence_models.py); mode=windowed is the fast BiGRU stand-in."""
 
     module_name = "HINT"
     dependencies = [
@@ -236,16 +367,31 @@ class HINT(Reranker):
         Dependency(key="trainer", module="trainer", name="jax"),
     ]
     config_spec = [
-        ConfigOption("spatialGRU", 2, "spatial GRU depth"),
+        ConfigOption("spatialGRU", 2, "2D spatial GRU hidden size (reference HINT.py:97); "
+                     "in mode=windowed, the BiGRU stack depth"),
         ConfigOption("LSTMdim", 6, "recurrent hidden size"),
         ConfigOption("kmax", 10, "k-max signals kept"),
+        ConfigOption("mode", "spatial", "spatial (faithful anti-diagonal 2D GRU) or "
+                     "windowed (fast BiGRU accumulation stand-in)"),
     ]
+
+    def build(self):
+        from capreolus_tpu.core import ConfigError
+
+        if self.config["mode"] not in ("spatial", "windowed"):
+            raise ConfigError(f"HINT.mode must be 'spatial' or 'windowed', got {self.config['mode']!r}")
 
     def build_model(self):
         if not hasattr(self, "model"):
-            self.model = HINTModel(embedding_init=self.extractor.embeddings,
-                                   lstm_dim=self.config["LSTMdim"], kmax=self.config["kmax"],
-                                   depth=int(self.config["spatialGRU"]))
+            if self.config["mode"] == "spatial":
+                self.model = HINTSpatialModel(embedding_init=self.extractor.embeddings,
+                                              hidden=int(self.config["spatialGRU"]),
+                                              lstm_dim=self.config["LSTMdim"],
+                                              kmax=self.config["kmax"])
+            else:
+                self.model = HINTModel(embedding_init=self.extractor.embeddings,
+                                       lstm_dim=self.config["LSTMdim"], kmax=self.config["kmax"],
+                                       depth=int(self.config["spatialGRU"]))
         return self.model
 
     def trainable(self, path, value):

@@ -155,13 +155,24 @@ def _bucket(n: int, minimum: int = 64) -> int:
 
 
 class DeviceIndex:
-    """HBM-resident tiled postings + statistics tables."""
+    """Tiled postings + statistics tables: HBM-resident by default, or
+    host-streaming for corpora whose tiles exceed ``hbm_budget`` bytes.
 
-    def __init__(self, index_data, device=None):
+    Streaming mode is the TPU-native analog of Lucene's disk-resident postings
+    (/root/reference/capreolus/index/anserini.py:22-71 builds GOV2-scale indexes
+    bounded by disk, not RAM): tile arrays stay in host RAM and each query
+    batch uploads only its working set — the union of tiles its work units
+    touch — as compact buffers that are jit ARGUMENTS (bucketed shapes), with
+    unit tile-indices remapped into the buffer. Dispatch stays async, so
+    uploads for batch i+1 overlap batch i's compute; block-max pruning and
+    maxpostings caps shrink the working set before it is ever transferred."""
+
+    def __init__(self, index_data, device=None, hbm_budget=None):
         self.host = index_data
         nnz = len(index_data.doc_ids)
         n_tiles = max(1, (nnz + TILE - 1) // TILE)
         padded = n_tiles * TILE
+        self.n_tiles = n_tiles
 
         doc_ids = np.full(padded, index_data.num_docs, dtype=np.int32)
         doc_ids[:nnz] = index_data.doc_ids
@@ -169,27 +180,42 @@ class DeviceIndex:
         tfs[:nnz] = index_data.tfs
 
         put = functools.partial(jax.device_put, device=device)
-        self.doc_tiles = put(doc_ids.reshape(n_tiles, TILE))
 
         # bf16 posting payloads where exact: SmallFloat-quantized doc lengths keep
         # <= 4 significant bits (always bf16-exact); term freqs are bf16-exact up
         # to 256 (guarded per index). Halves the hot-path gather bandwidth.
-        def compact_f(arr):
+        def compact_np(arr):
             if arr.max() <= 256 or (arr == arr.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)).all():
-                return jnp.asarray(arr, dtype=jnp.bfloat16)
-            return jnp.asarray(arr, dtype=jnp.float32)
+                return np.asarray(jnp.asarray(arr, dtype=jnp.bfloat16))
+            return arr.astype(np.float32)
 
-        self.tf_tiles = put(compact_f(tfs.reshape(n_tiles, TILE)))
-        # posting-aligned doc lengths: avoids a 1-element-per-posting random gather
-        # on the hot path (one extra value per posting in HBM)
         norm_dl_table = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
         exact_dl_table = np.append(index_data.doclens.astype(np.float32), 1.0)
-        self.norm_dl_tiles = put(compact_f(norm_dl_table[doc_ids].reshape(n_tiles, TILE)))
-        # exact (unquantized) posting-aligned doc lengths are only needed by the
-        # QL/DFR model family; materialize lazily so BM25-only deployments keep
-        # 8 B/posting in HBM instead of 12 (PERF.md index-memory section)
-        self._exact_dl_tiles = None
-        self._exact_dl_src = (exact_dl_table, doc_ids.reshape(n_tiles, TILE), put)
+
+        tf_np = compact_np(tfs.reshape(n_tiles, TILE))
+        norm_dl_np = compact_np(norm_dl_table[doc_ids].reshape(n_tiles, TILE))
+        tile_bytes = doc_ids.nbytes + tf_np.nbytes + norm_dl_np.nbytes
+        self.tile_bytes = tile_bytes
+        self.streaming = hbm_budget is not None and tile_bytes > hbm_budget
+        if self.streaming:
+            logger.info("postings tiles (%.1f MB) exceed the HBM budget (%.1f MB): "
+                        "host-streaming mode (per-batch working-set uploads)",
+                        tile_bytes / 1e6, hbm_budget / 1e6)
+            # pinned host arrays; the per-batch working set is gathered from these
+            self.doc_tiles_np = doc_ids.reshape(n_tiles, TILE)
+            self.tf_tiles_np = tf_np
+            self.norm_dl_tiles_np = norm_dl_np
+            self._exact_dl_tiles_np = None
+            self._exact_dl_src = (exact_dl_table, self.doc_tiles_np, None)
+        else:
+            self.doc_tiles = put(doc_ids.reshape(n_tiles, TILE))
+            self.tf_tiles = put(jnp.asarray(tf_np))
+            self.norm_dl_tiles = put(jnp.asarray(norm_dl_np))
+            # exact (unquantized) posting-aligned doc lengths are only needed by the
+            # QL/DFR model family; materialize lazily so BM25-only deployments keep
+            # 8 B/posting in HBM instead of 12 (PERF.md index-memory section)
+            self._exact_dl_tiles = None
+            self._exact_dl_src = (exact_dl_table, doc_ids.reshape(n_tiles, TILE), put)
         self.norm_dl = put(norm_dl_table)
         self.exact_dl = put(exact_dl_table)
 
@@ -198,6 +224,11 @@ class DeviceIndex:
         self.avgdl = float(index_data.avgdl)
         self.total_terms = float(index_data.total_term_count)
         self.term_offsets = index_data.term_offsets  # host-side for work-unit building
+        # host postings stay reachable for capped-span / pruning span building
+        self.host_tfs = index_data.tfs
+        # block-max side tables (index/tpu.py build_prune_tables); None on
+        # legacy-layout fixtures -> exact pruning auto-disables
+        self.prune = getattr(index_data, "prune_tables", None)
         self.df = index_data.df_array.astype(np.float64)
         self.cf = index_data.cf_array.astype(np.float64)
         # Lucene BM25 idf
@@ -212,6 +243,13 @@ class DeviceIndex:
             exact_dl_table, doc_tile_ids, put = self._exact_dl_src
             self._exact_dl_tiles = put(exact_dl_table[doc_tile_ids].astype(np.float32))
         return self._exact_dl_tiles
+
+    @property
+    def exact_dl_tiles_np(self):
+        if self._exact_dl_tiles_np is None:
+            exact_dl_table, doc_tile_ids, _ = self._exact_dl_src
+            self._exact_dl_tiles_np = exact_dl_table[doc_tile_ids].astype(np.float32)
+        return self._exact_dl_tiles_np
 
 
 class TieredResult:
@@ -277,6 +315,9 @@ class ScoringEngine:
 
     def __init__(self, device_index: DeviceIndex):
         self.dindex = device_index
+        self._cap_cache = {}  # (term_id, cap) -> kept-span arrays for maxpostings
+        self._theta_cache = {}  # (term_id, (k1, b)) -> span-head (docs, contributions)
+        self._prune_effective = {}  # (topk, k1, b) -> sticky does-pruning-pay decision
 
     def _check_accumulator_bounds(self, num_queries: int):
         # the exact path's flat accumulator index qidx * (num_docs+1) + doc is
@@ -408,33 +449,90 @@ class ScoringEngine:
                 return tuple(tiers)
             lanes *= 4
 
-    def _build_tiered(self, term_lists, model, max_postings: int = 0):
-        """Host side: tier-sort queries, pad each query's units to its tier width.
+    def _flat_terms(self, term_lists, model):
+        """Flatten term_lists into per-(query, term) arrays with postings spans.
 
-        Returns (packed [5, u_pad], tiers [(uw, qt_real)], u0s, inv_order, r_max).
-        ``max_postings`` is an explicit parameter, not instance state (ADVICE round 2).
-        """
+        Returns (tids, qix, starts, ends, w1, w2) — query-major order, empty
+        terms dropped."""
         d = self.dindex
-        nq = len(term_lists)
         w2_source = _W2_SOURCE[model]
-        r_max = _bucket(max((len(t) for t in term_lists), default=1), minimum=4)
-
         tids = np.fromiter((t for terms in term_lists for t, _ in terms), dtype=np.int64)
         qw = np.fromiter((w for terms in term_lists for _, w in terms), dtype=np.float64)
         qix = np.fromiter((q for q, terms in enumerate(term_lists) for _ in terms),
                           dtype=np.int32, count=len(tids))
         if len(tids):
-            starts = d.term_offsets[tids]
-            ends = d.term_offsets[tids + 1]
-            if max_postings > 0:
-                # impact-ordered early termination: keep each term's high-impact prefix
-                ends = np.minimum(ends, starts + max_postings)
+            starts = d.term_offsets[tids].astype(np.int64)
+            ends = d.term_offsets[tids + 1].astype(np.int64)
             keep = ends > starts
             tids, qw, qix, starts, ends = tids[keep], qw[keep], qix[keep], starts[keep], ends[keep]
         else:
             starts = ends = np.zeros(0, np.int64)
         w1, w2 = self._term_weights(model, w2_source, tids, qw)
+        return tids, qix, starts, ends, w1, w2
 
+    def _cap_runs(self, tid, start, end, cap):
+        """Early-termination cap on one term: the kept set is all postings whose
+        impact (tf) is >= the term's cap-th largest (ties included) — the same
+        "top-N highest-impact postings" semantics as the round-2 global prefix.
+        Against the canonical range-major layout the kept postings form one
+        contiguous run per range (each range's impact-sorted head), so the result
+        is a list of spans, cached per (term, cap). Returns (starts[], ends[])
+        in absolute posting offsets."""
+        df = int(end - start)
+        key = (int(tid), int(cap))
+        cached = self._cap_cache.get(key)
+        if cached is None:
+            tfs = np.asarray(self.dindex.host_tfs[start:end])
+            tau = np.partition(tfs, df - cap)[df - cap]  # cap-th largest tf
+            m = np.concatenate([[False], tfs >= tau, [False]])
+            idx = np.flatnonzero(m[1:] != m[:-1])  # run boundaries
+            cached = (start + idx[0::2], start + idx[1::2])
+            self._cap_cache[key] = cached
+        return cached
+
+    def _capped_spans(self, tids, qix, starts, ends, w1, w2, cap):
+        """Apply the early-termination cap (an int, or a callable df -> cap),
+        expanding capped terms into their per-range head spans. Query-major
+        order is preserved."""
+        cap_of = cap if callable(cap) else (lambda df: cap)
+        oq, os_, oe, ow1, ow2 = [], [], [], [], []
+        for i in range(len(tids)):
+            df = int(ends[i] - starts[i])
+            c = int(cap_of(df))
+            if c >= df:
+                s, e = np.asarray([starts[i]]), np.asarray([ends[i]])
+            else:
+                s, e = self._cap_runs(tids[i], starts[i], ends[i], c)
+            oq.append(np.full(len(s), qix[i], np.int32))
+            os_.append(np.asarray(s, np.int64))
+            oe.append(np.asarray(e, np.int64))
+            ow1.append(np.full(len(s), w1[i], np.float32))
+            ow2.append(np.full(len(s), w2[i], np.float32))
+        if not oq:
+            return qix, starts, ends, w1, w2
+        return (np.concatenate(oq), np.concatenate(os_), np.concatenate(oe),
+                np.concatenate(ow1).astype(np.float32), np.concatenate(ow2).astype(np.float32))
+
+    def _build_tiered(self, term_lists, model, max_postings: int = 0, spans=None):
+        """Host side: tier-sort queries, pad each query's units to its tier width.
+
+        Returns (packed [5, u_pad], tiers [(uw, qt_real)], u0s, inv_order, r_max).
+        ``spans`` (qix, starts, ends, w1, w2) overrides term_lists-derived spans
+        (used by the block-max pruned path). ``max_postings`` is an explicit
+        parameter, not instance state (ADVICE round 2)."""
+        nq = len(term_lists)
+        # max duplicate copies of one doc in a query row = number of terms (spans
+        # of the same term are doc-disjoint), regardless of spans-per-term
+        r_max = _bucket(max((len(t) for t in term_lists), default=1), minimum=4)
+        if spans is None:
+            tids, qix, starts, ends, w1, w2 = self._flat_terms(term_lists, model)
+            if max_postings > 0:
+                qix, starts, ends, w1, w2 = self._capped_spans(tids, qix, starts, ends, w1, w2, max_postings)
+        else:
+            qix, starts, ends, w1, w2 = spans
+        return self._build_tiered_from_spans(nq, r_max, qix, starts, ends, w1, w2)
+
+    def _build_tiered_from_spans(self, nq, r_max, qix, starts, ends, w1, w2):
         t0 = starts // TILE
         t1 = (ends - 1) // TILE
         counts = (t1 - t0 + 1).astype(np.int64)
@@ -466,33 +564,56 @@ class ScoringEngine:
         dest_unit = (qbase_units[newq] + slot_in_q) if total else np.zeros(0, np.int64)
 
         total_units = int(tier_widths.sum()) if nq else 1
-        u_pad = _bucket(total_units)
-        packed = np.zeros((5, u_pad), dtype=np.int32)
-        packed[0, dest_unit] = tile
-        packed[1, dest_unit] = uw1.view(np.int32)
-        packed[2, dest_unit] = uw2.view(np.int32)
-        packed[3, dest_unit] = lo
-        packed[4, dest_unit] = hi  # pad units keep hi = 0 -> fully masked
 
         # per-tier unit offsets (traced scalars, not compile keys)
         tub = np.cumsum(np.concatenate([[0], tier_counts * np.asarray(ladder)]))
         tiers = []
         u0s = []
         qbase = 0
+        need_units = total_units
         for t, uw in enumerate(ladder):
             qt = int(tier_counts[t])
             if qt == 0:
                 continue
-            tiers.append((int(uw), _bucket(qt, minimum=4), qt, qbase))
+            qt_pad = _bucket(qt, minimum=4)
+            tiers.append((int(uw), qt_pad, qt, qbase))
             u0s.append(int(tub[t]))
+            # the kernel slices qt_pad (BUCKETED) rows of width uw from u0: the
+            # packed array must cover the padded slice, not just the real units
+            need_units = max(need_units, int(tub[t]) + qt_pad * int(uw))
             qbase += qt
+
+        u_pad = _bucket(need_units)
+        packed = np.zeros((5, u_pad), dtype=np.int32)
+        packed[0, dest_unit] = tile
+        packed[1, dest_unit] = uw1.view(np.int32)
+        packed[2, dest_unit] = uw2.view(np.int32)
+        packed[3, dest_unit] = lo
+        packed[4, dest_unit] = hi  # pad units keep hi = 0 -> fully masked
         return packed, tiers, np.asarray(u0s, np.int32), inv_order, r_max
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "model", "topk", "param_axes", "r_max", "tier_shapes", "score_dtype", "pack_ords"))
     def _score_tiered(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
                       pack_ords, packed, u0s, params):
-        """Fused per-batch executable: score all lanes, then per-tier sort-dedup-rank.
+        """Fused per-batch executable over the HBM-resident tiles."""
+        d = self.dindex
+        return self._tiered_impl(model, topk, param_axes, r_max, tier_shapes, score_dtype,
+                                 pack_ords, packed, u0s, params, d.doc_tiles, d.tf_tiles,
+                                 d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles)
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "model", "topk", "param_axes", "r_max", "tier_shapes", "score_dtype", "pack_ords"))
+    def _score_tiered_streaming(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
+                                pack_ords, packed, u0s, params, doc_buf, tf_buf, dl_buf):
+        """Same executable over a host-streamed working-set buffer (jit args, so
+        the per-batch uploads are real data transfers, never compile payloads)."""
+        return self._tiered_impl(model, topk, param_axes, r_max, tier_shapes, score_dtype,
+                                 pack_ords, packed, u0s, params, doc_buf, tf_buf, dl_buf)
+
+    def _tiered_impl(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
+                     pack_ords, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
+        """Score all lanes, then per-tier sort-dedup-rank.
 
         tier_shapes: ((unit_width, qt_pad), ...) static; u0s: per-tier unit offsets.
         Returns a list of (scores [*grid, qt_pad, topk], ords) per tier.
@@ -502,9 +623,9 @@ class ScoringEngine:
         w1 = jax.lax.bitcast_convert_type(packed[1], jnp.float32)
         w2 = jax.lax.bitcast_convert_type(packed[2], jnp.float32)
         lo, hi = packed[3], packed[4]
-        docs = jnp.take(d.doc_tiles, tile_idx, axis=0)
-        tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)
-        dl = jnp.take(d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles, tile_idx, axis=0)
+        docs = jnp.take(doc_tiles, tile_idx, axis=0)
+        tfs = jnp.take(tf_tiles, tile_idx, axis=0)
+        dl = jnp.take(dl_tiles, tile_idx, axis=0)
         pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
         mask = (pos >= lo[:, None]) & (pos < hi[:, None])
         docs = jnp.where(mask, docs, d.num_docs)
@@ -561,6 +682,215 @@ class ScoringEngine:
 
         return fn(params)
 
+    # ------------------------------------------------------------------ host streaming
+    def _stream_working_set(self, packed, model):
+        """Gather the batch's working set — the unique tiles its units touch —
+        from the host-resident tile arrays into compact buffers, and remap the
+        units' tile indices into the buffer. Buffer rows are bucketed to powers
+        of two to bound recompilation; pad rows carry sentinel docs (masked by
+        hi=0 anyway). Transfers overlap compute because dispatch is async."""
+        d = self.dindex
+        uniq, remap = np.unique(packed[0], return_inverse=True)
+        n_buf = _bucket(len(uniq), minimum=64)
+        doc_buf = np.full((n_buf, TILE), d.num_docs, np.int32)
+        doc_buf[: len(uniq)] = d.doc_tiles_np[uniq]
+        tf_buf = np.zeros((n_buf, TILE), d.tf_tiles_np.dtype)
+        tf_buf[: len(uniq)] = d.tf_tiles_np[uniq]
+        dl_src = d.norm_dl_tiles_np if model == "bm25" else d.exact_dl_tiles_np
+        dl_buf = np.ones((n_buf, TILE), dl_src.dtype)
+        dl_buf[: len(uniq)] = dl_src[uniq]
+        packed = packed.copy()
+        packed[0] = remap.astype(np.int32)
+        self.last_stream_stats = {"tiles_uploaded": int(len(uniq)),
+                                  "bytes_uploaded": int(doc_buf.nbytes + tf_buf.nbytes + dl_buf.nbytes),
+                                  "total_tiles": int(d.n_tiles)}
+        return packed, (doc_buf, tf_buf, dl_buf)
+
+    # ------------------------------------------------------------------ block-max pruning
+    # Exact dynamic pruning (the TPU-native analog of WAND/MaxScore over Lucene's
+    # block-max skip data — matching the exact semantics of
+    # /root/reference/capreolus/searcher/anserini.py:151-176): a FREE host-side
+    # threshold theta_q lower-bounds the true k-th best score using achievable
+    # single-posting contributions (each (term, range) span head is a real
+    # posting, so a doc's full score is >= the sum of its head contributions);
+    # the device pass then skips every doc range R whose score upper bound
+    # U_q(R) = sum over query terms of the term's max possible contribution
+    # within R is STRICTLY below theta_q. Any doc in a skipped range has true
+    # score <= U_q(R) < theta_q <= true k-th best, so no top-k doc (tie-breaks
+    # included) is ever skipped, and all surviving docs score exactly — the
+    # pruned result is bit-identical to exhaustive scoring, in ONE device pass.
+
+    def supports_pruning(self, model="bm25", grid=None, max_postings_per_term=0):
+        """Exact pruning needs BM25 (monotone bound: contribution increases in tf,
+        decreases in dl for any k1/b), a single parameter point, no approximate
+        cap, and an index built with block-max tables (canonical range layout)."""
+        return (model == "bm25" and not grid and not max_postings_per_term
+                and self.dindex.prune is not None)
+
+    def compute_theta(self, term_lists, params=None, topk=1000):
+        """Host-side pruning thresholds, [Q] f32: the k-th best achievable score
+        among span-head postings (summed per doc — a doc's true score is >= the
+        sum of its single-term head contributions). -1 when a query has fewer
+        than k head candidates (pruning disabled for it). No device work."""
+        params = dict(params or {})
+        k1, b = float(params["k1"]), float(params["b"])
+        topk = min(topk, self.dindex.num_docs)
+        pt = self.dindex.prune
+        d = self.dindex
+        cache_key_params = (k1, b)
+        theta = np.full(len(term_lists), -1.0, dtype=np.float32)
+        for q, terms in enumerate(term_lists):
+            docs_parts, c_parts = [], []
+            for t, w in terms:
+                cached = self._theta_cache.get((t, cache_key_params))
+                if cached is None:
+                    a, b_ = int(pt["rt_offsets"][t]), int(pt["rt_offsets"][t + 1])
+                    heads = pt["rt_start"][a:b_]
+                    hd = d.host.doc_ids[heads]
+                    tf_h = d.host_tfs[heads].astype(np.float64)
+                    dl_h = d.host.norm_doclens[hd].astype(np.float64)
+                    c = d.idf[t] * tf_h / (tf_h + k1 * (1.0 - b + b * dl_h / d.avgdl))
+                    cached = (hd, c)
+                    self._theta_cache[(t, cache_key_params)] = cached
+                docs_parts.append(cached[0])
+                c_parts.append(cached[1] * w)
+            if not docs_parts:
+                continue
+            dd = np.concatenate(docs_parts)
+            cc = np.concatenate(c_parts)
+            if len(dd) < topk:
+                continue
+            # top (2k) entries, then dedup-by-doc with per-doc sums (valid lower
+            # bounds); k-th best of those is a valid theta
+            m = min(len(cc), 2 * topk)
+            sel = np.argpartition(cc, len(cc) - m)[len(cc) - m:]
+            dd, cc = dd[sel], cc[sel]
+            o = np.argsort(dd)
+            dd, cc = dd[o], cc[o]
+            seg = np.concatenate([[0], np.flatnonzero(dd[1:] != dd[:-1]) + 1])
+            sums = np.add.reduceat(cc, seg)
+            if len(sums) >= topk:
+                theta[q] = np.partition(sums, len(sums) - topk)[len(sums) - topk]
+        return theta
+
+    # when pruning keeps more than this fraction of device tiles, the batch
+    # falls back to the exhaustive span set (pruning is then a no-op and the
+    # extra host work / irregular unit shapes buy nothing)
+    PRUNE_MIN_TILE_SAVINGS = 0.1
+
+    def _spans_pruned(self, term_lists, model, params, theta):
+        """Build the phase-2 span set: keep only the (term, doc-range) spans of
+        ranges whose bound survives theta, COARSENED to the device's 512-lane
+        tile grid. The device can only skip whole tiles, so surviving ranges
+        expand to the tiles containing them (a superset — extra docs from pruned
+        ranges carry partial scores strictly below theta and cannot enter the
+        top-k, so exactness is preserved) and the span count per term is bounded
+        by its tile count, never more device units than exhaustive scoring.
+        Returns None when pruning would keep nearly all tiles (caller falls back
+        to the exhaustive path)."""
+        pt = self.dindex.prune
+        k1, b = float(params["k1"]), float(params["b"])
+        avgdl = self.dindex.avgdl
+        tids, qix, starts, ends, w1, w2 = self._flat_terms(term_lists, model)
+        rt_off, rt_range = pt["rt_offsets"], pt["rt_range"]
+        rt_start, rt_end = pt["rt_start"], pt["rt_end"]
+        rt_max_tf, rt_min_dl = pt["rt_max_tf"], pt["rt_min_dl"]
+        range_size = int(pt["range_size"])
+        num_ranges = (self.dindex.num_docs + range_size - 1) // range_size
+
+        def ub(tf, dl, w):  # BM25 contribution upper bound at (max tf, min dl)
+            return w * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+        oq, os_, oe, ow1, ow2 = [], [], [], [], []
+        total_tiles = kept_tiles = 0
+        kept_lanes = total_lanes = 0
+        bounds = np.searchsorted(qix, np.arange(len(term_lists) + 1))
+        for q in range(len(term_lists)):
+            idx = range(int(bounds[q]), int(bounds[q + 1]))
+            th = float(theta[q])
+            prunable = [i for i in idx if rt_off[tids[i] + 1] > rt_off[tids[i]]] if th > 0 else []
+            U = None
+            if prunable:
+                U = np.zeros(num_ranges, dtype=np.float64)
+                for i in idx:
+                    a, b_ = int(rt_off[tids[i]]), int(rt_off[tids[i] + 1])
+                    if b_ > a:
+                        U[rt_range[a:b_]] += ub(rt_max_tf[a:b_].astype(np.float64),
+                                                rt_min_dl[a:b_].astype(np.float64), float(w1[i]))
+                    else:  # term without tables: charge its global bound everywhere
+                        U += ub(float(pt["gmax_tf"][tids[i]]), float(pt["gmin_dl"][tids[i]]),
+                                float(w1[i]))
+                # strict skip below theta, with a safety margin for f32-vs-f64
+                # rounding between the device score sum and the host bound
+                keep = U * (1.0 + 1e-5) + 1e-6 >= th
+            for i in idx:
+                start, end = int(starts[i]), int(ends[i])
+                n_tiles_full = (end - 1) // TILE - start // TILE + 1
+                total_tiles += n_tiles_full
+                total_lanes += end - start
+                if U is None or i not in prunable:
+                    cs, ce = np.asarray([start], np.int64), np.asarray([end], np.int64)
+                else:
+                    a, b_ = int(rt_off[tids[i]]), int(rt_off[tids[i] + 1])
+                    sel = keep[rt_range[a:b_]]
+                    if not sel.any():
+                        continue
+                    s_sel, e_sel = rt_start[a:b_][sel], rt_end[a:b_][sel]
+                    kept_lanes += int((e_sel - s_sel).sum())
+                    # snap survivors outward to the GLOBAL tile grid, then merge
+                    # overlapping/adjacent intervals (entries are start-sorted)
+                    s_k = np.maximum(start, (s_sel // TILE) * TILE)
+                    e_k = np.minimum(end, ((e_sel - 1) // TILE + 1) * TILE)
+                    cm = np.maximum.accumulate(e_k)
+                    brk = np.flatnonzero(s_k[1:] > cm[:-1])
+                    cs = s_k[np.concatenate([[0], brk + 1])].astype(np.int64)
+                    ce = cm[np.concatenate([brk, [len(s_k) - 1]])].astype(np.int64)
+                if U is None or i not in prunable:
+                    kept_lanes += end - start
+                kept_tiles += int(((ce - 1) // TILE - cs // TILE + 1).sum())
+                oq.append(np.full(len(cs), qix[i], np.int32))
+                os_.append(cs)
+                oe.append(ce)
+                ow1.append(np.full(len(cs), w1[i], np.float32))
+                ow2.append(np.full(len(cs), w2[i], np.float32))
+        self.last_prune_stats = {"total_lanes": total_lanes, "kept_lanes": kept_lanes,
+                                 "total_tiles": total_tiles, "kept_tiles": kept_tiles}
+        if kept_tiles > (1.0 - self.PRUNE_MIN_TILE_SAVINGS) * total_tiles:
+            return None  # not enough tile-level savings: run exhaustive
+        if not oq:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32), np.zeros(0, np.float32))
+        return (np.concatenate(oq), np.concatenate(os_), np.concatenate(oe),
+                np.concatenate(ow1), np.concatenate(ow2))
+
+    def search_pruned(self, term_lists, model="bm25", params=None, topk=1000, **kw):
+        """Exact block-max pruned search: free host-side thresholds + ONE pruned
+        device pass. Results are bit-identical to search() without pruning.
+
+        Adaptive: the first batch probes whether tile-level pruning actually
+        drops device work on this corpus (it does when postings are doc-id
+        clustered — real corpora / reordered ids; it cannot on uniformly random
+        doc assignment). An ineffective probe makes the decision sticky so later
+        batches skip the host-side bound work entirely (zero overhead)."""
+        key = (int(topk), float(params["k1"]), float(params["b"]))
+        if self._prune_effective.get(key) is False:
+            return self.search(term_lists, model=model, params=params, topk=topk,
+                               exact_topk=False, **kw)
+        theta = self.compute_theta(term_lists, params=params, topk=topk)
+        spans = self._spans_pruned(term_lists, model, params, theta)
+        if spans is None:
+            if key not in self._prune_effective:
+                logger.info("block-max pruning ineffective at this corpus/topk "
+                            "(kept %.0f%% of tiles); falling back to exhaustive scoring",
+                            100.0 * self.last_prune_stats["kept_tiles"]
+                            / max(1, self.last_prune_stats["total_tiles"]))
+            self._prune_effective[key] = False
+            return self.search(term_lists, model=model, params=params, topk=topk,
+                               exact_topk=False, **kw)
+        self._prune_effective[key] = True
+        return self.search(term_lists, model=model, params=params, topk=topk,
+                           prune_spans=spans, exact_topk=False, **kw)
+
     # ------------------------------------------------------------------ public API
     def search(
         self,
@@ -574,14 +904,22 @@ class ScoringEngine:
         score_dtype: str = "float32",
         pack_ords: bool = False,
         max_postings_per_term: int = 0,
+        prune_theta=None,
+        prune_spans=None,
     ):
         """Score a batch of queries; returns (scores, doc_ords) numpy arrays.
 
         ``max_postings_per_term`` > 0 enables impact-ordered early termination:
-        only each term's highest-impact prefix of that many postings is scored
-        (postings are impact-sorted at index build, index/tpu.py). APPROXIMATE —
-        returned scores are partial sums (always <= the exact score); recall
-        degrades gracefully with the cap. 0 = exact (default).
+        only each term's top-N highest-impact postings are scored (ties at the
+        N-th impact included; per-range head spans against the canonical
+        range-major layout, index/tpu.py). APPROXIMATE — returned scores are
+        partial sums (always <= the exact score); recall degrades gracefully
+        with the cap. 0 = exact (default).
+
+        ``prune_theta`` ([Q] f32 from threshold_pass().get()) enables EXACT
+        block-max dynamic pruning: doc ranges provably below each query's
+        threshold are skipped; results are bit-identical to exhaustive scoring
+        (see the block-max section above). Requires supports_pruning().
 
         Without ``grid``: shapes [Q, topk]. With ``grid`` (param -> list of values):
         shapes [len(v1), ..., len(vk), Q, topk] with axes ordered by sorted param name.
@@ -597,7 +935,21 @@ class ScoringEngine:
         topk = min(topk, self.dindex.num_docs)
         max_postings = int(max_postings_per_term or 0)
         if model != "bm25":
-            _ = self.dindex.exact_dl_tiles  # lazy QL/DFR payload: materialize OUTSIDE jit
+            # lazy QL/DFR payload: materialize OUTSIDE jit
+            _ = self.dindex.exact_dl_tiles_np if self.dindex.streaming else self.dindex.exact_dl_tiles
+        if self.dindex.streaming:
+            exact_topk = False  # only the tiered path streams working sets
+        if prune_theta is not None or prune_spans is not None:
+            if not self.supports_pruning(model, grid, max_postings):
+                raise ValueError("block-max pruning requires model=bm25, no grid, no "
+                                 "maxpostings cap, and an index with prune tables")
+            if prune_theta is not None and len(prune_theta) != num_queries:
+                raise ValueError(f"prune_theta has {len(prune_theta)} entries for {num_queries} queries")
+            exact_topk = False  # pruning rides the tiered span path
+        if max_postings > 0:
+            # the capped set is per-range head SPANS (canonical layout); only the
+            # tiered span path can express it, and both paths rank identically
+            exact_topk = False
 
         if exact_topk is None:
             # exact dense top-k for small corpora (cheap + parity tests); the tiered
@@ -630,10 +982,20 @@ class ScoringEngine:
             return np.asarray(scores).astype(np.dtype(score_dtype)), np.asarray(doc_ords)
 
         pack_ords = bool(pack_ords) and self.dindex.num_docs < (1 << 24)
-        packed, tiers, u0s, inv_order, r_max = self._build_tiered(term_lists, model, max_postings)
+        spans = prune_spans
+        if spans is None and prune_theta is not None:
+            spans = self._spans_pruned(term_lists, model, params, prune_theta)
+        packed, tiers, u0s, inv_order, r_max = self._build_tiered(term_lists, model, max_postings,
+                                                                  spans=spans)
         tier_shapes = tuple((uw, qt_pad) for uw, qt_pad, _, _ in tiers)
-        outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
-                                  str(score_dtype), pack_ords, packed, u0s, device_params)
+        if self.dindex.streaming:
+            packed, buffers = self._stream_working_set(packed, model)
+            outs = self._score_tiered_streaming(model, topk, param_axes, r_max, tier_shapes,
+                                                str(score_dtype), pack_ords, packed, u0s,
+                                                device_params, *buffers)
+        else:
+            outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
+                                      str(score_dtype), pack_ords, packed, u0s, device_params)
         result = TieredResult(self, list(outs), [(qbase, qt) for _, _, qt, qbase in tiers],
                               inv_order, num_queries, topk, grid_shape,
                               score_dtype, pack_ords)

@@ -48,7 +48,10 @@ class TpuSearcherMixin:
     def get_engine(self) -> ScoringEngine:
         if getattr(self, "_engine", None) is None:
             self.index.create_index()
-            self._engine = ScoringEngine(DeviceIndex(self.index.data))
+            budget_mb = float(self.config.get("hbmbudget", 12000))
+            self._engine = ScoringEngine(DeviceIndex(
+                self.index.data,
+                hbm_budget=budget_mb * 1e6 if budget_mb > 0 else None))
         return self._engine
 
     def grid_params(self):
@@ -85,11 +88,24 @@ class TpuSearcherMixin:
         runs = {self._param_tag(fixed, dict(zip(param_axes, combo))): {} for combo in combos}
         tags = list(runs)
 
+        # exact block-max dynamic pruning (default-on): bit-identical results,
+        # provably-safe doc-range skipping (scoring.py block-max section).
+        # Engages for single-parameter-point BM25 with no approximate cap.
+        max_postings = int(self.config.get("maxpostings", 0))
+        use_prune = (len(combos) == 1 and max_postings == 0
+                     and bool(self.config.get("pruning", True))
+                     and engine.supports_pruning(self.model))
+        prune_params = {**fixed, **dict(zip(param_axes, combos[0]))} if use_prune else None
+
         for start in range(0, len(topics), QUERY_BATCH):
             batch = topics[start : start + QUERY_BATCH]
             term_lists = [self.query_weights(text, engine) for _, text in batch]
-            scores, doc_ords = engine.search(term_lists, model=self.model, params=fixed, grid=grid, topk=hits,
-                                             max_postings_per_term=int(self.config.get("maxpostings", 0)))
+            if use_prune:
+                scores, doc_ords = engine.search_pruned(term_lists, model=self.model,
+                                                        params=prune_params, topk=hits)
+            else:
+                scores, doc_ords = engine.search(term_lists, model=self.model, params=fixed, grid=grid,
+                                                 topk=hits, max_postings_per_term=max_postings)
             # axes: [len(p1), ..., len(pk), Q, hits] ordered by sorted param name
             flat_scores = scores.reshape(len(combos), len(batch), -1)
             flat_ords = doc_ords.reshape(len(combos), len(batch), -1)
@@ -147,8 +163,14 @@ class BM25(TpuSearcherBase):
         ConfigOption("shards", 1, "devices to shard the postings across (1 = single chip)"),
         ConfigOption("maxpostings", 0, "impact-ordered early termination: score only each term's "
                      "top-N highest-impact postings (0 = exact; approximate when set)"),
+        ConfigOption("pruning", True, "exact block-max dynamic pruning (WAND/MaxScore semantics): "
+                     "skips doc ranges provably below the top-k threshold; results are "
+                     "bit-identical to exhaustive scoring"),
+        ConfigOption("hbmbudget", 12000.0, "HBM budget (MB) for resident postings tiles; corpora "
+                     "whose tiles exceed it run in host-streaming mode (per-batch working-set "
+                     "uploads, like Lucene's disk-resident postings). 0 = always resident"),
     ]
-    config_keys_not_in_path = ["shards"]
+    config_keys_not_in_path = ["shards", "pruning", "hbmbudget"]  # none changes results
 
     def grid_params(self):
         return {}, {"k1": list(self.config["k1"]), "b": list(self.config["b"])}

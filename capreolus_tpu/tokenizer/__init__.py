@@ -184,8 +184,10 @@ class BertTokenizer(Tokenizer):
 
 @Tokenizer.register
 class PunktTokenizer(Tokenizer):
-    """Sentence segmentation (parity: tokenizer/punkt.py:6-22). Uses NLTK punkt when
-    its data is available, else a regex sentence splitter."""
+    """Sentence segmentation (parity: tokenizer/punkt.py:6-22). Uses NLTK punkt
+    when its data is available; otherwise the from-scratch abbreviation-aware
+    splitter (analysis/segmentation.py split_sentences) — full sentence
+    segmentation offline, no NLTK download needed."""
 
     module_name = "punkt"
 
@@ -196,7 +198,8 @@ class PunktTokenizer(Tokenizer):
 
             self._punkt = nltk.data.load("tokenizers/punkt/english.pickle")
         except Exception:
-            logger.debug("nltk punkt data unavailable; using regex sentence splitter")
+            logger.debug("nltk punkt data unavailable; using the built-in "
+                         "abbreviation-aware sentence splitter")
 
     def tokenize(self, sentences):
         if not sentences or len(sentences) == 0:
@@ -208,10 +211,9 @@ class PunktTokenizer(Tokenizer):
     def _split(self, text):
         if self._punkt is not None:
             return self._punkt.tokenize(text)
-        import re
+        from capreolus_tpu.analysis.segmentation import split_sentences
 
-        parts = re.split(r"(?<=[.!?])\s+", text.strip())
-        return [p for p in parts if p]
+        return split_sentences(text)
 
 
 import_all_modules(__file__, __package__)

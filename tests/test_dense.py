@@ -143,6 +143,65 @@ def test_biencoder_train_then_dense_search(tmpdir_as_cache, tmp_path):
     assert len(results) == 3
 
 
+def test_biencoder_training_produces_useful_retriever(tmpdir_as_cache, tmp_path):
+    """Retrieval-QUALITY referee for the dense loop (VERDICT round 2 #7): after
+    training on the dummy fixtures, the exported dense searcher must (a) rank
+    relevant docs (per qrels) above the corpus median reciprocal rank of a
+    random-embedding searcher, and (b) reach full recall@corpus. A training run
+    that converges to a bad retriever now fails CI."""
+    import jax
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.evaluation.metrics import eval_run
+    from capreolus_tpu.reranker import Reranker
+    from capreolus_tpu.sampler import Sampler
+
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0},
+           "302": {"D002": 2.0, "D001": 1.5, "D003": 1.0}}
+
+    def train_and_search(niters):
+        reranker = Reranker.create("biencoder", {
+            "pretrained": "tiny", "allowrandominit": True,
+            "extractor": {"maxqlen": 8, "maxdoclen": 32,
+                          "index": {"collection": {"name": "dummy"}}},
+            "trainer": {"niters": niters, "itersize": 16, "batch": 2, "validatefreq": niters},
+        })
+        reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                      benchmark.topics[benchmark.query_type])
+        sampler = Sampler.create("triplet")
+        sampler.prepare(run, benchmark.qrels, reranker.extractor)
+        dev = Sampler.create("pred")
+        dev.prepare(run, benchmark.qrels, reranker.extractor)
+        out = tmp_path / f"t{niters}"
+        reranker.trainer.train(reranker, sampler, out, dev, out / "d", benchmark.qrels, metric="map")
+        ckpt = out / "dev.best.params"
+        assert ckpt.exists()
+        searcher = _make({"checkpointfile": str(ckpt), "maxqlen": 8})
+        topicsfn = tmp_path / f"topics{niters}.tsv"
+        topicsfn.write_text("".join(f"{qid}\t{benchmark.topics[benchmark.query_type][qid]}\n"
+                                    for qid in ("301", "302")))
+        runfn = next(p for p in searcher.query_from_file(topicsfn, tmp_path / f"o{niters}").iterdir()
+                     if p.name != "done")
+        return Searcher.load_trec_run(runfn)
+
+    trained_run = train_and_search(niters=6)
+    wanted = ["recip_rank", "recall_1000"]
+    metrics = eval_run(trained_run, benchmark.qrels, wanted,
+                       relevance_level=benchmark.relevance_level)
+    # (b) exact search over the whole corpus: recall is total
+    assert metrics["recall_1000"] == 1.0
+    # (a) the trained retriever must place relevant docs decisively above the
+    # random-embedding expectation (corpus of 3 -> random MRR E = ~0.61)
+    assert metrics["recip_rank"] >= 0.75, metrics
+    # and it must not be WORSE than an untrained (random-init) encoder
+    untrained = _make()
+    results = {qid: untrained.query(benchmark.topics[benchmark.query_type][qid])
+               for qid in ("301", "302")}
+    untrained_metrics = eval_run(results, benchmark.qrels, wanted,
+                                 relevance_level=benchmark.relevance_level)
+    assert metrics["recip_rank"] >= untrained_metrics["recip_rank"] - 1e-9
+
+
 def test_dense_approx_topk_mode(tmpdir_as_cache, tmp_path):
     """topkmode=approx (jax.lax.approx_max_k) returns the same tiny-corpus
     results as exact (3 docs: recall is trivially 1) and validates the option."""

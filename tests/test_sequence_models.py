@@ -52,6 +52,84 @@ def test_sequence_model_forward(tmpdir_as_cache, name):
     assert any(np.abs(np.asarray(g)).sum() > 0 for g in jax.tree_util.tree_leaves(grads)), name
 
 
+def test_spatial_gru_matches_numpy_referee():
+    """The anti-diagonal wavefront scan computes EXACTLY the reference's 2D
+    recurrence (HINT.py:15-81): referee is a naive numpy double loop over the
+    grid using the same parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from capreolus_tpu.reranker.sequence_models import SpatialGRU2D
+
+    rng = np.random.RandomState(0)
+    n, qlen, dlen, cdim, h = 3, 5, 7, 3, 2
+    s = rng.randn(n, qlen, dlen, cdim).astype(np.float32)
+    mod = SpatialGRU2D(hidden=h)
+    params = mod.init(jax.random.PRNGKey(1), jnp.asarray(s))
+    out = np.asarray(mod.apply(params, jnp.asarray(s)))
+
+    p = {k: np.asarray(v) for k, v in params["params"].items()}
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def cell(x, hdiag, htop, hleft):
+        q = np.concatenate([htop, hleft, hdiag, x])
+        rz = q @ p["Wrz_kernel"] + p["Wrz_bias"]
+        rl, rt, rd, zi, zl, zt, zd = np.split(rz, 7)
+        rl, rt, rd = sigmoid(rl), sigmoid(rt), sigmoid(rd)
+        zs = np.stack([zi, zl, zt, zd])
+        zs = np.exp(zs - zs.max(axis=0)) / np.exp(zs - zs.max(axis=0)).sum(axis=0)
+        zi, zl, zt, zd = zs
+        t11 = np.concatenate([htop, hleft, hdiag])
+        r = np.concatenate([rl, rt, rd])
+        h1 = np.tanh(x @ p["W_kernel"] + p["W_bias"] + (r * t11) @ p["U_kernel"] + p["U_bias"])
+        return zl * hleft + zt * htop + zd * hdiag + zi * h1
+
+    for bi in range(n):
+        H = np.zeros((qlen + 1, dlen + 1, h), np.float64)  # +1 zero borders at [0, :]/[:, 0]
+        for i in range(qlen):
+            for j in range(dlen):
+                H[i + 1, j + 1] = cell(s[bi, i, j].astype(np.float64),
+                                       H[i, j], H[i, j + 1], H[i + 1, j])
+        np.testing.assert_allclose(out[bi], H[qlen, dlen], rtol=2e-4, atol=2e-5)
+
+
+def test_hint_spatial_mode(tmpdir_as_cache):
+    """mode=spatial (the default) builds the faithful 2D-GRU model; invalid
+    modes raise; windowed stays available as the documented fast option."""
+    import jax
+
+    from capreolus_tpu.core import ConfigError
+    from capreolus_tpu.reranker.sequence_models import HINTModel, HINTSpatialModel
+
+    reranker = Reranker.create("HINT", {"extractor": SMALL_EXT,
+                                        "trainer": {"niters": 1, "itersize": 4, "batch": 2}})
+    assert reranker.config["mode"] == "spatial"
+    prepare(reranker)
+    assert isinstance(reranker.build_model(), HINTSpatialModel)
+
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    ext = reranker.extractor
+    batch = collate([ext.id2vec(qid, "D001", "D002", label=[1, 0]) for qid in ("301", "302")],
+                    ARRAY_KEYS)
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    pos, neg = reranker.score(params, batch)
+    assert pos.shape == (2,) and np.isfinite(np.asarray(pos)).all()
+    from capreolus_tpu.reranker.common import pair_hinge_loss
+
+    grads = jax.grad(lambda p: pair_hinge_loss(reranker.score(p, batch)))(params)
+    gru_grads = grads["params"]["GRU2d1"]
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in jax.tree_util.tree_leaves(gru_grads))
+
+    fast = Reranker.create("HINT", {"mode": "windowed", "extractor": SMALL_EXT})
+    prepare(fast)
+    assert isinstance(fast.build_model(), HINTModel)
+    with pytest.raises(ConfigError):
+        Reranker.create("HINT", {"mode": "diagonal?", "extractor": SMALL_EXT})
+
+
 def test_all_rerankers_creatable(tmpdir_as_cache):
     """Registry sweep (parity: reference reranker/tests/test_rerankers.py:33-41)."""
     for name in module_registry.get_module_names("reranker"):
