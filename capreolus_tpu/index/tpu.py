@@ -13,7 +13,7 @@ Artifacts written to the cache path:
   index/docids.txt       external docid per internal doc ordinal
   index/postings.npz     CSR postings + stats (see _save_artifacts)
   index/docs.bin         concatenated utf-8 contents
-  index/doc_offsets.npy  int64 offsets into docs.bin
+  index/doc_spans.npy    int64 [N, 2] byte spans into docs.bin per internal ordinal
 """
 
 from __future__ import annotations
@@ -33,7 +33,26 @@ logger = get_logger(__name__)
 
 # postings layout version: bump when the canonical on-disk sort order or the
 # pruning side-tables change; loaders rebuild stale caches automatically
-LAYOUT_VERSION = 2
+# (v3: doc_spans.npy replaces cumulative doc_offsets; optional docid reordering)
+LAYOUT_VERSION = 3
+
+
+def reorder_doc_ids(term_ids, doc_ords, num_docs, num_terms):
+    """Cluster-by-rare-term doc-id permutation (a light version of the docid
+    reordering modern engines pair with block-max pruning, cf. Dhulipala et al.
+    2016 BP reordering): docs sharing their rarest term become neighbors, so
+    per-(term, doc-range) spans concentrate and range bounds sharpen. External
+    docids are unaffected — only internal ordinals move (Lucene's internal ids
+    are likewise an indexing-order artifact). Returns old->new [N] int64."""
+    df = np.bincount(term_ids, minlength=num_terms).astype(np.int64)
+    # per-doc signature: the (df, term) pair of its rarest term, packed into one
+    # int64 key so a single np.minimum.at computes the min per doc
+    key = df[term_ids] * num_terms + term_ids
+    sig = np.full(num_docs, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(sig, doc_ords, key)
+    new_of_old = np.empty(num_docs, dtype=np.int64)
+    new_of_old[np.lexsort((np.arange(num_docs), sig))] = np.arange(num_docs)
+    return new_of_old
 
 # terms with df below this get no per-range tables. Default 1 = tables for
 # EVERY term: a term absent from the tables must be charged to every range's
@@ -214,6 +233,11 @@ class TpuIndex(Index):
         ConfigOption("stemmer", "porter", "stemmer: porter, krovetz, or none"),
         ConfigOption("storepositions", False, "store the positional forward index "
                      "(per-doc token-id sequences; required by SDM)"),
+        ConfigOption("docreorder", "none", "internal doc-ordinal reordering for posting locality: "
+                     "none, 'terms' (cheap cluster-by-rarest-term), or 'bp' (recursive graph "
+                     "bisection, Dhulipala et al. 2016 — restores block-max prunability on "
+                     "shuffled corpora, index/reorder.py). External docids and scores are "
+                     "unchanged; score-tie ORDER follows internal ids, like Lucene's"),
     ]
 
     def _analyzer(self):
@@ -280,10 +304,8 @@ class TpuIndex(Index):
             pool.shutdown()
 
         docs_bin.close()
-        np.save(index_path / "doc_offsets.npy", np.asarray(doc_byte_offsets, dtype=np.int64))
         if store_positions:
             docterms_bin.close()
-            np.save(index_path / "docterm_offsets.npy", np.asarray(docterm_offsets, dtype=np.int64))
         num_docs = len(docid_strings)
         if num_docs == 0:
             raise IOError(f"collection {self.collection.module_name} yielded no documents")
@@ -292,6 +314,41 @@ class TpuIndex(Index):
         doc_ords = np.concatenate(doc_chunks) if doc_chunks else np.zeros(0, dtype=np.int64)
         tfs = np.concatenate(tf_chunks) if tf_chunks else np.zeros(0, dtype=np.int64)
         del term_chunks, doc_chunks, tf_chunks
+
+        # per-ordinal byte spans into docs.bin (in write order for now)
+        off = np.asarray(doc_byte_offsets, dtype=np.int64)
+        doc_spans = np.stack([off[:-1], off[1:]], axis=1)
+        docterm_spans = None
+        if store_positions:
+            toff = np.asarray(docterm_offsets, dtype=np.int64)
+            docterm_spans = np.stack([toff[:-1], toff[1:]], axis=1)
+
+        reorder_mode = self.config["docreorder"] or "none"  # config casts "none" -> None
+        if reorder_mode not in ("none", "terms", "bp"):
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(f"index.docreorder must be none, terms, or bp, "
+                              f"got {reorder_mode!r}")
+        if reorder_mode != "none" and len(term_ids):
+            # reorder internal ordinals for posting locality; the byte spans,
+            # lengths, and external docids are permuted with them
+            if reorder_mode == "bp":
+                from capreolus_tpu.index.reorder import bp_reorder
+
+                logger.info("docreorder=bp: recursive graph bisection over %d postings", len(term_ids))
+                new_of_old = bp_reorder(term_ids, doc_ords, num_docs)
+            else:
+                new_of_old = reorder_doc_ids(term_ids, doc_ords, num_docs, len(vocab))
+            doc_ords = new_of_old[doc_ords]
+            inv = np.argsort(new_of_old)  # new ordinal -> old ordinal
+            docid_strings = [docid_strings[i] for i in inv]
+            doclens = [doclens[i] for i in inv]
+            doc_spans = doc_spans[inv]
+            if docterm_spans is not None:
+                docterm_spans = docterm_spans[inv]
+        np.save(index_path / "doc_spans.npy", doc_spans)
+        if docterm_spans is not None:
+            np.save(index_path / "docterm_spans.npy", docterm_spans)
 
         # canonical segmented sort: by term, then doc range, then impact (tf desc),
         # then doc id asc — range-major spans enable exact block-max pruning while
@@ -393,13 +450,13 @@ class TpuIndex(Index):
             prune_tables={k[3:]: npz[k] for k in npz.files if k.startswith("pt_")} or None,
         )
         self._docid_to_ord = {d: i for i, d in enumerate(docid_strings)}
-        self._doc_offsets = np.load(index_path / "doc_offsets.npy")
+        self._doc_spans = np.load(index_path / "doc_spans.npy")
         self._docs_bin = np.memmap(index_path / "docs.bin", dtype=np.uint8, mode="r")
         if (index_path / "docterms.bin").exists():
-            self._docterm_offsets = np.load(index_path / "docterm_offsets.npy")
+            self._docterm_spans = np.load(index_path / "docterm_spans.npy")
             self._docterms_bin = np.memmap(index_path / "docterms.bin", dtype=np.int32, mode="r")
         else:
-            self._docterm_offsets = None
+            self._docterm_spans = None
         return self._data
 
     @property
@@ -412,7 +469,7 @@ class TpuIndex(Index):
             ord_ = self._docid_to_ord[docid]
         except KeyError:
             return None
-        s, e = self._doc_offsets[ord_], self._doc_offsets[ord_ + 1]
+        s, e = self._doc_spans[ord_]
         return bytes(self._docs_bin[s:e]).decode("utf-8")
 
     def get_df(self, term):
@@ -435,9 +492,9 @@ class TpuIndex(Index):
         """Positional forward index: the doc's analyzed token-id sequence
         (requires storepositions=True)."""
         self._load()
-        if self._docterm_offsets is None:
+        if self._docterm_spans is None:
             raise ValueError("index was built without storepositions=True")
-        s, e = self._docterm_offsets[doc_ord], self._docterm_offsets[doc_ord + 1]
+        s, e = self._docterm_spans[doc_ord]
         return np.asarray(self._docterms_bin[s:e])
 
     def analyze(self, text):

@@ -137,3 +137,45 @@ def native_porter_stem(word: str):
         return ctypes.string_at(ptr).decode("ascii")
     finally:
         lib.ctpu_free(ptr)
+
+
+_PRUNER_SOURCE = Path(__file__).parent / "pruner.cpp"
+_PRUNER_LIB = None
+_PRUNER_TRIED = False
+
+
+def get_pruner_lib():
+    """Native block-max span builder (pruner.cpp); None when unavailable."""
+    global _PRUNER_LIB, _PRUNER_TRIED
+    if _PRUNER_LIB is not None or _PRUNER_TRIED:
+        return _PRUNER_LIB
+    _PRUNER_TRIED = True
+    if os.environ.get("CAPREOLUS_NATIVE", "1").lower() in ("0", "false", "no"):
+        return None
+    try:
+        src = _PRUNER_SOURCE.read_bytes()
+        digest = hashlib.md5(src).hexdigest()[:12]
+        lib_path = _build_dir() / f"pruner_{digest}.so"
+        if not lib_path.exists():
+            cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_PRUNER_SOURCE), "-o", str(lib_path)]
+            logger.info("building native pruner: %s", " ".join(cmd))
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(lib_path))
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ctpu_prune_spans.restype = ctypes.c_int64
+        lib.ctpu_prune_spans.argtypes = [
+            i64p, ctypes.c_int64,                       # q_offsets, num_queries
+            i64p, f32p, i64p, i64p,                     # tids, w1, starts, ends
+            i64p, i32p, i64p, i64p, f32p, f32p,         # rt_offsets/range/start/end/max_tf/min_dl
+            i32p, i32p, i32p,                           # doc_ids, tfs, norm_doclens
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,  # k1, b, avgdl
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,  # num_ranges, topk, tile, min_savings
+            i32p, i64p, i64p, f32p, i64p,               # out_qix, out_s, out_e, out_w1, out_stats
+        ]
+        _PRUNER_LIB = lib
+    except Exception as e:
+        logger.info("native pruner unavailable (%s); using the numpy span builder", e)
+        _PRUNER_LIB = None
+    return _PRUNER_LIB

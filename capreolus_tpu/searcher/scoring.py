@@ -595,21 +595,14 @@ class ScoringEngine:
     @functools.partial(jax.jit, static_argnames=(
         "self", "model", "topk", "param_axes", "r_max", "tier_shapes", "score_dtype", "pack_ords"))
     def _score_tiered(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                      pack_ords, packed, u0s, params):
-        """Fused per-batch executable over the HBM-resident tiles."""
-        d = self.dindex
+                      pack_ords, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
+        """Fused per-batch executable. The tile sources are jit ARGUMENTS, never
+        closure captures: the resident path passes device arrays (free), the
+        streaming path passes host working-set buffers (real transfers) — and a
+        captured multi-GB constant would blow the tunnel's remote-compile
+        payload limit (observed HTTP 413 at 1.5 GB; CLAUDE.md convention)."""
         return self._tiered_impl(model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                                 pack_ords, packed, u0s, params, d.doc_tiles, d.tf_tiles,
-                                 d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles)
-
-    @functools.partial(jax.jit, static_argnames=(
-        "self", "model", "topk", "param_axes", "r_max", "tier_shapes", "score_dtype", "pack_ords"))
-    def _score_tiered_streaming(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                                pack_ords, packed, u0s, params, doc_buf, tf_buf, dl_buf):
-        """Same executable over a host-streamed working-set buffer (jit args, so
-        the per-batch uploads are real data transfers, never compile payloads)."""
-        return self._tiered_impl(model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                                 pack_ords, packed, u0s, params, doc_buf, tf_buf, dl_buf)
+                                 pack_ords, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles)
 
     def _tiered_impl(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
                      pack_ords, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
@@ -863,31 +856,126 @@ class ScoringEngine:
         return (np.concatenate(oq), np.concatenate(os_), np.concatenate(oe),
                 np.concatenate(ow1), np.concatenate(ow2))
 
+    def _build_prune_spans(self, term_lists, model, params, topk):
+        """Spans for an exact pruned pass, or None when tile savings are too
+        small. Uses the native C++ span builder (native/pruner.cpp, ~10 us/query
+        — fuses threshold + bounds + span extraction) when it builds; the numpy
+        implementation (compute_theta + _spans_pruned) is the reference path and
+        fallback, equality-pinned in tests/test_block_max.py."""
+        from capreolus_tpu.native import get_pruner_lib
+
+        lib = get_pruner_lib()
+        if lib is None:
+            theta = self.compute_theta(term_lists, params=params, topk=topk)
+            return self._spans_pruned(term_lists, model, params, theta)
+        import ctypes
+
+        d = self.dindex
+        pt = d.prune
+        tids, qix, starts, ends, w1, w2 = self._flat_terms(term_lists, model)
+        q_offsets = np.searchsorted(qix, np.arange(len(term_lists) + 1)).astype(np.int64)
+        arrs = getattr(self, "_native_prune_arrays", None)
+        if arrs is None:
+            arrs = self._native_prune_arrays = tuple(np.ascontiguousarray(a) for a in (
+                pt["rt_offsets"].astype(np.int64), pt["rt_range"].astype(np.int32),
+                pt["rt_start"].astype(np.int64), pt["rt_end"].astype(np.int64),
+                pt["rt_max_tf"].astype(np.float32), pt["rt_min_dl"].astype(np.float32),
+                d.host.doc_ids.astype(np.int32), np.asarray(d.host_tfs, np.int32),
+                d.host.norm_doclens.astype(np.int32)))
+        rt_off = arrs[0]
+        cap = int((rt_off[tids + 1] - rt_off[tids]).sum()) + len(tids) + 1
+        out_qix = np.empty(cap, np.int32)
+        out_s = np.empty(cap, np.int64)
+        out_e = np.empty(cap, np.int64)
+        out_w1 = np.empty(cap, np.float32)
+        out_stats = np.zeros(4, np.int64)
+
+        def p(a, ct):
+            return a.ctypes.data_as(ctypes.POINTER(ct))
+
+        i64, i32, f32 = ctypes.c_int64, ctypes.c_int32, ctypes.c_float
+        tids_c = np.ascontiguousarray(tids, np.int64)
+        w1_c = np.ascontiguousarray(w1, np.float32)
+        starts_c = np.ascontiguousarray(starts, np.int64)
+        ends_c = np.ascontiguousarray(ends, np.int64)
+        num_ranges = (d.num_docs + int(pt["range_size"]) - 1) // int(pt["range_size"])
+        n = lib.ctpu_prune_spans(
+            p(q_offsets, i64), len(term_lists),
+            p(tids_c, i64), p(w1_c, f32), p(starts_c, i64), p(ends_c, i64),
+            p(arrs[0], i64), p(arrs[1], i32), p(arrs[2], i64), p(arrs[3], i64),
+            p(arrs[4], f32), p(arrs[5], f32),
+            p(arrs[6], i32), p(arrs[7], i32), p(arrs[8], i32),
+            float(params["k1"]), float(params["b"]), d.avgdl,
+            num_ranges, min(int(topk), d.num_docs), TILE, self.PRUNE_MIN_TILE_SAVINGS,
+            p(out_qix, i32), p(out_s, i64), p(out_e, i64), p(out_w1, f32), p(out_stats, i64))
+        self.last_prune_stats = {"total_lanes": int(out_stats[0]), "kept_lanes": int(out_stats[1]),
+                                 "total_tiles": int(out_stats[2]), "kept_tiles": int(out_stats[3])}
+        if n < 0:
+            return None
+        return (out_qix[:n].copy(), out_s[:n].copy(), out_e[:n].copy(), out_w1[:n].copy(),
+                np.zeros(n, np.float32))
+
     def search_pruned(self, term_lists, model="bm25", params=None, topk=1000, **kw):
         """Exact block-max pruned search: free host-side thresholds + ONE pruned
         device pass. Results are bit-identical to search() without pruning.
 
-        Adaptive: the first batch probes whether tile-level pruning actually
-        drops device work on this corpus (it does when postings are doc-id
-        clustered — real corpora / reordered ids; it cannot on uniformly random
-        doc assignment). An ineffective probe makes the decision sticky so later
-        batches skip the host-side bound work entirely (zero overhead)."""
+        Adaptive (never worse than exhaustive beyond two probe batches): the
+        first batch checks whether range pruning drops device TILES at all (it
+        does when postings are doc-id clustered — real corpora / reordered ids;
+        it cannot on uniformly random doc assignment), then an A/B wall-clock
+        probe on the next batches compares true end-to-end cost — on small
+        corpora the host-side bound work can exceed the device work it saves
+        even when tiles drop, and only the clock settles that. The decision is
+        sticky per (topk, params)."""
+        import time as _time
+
         key = (int(topk), float(params["k1"]), float(params["b"]))
-        if self._prune_effective.get(key) is False:
+        state = self._prune_effective.get(key)
+        if state is False:
             return self.search(term_lists, model=model, params=params, topk=topk,
                                exact_topk=False, **kw)
-        theta = self.compute_theta(term_lists, params=params, topk=topk)
-        spans = self._spans_pruned(term_lists, model, params, theta)
-        if spans is None:
-            if key not in self._prune_effective:
+
+        def timed(fn):
+            t0 = _time.perf_counter()
+            r = fn()
+            out = r.get() if isinstance(r, TieredResult) else r  # sync for honest timing
+            return r, _time.perf_counter() - t0
+
+        if state is None:
+            # probe 1: does pruning drop tiles at all?
+            t0 = _time.perf_counter()
+            spans = self._build_prune_spans(term_lists, model, params, topk)
+            host_cost = _time.perf_counter() - t0
+            if spans is None:
                 logger.info("block-max pruning ineffective at this corpus/topk "
                             "(kept %.0f%% of tiles); falling back to exhaustive scoring",
                             100.0 * self.last_prune_stats["kept_tiles"]
                             / max(1, self.last_prune_stats["total_tiles"]))
-            self._prune_effective[key] = False
+                self._prune_effective[key] = False
+                return self.search(term_lists, model=model, params=params, topk=topk,
+                                   exact_topk=False, **kw)
+            # warm both executables first so first-compile time (tens of
+            # seconds over a remote-compile tunnel) can't poison the A/B
+            run_pruned = lambda: self.search(term_lists, model=model, params=params, topk=topk,
+                                             prune_spans=spans, exact_topk=False, **kw)
+            run_exh = lambda: self.search(term_lists, model=model, params=params, topk=topk,
+                                          exact_topk=False, **kw)
+            timed(run_pruned)
+            timed(run_exh)
+            # probe 2: A/B the true cost (device dispatch + fetch, synchronous)
+            r_prune, t_prune = timed(run_pruned)
+            _, t_exh = timed(run_exh)
+            effective = (t_prune + host_cost) < t_exh
+            self._prune_effective[key] = effective
+            logger.info("block-max pruning A/B probe: pruned %.1f ms (+%.1f ms host) vs "
+                        "exhaustive %.1f ms -> %s", t_prune * 1e3, host_cost * 1e3,
+                        t_exh * 1e3, "PRUNING ON" if effective else "exhaustive")
+            return r_prune  # bit-identical either way
+
+        spans = self._build_prune_spans(term_lists, model, params, topk)
+        if spans is None:  # query mix shifted; keep exactness, stay adaptive
             return self.search(term_lists, model=model, params=params, topk=topk,
                                exact_topk=False, **kw)
-        self._prune_effective[key] = True
         return self.search(term_lists, model=model, params=params, topk=topk,
                            prune_spans=spans, exact_topk=False, **kw)
 
@@ -988,14 +1076,15 @@ class ScoringEngine:
         packed, tiers, u0s, inv_order, r_max = self._build_tiered(term_lists, model, max_postings,
                                                                   spans=spans)
         tier_shapes = tuple((uw, qt_pad) for uw, qt_pad, _, _ in tiers)
-        if self.dindex.streaming:
+        d = self.dindex
+        if d.streaming:
             packed, buffers = self._stream_working_set(packed, model)
-            outs = self._score_tiered_streaming(model, topk, param_axes, r_max, tier_shapes,
-                                                str(score_dtype), pack_ords, packed, u0s,
-                                                device_params, *buffers)
         else:
-            outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
-                                      str(score_dtype), pack_ords, packed, u0s, device_params)
+            buffers = (d.doc_tiles, d.tf_tiles,
+                       d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles)
+        outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
+                                  str(score_dtype), pack_ords, packed, u0s, device_params,
+                                  *buffers)
         result = TieredResult(self, list(outs), [(qbase, qt) for _, _, qt, qbase in tiers],
                               inv_order, num_queries, topk, grid_shape,
                               score_dtype, pack_ords)

@@ -23,15 +23,21 @@ logger = get_logger(__name__)
 
 
 class RetrievalService:
-    def __init__(self, index, model: str = "bm25", params: Optional[dict] = None, batch_size: int = 64):
+    def __init__(self, index, model: str = "bm25", params: Optional[dict] = None, batch_size: int = 64,
+                 hbm_budget_mb: float = 12000.0, pruning: bool = True):
         from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
 
         index.create_index()
         self.index = index
-        self.engine = ScoringEngine(DeviceIndex(index.data))
+        self.engine = ScoringEngine(DeviceIndex(
+            index.data, hbm_budget=hbm_budget_mb * 1e6 if hbm_budget_mb > 0 else None))
         self.model = model
         self.params = dict(params or {"k1": 0.9, "b": 0.4})
         self.batch_size = batch_size
+        # serving is the synchronous low-latency regime where exact block-max
+        # pruning pays (measured 1.58x per batch at 2M docs, PERF.md round 3);
+        # the engine's A/B probe still auto-disables it when it does not
+        self.pruning = bool(pruning)
         self._docids = index.data.docid_strings
 
     @classmethod
@@ -59,7 +65,12 @@ class RetrievalService:
         for start in range(0, len(queries), self.batch_size):
             batch = queries[start : start + self.batch_size]
             term_lists = [self._analyze(q) for q in batch]
-            scores, ords = self.engine.search(term_lists, model=self.model, params=self.params, topk=k)
+            if self.pruning and self.engine.supports_pruning(self.model):
+                scores, ords = self.engine.search_pruned(term_lists, model=self.model,
+                                                         params=self.params, topk=k)
+            else:
+                scores, ords = self.engine.search(term_lists, model=self.model,
+                                                  params=self.params, topk=k)
             for qi in range(len(batch)):
                 hits = []
                 for s, o in zip(scores[qi], ords[qi]):

@@ -1,34 +1,38 @@
 """UDel query expansion for TREC-COVID topics.
 
 Capability parity with the reference's udel expander
-(/root/reference/capreolus/utils/common.py:160-591), which combines the query with
-salient keywords from the question/narrative fields. The reference relies on
-scispacy biomedical entity extraction; when scispacy is unavailable this falls back
-to stopword-filtered keyword union (covered terms deduplicated, query order kept).
+(/root/reference/capreolus/utils/common.py:160-591): the expanded title is the
+query's tokens minus the published UDel stopword list, plus the salient terms
+of the question field. The reference extracts the question's terms with
+scispacy biomedical NER (``en_core_sci_lg`` entity spans); scispacy is used
+here too when installed, with an offline fallback that keeps the question's
+non-stopword content spans — the same stopword list, so short question fields
+("what is the origin of COVID-19" -> "origin COVID-19") reduce to the entity
+spans in most cases. The 419-word stopword list ships verbatim as DATA
+(capreolus_tpu/data/udel_stopwords.txt, published in the reference at
+utils/common.py:161-581), like the published fold/qrel files.
 """
 
 from __future__ import annotations
 
-from capreolus_tpu.analysis import LUCENE_ENGLISH_STOPWORDS, standard_tokenize
+import functools
+from pathlib import Path
+
+from capreolus_tpu.analysis import standard_tokenize
 from capreolus_tpu.utils.loginit import get_logger
 
 logger = get_logger(__name__)
 
-# question-style words the udel method strips from the question field
-_QUESTION_WORDS = frozenset(
-    "what which how why does do can could should would is are was were will "
-    "there any anything looking look known".split()
-)
+
+@functools.lru_cache(maxsize=1)
+def udel_stopwords() -> frozenset:
+    fn = Path(__file__).parent.parent / "data" / "udel_stopwords.txt"
+    return frozenset(fn.read_text(encoding="utf-8").split())
 
 
 def _keywords(text: str):
-    out = []
-    for tok in standard_tokenize(text):
-        low = tok.lower()
-        if low in LUCENE_ENGLISH_STOPWORDS or low in _QUESTION_WORDS:
-            continue
-        out.append(low)
-    return out
+    sw = udel_stopwords()
+    return [tok for tok in standard_tokenize(text) if tok.lower() not in sw]
 
 
 def _scispacy_entities(text: str):
@@ -38,11 +42,12 @@ def _scispacy_entities(text: str):
         nlp = spacy.load("en_core_sci_sm")
     except Exception:
         return None
-    return [ent.text.lower() for ent in nlp(text).ents]
+    return [ent.text for ent in nlp(text).ents]
 
 
 def udel_expand(query: str, question: str = "", narrative: str = "") -> str:
-    """Expand a query with salient keywords from the question field."""
+    """Expand a query with the question field's salient terms (reference:
+    covid.py:170-173 — stopword-filtered title + entity terms of the question)."""
     base = _keywords(query)
     extra_src = question or narrative
     entities = _scispacy_entities(extra_src) if extra_src else None
@@ -53,7 +58,8 @@ def udel_expand(query: str, question: str = "", narrative: str = "") -> str:
     seen = set()
     combined = []
     for tok in base + extra:
-        if tok not in seen:
-            seen.add(tok)
-            combined.append(tok)
+        low = tok.lower()
+        if low not in seen:
+            seen.add(low)
+            combined.append(tok.lower())
     return " ".join(combined)

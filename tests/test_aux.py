@@ -55,6 +55,15 @@ def test_udel_expansion():
     # deduplication keeps first occurrence
     assert out.split().count("origin") == 1
 
+    # the published UDel stopword list ships as data and drives the filtering
+    # (reference utils/common.py:161-581; e.g. 'according' and 'contrariwise'
+    # are udel stopwords but not Lucene stopwords)
+    from capreolus_tpu.utils.udel import udel_stopwords
+
+    sw = udel_stopwords()
+    assert len(sw) == 419 and "contrariwise" in sw and "according" in sw
+    assert "according" not in udel_expand("deaths according to estimates")
+
 
 def test_irds_bridge_gated():
     from capreolus_tpu.utils.irds import dataset_to_collection, get_irds
