@@ -26,109 +26,31 @@ BATCH = 256
 TOPK = 1000
 
 
-def synth_index(seed=0):
-    from capreolus_tpu.index.smallfloat import quantize_lengths
-    from capreolus_tpu.index.tpu import IndexData, build_prune_tables, canonical_postings_order
-
+def _bench_cache_fn(name):
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    # v2: canonical range-major layout + block-max prune tables
-    cache_fn = os.path.join(cache_dir, f"corpus_v2_{NUM_DOCS}_{NUM_TERMS}_{seed}.npz")
-    if os.path.exists(cache_fn):
-        z = np.load(cache_fn)
-        return IndexData(term_offsets=z["term_offsets"], doc_ids=z["doc_ids"], tfs=z["tfs"],
-                         doclens=z["doclens"], norm_doclens=z["norm_doclens"],
-                         docid_strings=None, vocab=None,
-                         prune_tables={k[3:]: z[k] for k in z.files if k.startswith("pt_")})
+    return os.path.join(cache_dir, name)
 
-    rng = np.random.Generator(np.random.PCG64(seed))
-    nnz = NUM_DOCS * AVG_UNIQUE_TERMS
-    # Zipfian term assignment
-    z = rng.zipf(1.3, size=nnz * 2)
-    z = z[z <= NUM_TERMS][:nnz]
-    term_ids = (z - 1).astype(np.int64)
-    doc_ords = rng.integers(0, NUM_DOCS, size=len(term_ids)).astype(np.int64)
-    # dedup (term, doc) pairs
-    key = term_ids * NUM_DOCS + doc_ords
-    key, inv_counts = np.unique(key, return_counts=True)
-    term_ids = (key // NUM_DOCS).astype(np.int64)
-    doc_ords = (key % NUM_DOCS).astype(np.int64)
-    tfs = np.minimum(inv_counts + rng.integers(0, 3, size=len(key)), 64).astype(np.int64)
 
-    order, range_size = canonical_postings_order(term_ids, doc_ords, tfs, NUM_DOCS)
-    term_ids, doc_ords, tfs = term_ids[order], doc_ords[order], tfs[order]
-    offsets = np.zeros(NUM_TERMS + 1, dtype=np.int64)
-    np.cumsum(np.bincount(term_ids, minlength=NUM_TERMS), out=offsets[1:])
-    doclens = np.bincount(doc_ords, weights=tfs, minlength=NUM_DOCS).astype(np.int32)
-    doclens = np.maximum(doclens, 1)
-    norm = quantize_lengths(doclens).astype(np.int32)
-    pt = build_prune_tables(offsets, doc_ords.astype(np.int32), tfs.astype(np.int32),
-                            norm, NUM_DOCS, range_size=range_size)
-    np.savez(cache_fn, term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
-             tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
-             **{f"pt_{k}": v for k, v in pt.items()})
-    return IndexData(
-        term_offsets=offsets,
-        doc_ids=doc_ords.astype(np.int32),
-        tfs=tfs.astype(np.int32),
-        doclens=doclens,
-        norm_doclens=norm,
-        docid_strings=None,  # not needed for scoring
-        vocab=None,
-        prune_tables=pt,
-    )
+def synth_index(seed=0):
+    """Headline corpus: Zipfian terms, uniformly random doc assignment (the
+    provable worst case for block-max pruning). Built by the shared
+    layout-versioned builder (capreolus_tpu/index/synth.py)."""
+    from capreolus_tpu.index.synth import synth_uniform_index
+
+    return synth_uniform_index(NUM_DOCS, NUM_TERMS, AVG_UNIQUE_TERMS, seed=seed,
+                               cache_fn=_bench_cache_fn(f"corpus_{NUM_DOCS}_{NUM_TERMS}_{seed}.npz"))
 
 
 def synth_clustered_index(seed=2):
-    """Topically-clustered variant of the bench corpus: docs belong to topics and
-    draw most terms from a topic vocabulary, doc ids sorted by topic — the
-    statistical structure real TREC corpora have (and docid reordering, the
-    standard block-max companion technique, recovers). Exact block-max pruning
-    can only skip device tiles when postings cluster in doc-id space; the
-    uniformly random headline corpus is that technique's worst case, so the
+    """Topically-clustered variant of the bench corpus — the doc-id locality real
+    TREC corpora have (and BP docid reordering recovers). Exact block-max pruning
+    can only skip device tiles when postings cluster in doc-id space, so the
     pruning speedup is measured here (results stay bit-identical everywhere)."""
-    from capreolus_tpu.index.smallfloat import quantize_lengths
-    from capreolus_tpu.index.tpu import IndexData, build_prune_tables, canonical_postings_order
+    from capreolus_tpu.index.synth import synth_clustered_index as _build
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    cache_fn = os.path.join(cache_dir, f"corpus_clustered_v2_{NUM_DOCS}_{NUM_TERMS}_{seed}.npz")
-    if os.path.exists(cache_fn):
-        z = np.load(cache_fn)
-        return IndexData(term_offsets=z["term_offsets"], doc_ids=z["doc_ids"], tfs=z["tfs"],
-                         doclens=z["doclens"], norm_doclens=z["norm_doclens"],
-                         docid_strings=None, vocab=None,
-                         prune_tables={k[3:]: z[k] for k in z.files if k.startswith("pt_")})
-
-    rng = np.random.Generator(np.random.PCG64(seed))
-    n_topics = 400
-    topic_vocab = rng.integers(0, NUM_TERMS, size=(n_topics, 600))
-    topic_of_doc = np.sort(rng.integers(0, n_topics, size=NUM_DOCS))  # ids sorted by topic
-    n_local = int(AVG_UNIQUE_TERMS * 0.7)
-    local = topic_vocab[topic_of_doc[:, None], rng.integers(0, 600, size=(NUM_DOCS, n_local))]
-    n_glob = AVG_UNIQUE_TERMS - n_local
-    z = rng.zipf(1.3, size=NUM_DOCS * n_glob * 2)
-    z = z[z <= NUM_TERMS][: NUM_DOCS * n_glob].reshape(NUM_DOCS, n_glob) - 1
-    term_ids = np.concatenate([local, z], axis=1).reshape(-1).astype(np.int64)
-    doc_ords = np.repeat(np.arange(NUM_DOCS, dtype=np.int64), AVG_UNIQUE_TERMS)
-    key, counts = np.unique(term_ids * NUM_DOCS + doc_ords, return_counts=True)
-    term_ids, doc_ords = key // NUM_DOCS, key % NUM_DOCS
-    tfs = np.minimum(counts + rng.integers(0, 3, size=len(key)), 64).astype(np.int64)
-
-    order, range_size = canonical_postings_order(term_ids, doc_ords, tfs, NUM_DOCS)
-    term_ids, doc_ords, tfs = term_ids[order], doc_ords[order], tfs[order]
-    offsets = np.zeros(NUM_TERMS + 1, dtype=np.int64)
-    np.cumsum(np.bincount(term_ids, minlength=NUM_TERMS), out=offsets[1:])
-    doclens = np.maximum(np.bincount(doc_ords, weights=tfs, minlength=NUM_DOCS), 1).astype(np.int32)
-    norm = quantize_lengths(doclens).astype(np.int32)
-    pt = build_prune_tables(offsets, doc_ords.astype(np.int32), tfs.astype(np.int32),
-                            norm, NUM_DOCS, range_size=range_size)
-    np.savez(cache_fn, term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
-             tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
-             **{f"pt_{k}": v for k, v in pt.items()})
-    return IndexData(term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
-                     tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
-                     docid_strings=None, vocab=None, prune_tables=pt)
+    return _build(NUM_DOCS, NUM_TERMS, AVG_UNIQUE_TERMS, seed=seed,
+                  cache_fn=_bench_cache_fn(f"corpus_clustered_{NUM_DOCS}_{NUM_TERMS}_{seed}.npz"))
 
 
 def main():
@@ -254,6 +176,7 @@ def main():
 
         dps_bf16 = bench_rerank.measure(configure_cache=False)
         bf16_passes = list(getattr(bench_rerank.measure, "last_pass_dps", []))
+        bench_rerank.measure.last_pass_dps = []  # don't let a failed int8 run inherit bf16 passes
         try:
             # int8 FFN inference path (quantize=int8): measured 1.22x bf16 on v5e
             dps_int8 = bench_rerank.measure(configure_cache=False, quantize="int8")

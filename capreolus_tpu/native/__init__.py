@@ -169,6 +169,7 @@ def get_pruner_lib():
             i64p, ctypes.c_int64,                       # q_offsets, num_queries
             i64p, f32p, i64p, i64p,                     # tids, w1, starts, ends
             i64p, i32p, i64p, i64p, f32p, f32p,         # rt_offsets/range/start/end/max_tf/min_dl
+            f32p, f32p,                                 # gmax_tf, gmin_dl (table-less terms)
             i32p, i32p, i32p,                           # doc_ids, tfs, norm_doclens
             ctypes.c_double, ctypes.c_double, ctypes.c_double,  # k1, b, avgdl
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,  # num_ranges, topk, tile, min_savings

@@ -31,6 +31,7 @@ int64_t ctpu_prune_spans(
     const int64_t* rt_offsets, const int32_t* rt_range,
     const int64_t* rt_start, const int64_t* rt_end,
     const float* rt_max_tf, const float* rt_min_dl,
+    const float* gmax_tf, const float* gmin_dl,  // [V] global bounds for table-less terms
     // postings arrays (span-head lookups for the threshold)
     const int32_t* doc_ids, const int32_t* tfs, const int32_t* norm_doclens,
     // scoring parameters
@@ -99,13 +100,23 @@ int64_t ctpu_prune_spans(
             }
         }
 
-        // ---- per-range upper bounds
-        const bool prune = theta > 0.0;
-        if (prune) {
+        // ---- per-range upper bounds. Terms WITHOUT block-max tables (df below
+        // the index's heavy_df cutoff) charge their GLOBAL bound to every range
+        // (accumulated once in u_base rather than written across U), matching
+        // the numpy reference (scoring.py _spans_pruned); if no query term has
+        // tables at all, nothing can be pruned (numpy: prunable == []).
+        double u_base = 0.0;
+        bool any_tables = false;
+        if (theta > 0.0) {
             for (int64_t r : touched) U[r] = 0.0;
             touched.clear();
             for (int64_t i = t0; i < t1; i++) {
                 const int64_t a = rt_offsets[tids[i]], b_ = rt_offsets[tids[i] + 1];
+                if (a == b_) {
+                    u_base += contrib(gmax_tf[tids[i]], gmin_dl[tids[i]], w1[i]);
+                    continue;
+                }
+                any_tables = true;
                 for (int64_t e = a; e < b_; e++) {
                     const int64_t r = rt_range[e];
                     if (U[r] == 0.0) touched.push_back(r);
@@ -113,6 +124,7 @@ int64_t ctpu_prune_spans(
                 }
             }
         }
+        const bool prune = theta > 0.0 && any_tables;
 
         // ---- emit tile-coarsened surviving spans (strict skip below theta,
         // with the same f32-vs-f64 safety margin as the numpy path)
@@ -131,9 +143,19 @@ int64_t ctpu_prune_spans(
                 continue;
             }
             const int64_t a = rt_offsets[tids[i]], b_ = rt_offsets[tids[i] + 1];
+            if (a == b_) {  // term without tables: keep its full span (exactness)
+                out_qix[n_out] = (int32_t)q;
+                out_s[n_out] = s_full;
+                out_e[n_out] = e_full;
+                out_w1[n_out] = w1[i];
+                n_out++;
+                kept_lanes += e_full - s_full;
+                kept_tiles += (e_full - 1) / tile - s_full / tile + 1;
+                continue;
+            }
             int64_t cur_s = -1, cur_e = -1;
             for (int64_t e = a; e < b_; e++) {
-                if (U[rt_range[e]] * (1.0 + 1e-5) + 1e-6 < theta) continue;
+                if ((U[rt_range[e]] + u_base) * (1.0 + 1e-5) + 1e-6 < theta) continue;
                 kept_lanes += rt_end[e] - rt_start[e];
                 // snap outward to the global tile grid
                 int64_t ts = std::max(s_full, (rt_start[e] / tile) * tile);

@@ -38,7 +38,10 @@ class _BiGRU(nn.Module):
     @nn.compact
     def __call__(self, x):
         fwd = nn.RNN(nn.GRUCell(self.features), name="fwd")(x)
-        bwd = nn.RNN(nn.GRUCell(self.features), name="bwd", reverse=True)(x)
+        # keep_order=True realigns the reversed scan's outputs to input positions
+        # (without it flax returns them in reversed order, so fwd/bwd concat at
+        # position t would pair states of different tokens)
+        bwd = nn.RNN(nn.GRUCell(self.features), name="bwd", reverse=True, keep_order=True)(x)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -307,7 +310,8 @@ class HINTSpatialModel(nn.Module):
         ).reshape(b, p, 4 * self.hidden)  # [B, P, 8]: xor+cos, fwd+inv
 
         fwd = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim), name="lstm_fwd")(e)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim), name="lstm_bwd", reverse=True)(e)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim), name="lstm_bwd", reverse=True,
+                     keep_order=True)(e)  # keep_order: realign outputs to input positions
         lstm_out = fwd + bwd  # reference sums the directions (HINT.py:201)
         vt = jnp.tanh(nn.Dense(self.lstm_dim, name="Wv")(e))
         evidence = jnp.concatenate([vt, lstm_out], axis=1)  # [B, 2P, lstm_dim]

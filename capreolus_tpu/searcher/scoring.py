@@ -330,14 +330,14 @@ class ScoringEngine:
             )
 
     # ------------------------------------------------------------------- exact path
-    def _build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str,
-                          max_postings: int = 0):
+    def _build_work_units(self, term_lists: Sequence[Sequence[Tuple[int, float]]], model: str):
         """Flatten a batch of queries into per-(query, tile) work units (vectorized).
 
         Returns numpy arrays (tile_idx, qidx, w1, w2, lo, hi) and the unit count.
-        ``max_postings`` is threaded explicitly (never instance state) so
-        interleaved searches with different caps cannot race (ADVICE round 2).
-        """
+        Early-termination caps never reach this path: search() routes any
+        max_postings > 0 to the tiered span path, the only one that can express
+        per-range head spans under the canonical range-major layout (a postings
+        PREFIX here would select low doc ranges, not high impacts)."""
         d = self.dindex
         w2_source = _W2_SOURCE[model]
 
@@ -352,8 +352,6 @@ class ScoringEngine:
 
         starts = d.term_offsets[tids]
         ends = d.term_offsets[tids + 1]
-        if max_postings > 0:
-            ends = np.minimum(ends, starts + max_postings)
         nonempty = ends > starts
         tids, qw, qix, starts, ends = tids[nonempty], qw[nonempty], qix[nonempty], starts[nonempty], ends[nonempty]
         if len(tids) == 0:
@@ -683,7 +681,12 @@ class ScoringEngine:
         of two to bound recompilation; pad rows carry sentinel docs (masked by
         hi=0 anyway). Transfers overlap compute because dispatch is async."""
         d = self.dindex
-        uniq, remap = np.unique(packed[0], return_inverse=True)
+        # working set over REAL units only (pad units carry tile 0 with hi=0 and
+        # must not force tile 0 into every upload or inflate the stats); pads are
+        # remapped to row 0, which is valid and masked on device anyway
+        real = packed[4] > 0  # tiered layout rows: tile, w1, w2, lo, hi
+        uniq = np.unique(packed[0][real]) if real.any() else np.zeros(1, packed[0].dtype)
+        remap = np.clip(np.searchsorted(uniq, packed[0]), 0, len(uniq) - 1)
         n_buf = _bucket(len(uniq), minimum=64)
         doc_buf = np.full((n_buf, TILE), d.num_docs, np.int32)
         doc_buf[: len(uniq)] = d.doc_tiles_np[uniq]
@@ -725,7 +728,7 @@ class ScoringEngine:
         among span-head postings (summed per doc — a doc's true score is >= the
         sum of its single-term head contributions). -1 when a query has fewer
         than k head candidates (pruning disabled for it). No device work."""
-        params = dict(params or {})
+        params = dict(params or {"k1": 0.9, "b": 0.4})  # Anserini BM25 defaults
         k1, b = float(params["k1"]), float(params["b"])
         topk = min(topk, self.dindex.num_docs)
         pt = self.dindex.prune
@@ -801,7 +804,7 @@ class ScoringEngine:
         for q in range(len(term_lists)):
             idx = range(int(bounds[q]), int(bounds[q + 1]))
             th = float(theta[q])
-            prunable = [i for i in idx if rt_off[tids[i] + 1] > rt_off[tids[i]]] if th > 0 else []
+            prunable = {i for i in idx if rt_off[tids[i] + 1] > rt_off[tids[i]]} if th > 0 else set()
             U = None
             if prunable:
                 U = np.zeros(num_ranges, dtype=np.float64)
@@ -880,6 +883,7 @@ class ScoringEngine:
                 pt["rt_offsets"].astype(np.int64), pt["rt_range"].astype(np.int32),
                 pt["rt_start"].astype(np.int64), pt["rt_end"].astype(np.int64),
                 pt["rt_max_tf"].astype(np.float32), pt["rt_min_dl"].astype(np.float32),
+                pt["gmax_tf"].astype(np.float32), pt["gmin_dl"].astype(np.float32),
                 d.host.doc_ids.astype(np.int32), np.asarray(d.host_tfs, np.int32),
                 d.host.norm_doclens.astype(np.int32)))
         rt_off = arrs[0]
@@ -903,8 +907,8 @@ class ScoringEngine:
             p(q_offsets, i64), len(term_lists),
             p(tids_c, i64), p(w1_c, f32), p(starts_c, i64), p(ends_c, i64),
             p(arrs[0], i64), p(arrs[1], i32), p(arrs[2], i64), p(arrs[3], i64),
-            p(arrs[4], f32), p(arrs[5], f32),
-            p(arrs[6], i32), p(arrs[7], i32), p(arrs[8], i32),
+            p(arrs[4], f32), p(arrs[5], f32), p(arrs[6], f32), p(arrs[7], f32),
+            p(arrs[8], i32), p(arrs[9], i32), p(arrs[10], i32),
             float(params["k1"]), float(params["b"]), d.avgdl,
             num_ranges, min(int(topk), d.num_docs), TILE, self.PRUNE_MIN_TILE_SAVINGS,
             p(out_qix, i32), p(out_s, i64), p(out_e, i64), p(out_w1, f32), p(out_stats, i64))
@@ -929,6 +933,7 @@ class ScoringEngine:
         sticky per (topk, params)."""
         import time as _time
 
+        params = dict(params or {"k1": 0.9, "b": 0.4})  # Anserini BM25 defaults
         key = (int(topk), float(params["k1"]), float(params["b"]))
         state = self._prune_effective.get(key)
         if state is False:
@@ -1004,7 +1009,7 @@ class ScoringEngine:
         partial sums (always <= the exact score); recall degrades gracefully
         with the cap. 0 = exact (default).
 
-        ``prune_theta`` ([Q] f32 from threshold_pass().get()) enables EXACT
+        ``prune_theta`` ([Q] f32 from compute_theta()) enables EXACT
         block-max dynamic pruning: doc ranges provably below each query's
         threshold are skipped; results are bit-identical to exhaustive scoring
         (see the block-max section above). Requires supports_pruning().
@@ -1052,7 +1057,7 @@ class ScoringEngine:
 
         if exact_topk:
             self._check_accumulator_bounds(num_queries)
-            tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model, max_postings)
+            tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model)
             u_pad = _bucket(max(n, 1))
             pad = u_pad - n
             if pad:

@@ -33,48 +33,11 @@ CACHE = "/tmp/prune_scale_corpus.npz"
 
 
 def corpus():
-    from capreolus_tpu.index.smallfloat import quantize_lengths
-    from capreolus_tpu.index.tpu import IndexData, build_prune_tables, canonical_postings_order
+    from capreolus_tpu.index.synth import synth_clustered_index
 
-    if os.path.exists(CACHE):
-        z = np.load(CACHE)
-        return IndexData(term_offsets=z["term_offsets"], doc_ids=z["doc_ids"], tfs=z["tfs"],
-                         doclens=z["doclens"], norm_doclens=z["norm_doclens"],
-                         docid_strings=None, vocab=None,
-                         prune_tables={k[3:]: z[k] for k in z.files if k.startswith("pt_")})
-    rng = np.random.Generator(np.random.PCG64(9))
-    n_topics = 2000
-    topic_vocab = rng.integers(0, NUM_TERMS, size=(n_topics, 1500))
-    topic_of_doc = np.sort(rng.integers(0, n_topics, size=NUM_DOCS))
-    n_local = int(AVG_UNIQUE * 0.7)
-    print("generating clustered corpus...", flush=True)
-    local = topic_vocab[topic_of_doc[:, None], rng.integers(0, 1500, size=(NUM_DOCS, n_local))]
-    n_glob = AVG_UNIQUE - n_local
-    z = rng.zipf(1.3, size=NUM_DOCS * n_glob * 2)
-    z = z[z <= NUM_TERMS][: NUM_DOCS * n_glob].reshape(NUM_DOCS, n_glob) - 1
-    term_ids = np.concatenate([local, z], axis=1).reshape(-1).astype(np.int64)
-    del local, z
-    doc_ords = np.repeat(np.arange(NUM_DOCS, dtype=np.int64), AVG_UNIQUE)
-    key, counts = np.unique(term_ids * NUM_DOCS + doc_ords, return_counts=True)
-    del term_ids, doc_ords
-    term_ids, doc_ords = key // NUM_DOCS, key % NUM_DOCS
-    del key
-    tfs = np.minimum(counts + rng.integers(0, 3, size=len(counts)), 64).astype(np.int64)
-    print(f"{len(term_ids)} postings; sorting...", flush=True)
-    order, range_size = canonical_postings_order(term_ids, doc_ords, tfs, NUM_DOCS)
-    term_ids, doc_ords, tfs = term_ids[order], doc_ords[order], tfs[order]
-    offsets = np.zeros(NUM_TERMS + 1, dtype=np.int64)
-    np.cumsum(np.bincount(term_ids, minlength=NUM_TERMS), out=offsets[1:])
-    doclens = np.maximum(np.bincount(doc_ords, weights=tfs, minlength=NUM_DOCS), 1).astype(np.int32)
-    norm = quantize_lengths(doclens).astype(np.int32)
-    pt = build_prune_tables(offsets, doc_ords.astype(np.int32), tfs.astype(np.int32),
-                            norm, NUM_DOCS, range_size=range_size)
-    np.savez(CACHE, term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
-             tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
-             **{f"pt_{k}": v for k, v in pt.items()})
-    return IndexData(term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
-                     tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
-                     docid_strings=None, vocab=None, prune_tables=pt)
+    print("generating clustered corpus (cached per layout version)...", flush=True)
+    return synth_clustered_index(NUM_DOCS, NUM_TERMS, AVG_UNIQUE, seed=9,
+                                 n_topics=2000, topic_vocab_size=1500, cache_fn=CACHE)
 
 
 def main():

@@ -20,7 +20,8 @@ capreolus_tpu.load_all_modules()
 from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
 
 
-def _make_corpus(seed=0, num_docs=20000, num_terms=800, nnz=400_000, clustered=False):
+def _make_corpus(seed=0, num_docs=20000, num_terms=800, nnz=400_000, clustered=False,
+                 heavy_df=None):
     from capreolus_tpu.index.smallfloat import quantize_lengths
     from capreolus_tpu.index.tpu import IndexData, build_prune_tables, canonical_postings_order
 
@@ -47,8 +48,9 @@ def _make_corpus(seed=0, num_docs=20000, num_terms=800, nnz=400_000, clustered=F
     np.cumsum(np.bincount(term_ids, minlength=num_terms), out=offsets[1:])
     doclens = np.maximum(np.bincount(doc_ords, weights=tfs, minlength=num_docs), 1).astype(np.int32)
     norm = quantize_lengths(doclens).astype(np.int32)
+    pt_kw = {} if heavy_df is None else {"heavy_df": heavy_df}
     pt = build_prune_tables(offsets, doc_ords.astype(np.int32), tfs.astype(np.int32), norm,
-                            num_docs, range_size=range_size)
+                            num_docs, range_size=range_size, **pt_kw)
     data = IndexData(term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
                      tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
                      docid_strings=None, vocab=None, prune_tables=pt)
@@ -296,3 +298,35 @@ def test_grid_and_maxpostings_fall_back(engine_queries):
     with pytest.raises(ValueError, match="pruning"):
         engine.search(queries, model="qld", params={"mu": 1000.0}, topk=10,
                       prune_theta=np.zeros(len(queries), np.float32))
+
+
+def test_table_less_terms_stay_exact():
+    """heavy_df > 1 leaves low-df terms WITHOUT block-max tables; both span
+    builders must keep those terms' full spans and charge their global bound to
+    every range — results stay bit-identical to exhaustive (a dropped table-less
+    term, or an understated bound, would corrupt the top-k)."""
+    from capreolus_tpu.native import get_pruner_lib
+
+    data, rng = _make_corpus(seed=11, clustered=True, heavy_df=200)
+    engine = ScoringEngine(DeviceIndex(data))
+    df = np.diff(data.term_offsets)
+    heavy = np.where(df >= 200)[0]
+    light = np.where((df > 10) & (df < 200))[0]
+    assert len(heavy) >= 3 and len(light) >= 1, (len(heavy), len(light))
+    # every query mixes table-backed and table-less terms
+    queries = [[(int(t), 1.0) for t in rng.choice(heavy, size=3, replace=False)]
+               + [(int(t), 1.0) for t in rng.choice(light, size=2, replace=False)]
+               for _ in range(16)]
+    es, eo = engine.search(queries, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+
+    theta = engine.compute_theta(queries, params=PARAMS, topk=10)
+    builders = [("numpy", engine._spans_pruned(queries, "bm25", PARAMS, theta))]
+    if get_pruner_lib() is not None:
+        builders.append(("native", engine._build_prune_spans(queries, "bm25", PARAMS, 10)))
+    for name, spans in builders:
+        if spans is None:  # not enough savings at this mix — still a valid outcome
+            continue
+        ps, po = engine.search(queries, model="bm25", params=PARAMS, topk=10,
+                               prune_spans=spans, exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps), err_msg=name)

@@ -190,3 +190,25 @@ def test_index_positions(tmpdir_as_cache):
     vocab_inv = {v: k for k, v in index.data.vocab.items()}
     decoded = [vocab_inv[int(t)] for t in tokens]
     assert decoded[:2] == ["januari", "orbit"]
+
+def test_bigru_directions_position_aligned():
+    """The backward RNN's outputs must be realigned to INPUT positions before
+    concatenation (flax nn.RNN(reverse=True) returns them in reversed order
+    unless keep_order=True): the bwd half at position t must equal a manual
+    forward scan over the flipped sequence, flipped back."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from capreolus_tpu.reranker.sequence_models import _BiGRU
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 6, 4), jnp.float32)
+    mod = _BiGRU(features=3)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(mod.apply(params, x))
+    assert out.shape == (2, 6, 6)
+
+    bwd_params = {"params": {"cell": params["params"]["GRUCell_1"]}}
+    manual_bwd = jnp.flip(nn.RNN(nn.GRUCell(3)).apply(bwd_params, jnp.flip(x, axis=1)), axis=1)
+    np.testing.assert_allclose(out[..., 3:], np.asarray(manual_bwd), rtol=1e-5, atol=1e-6)
