@@ -1,0 +1,248 @@
+"""End-to-end late-interaction (ColBERT) retrieval on TPU.
+
+The reference can only consume a pre-computed TCT-ColBERT run file
+(/root/reference/capreolus/searcher/special.py:170-212). This searcher BUILDS
+late-interaction runs natively: every document's tokens are embedded once with
+a ColBERT encoder into an HBM-resident ``[N, Ld, dim]`` bf16 tensor, and search
+scores MaxSim exactly — for each query token, the max dot product over the
+doc's tokens, summed over query tokens. On TPU the interaction is a flat
+``[Q*Lq, dim] x [dim, C*Ld]`` MXU matmul per doc chunk followed by a masked
+max/sum on the VPU; ``lax.map`` over chunks bounds the similarity tensor to one
+chunk so corpus size only occupies HBM through the (compact, dim<<768) token
+embeddings. No approximate-NN/IVF structures: exact over the whole corpus, like
+the dense searcher (searcher/dense.py), with the same shards/topkmode options.
+
+Pairs with the trainable `reranker.name=colbert` (reranker/colbert.py): train
+in-framework, pass the checkpoint via ``searcher.checkpointfile``.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+
+from capreolus_tpu.core import ConfigOption, Dependency
+from capreolus_tpu.searcher import Searcher
+from capreolus_tpu.utils.caching import done_file
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+
+@Searcher.register
+class LateInteractionSearcher(Searcher):
+    """Exact ColBERT MaxSim retrieval over per-token embeddings."""
+
+    module_name = "colbert"
+    dependencies = [
+        Dependency(key="index", module="index", name="tpu"),
+        Dependency(key="tokenizer", module="tokenizer", name="berttokenizer"),
+    ]
+    config_spec = [
+        ConfigOption("pretrained", "tiny", "encoder checkpoint (bert/electra names; 'tiny' for offline smoke)"),
+        ConfigOption("checkpointfile", None, "trained colbert reranker checkpoint "
+                     "(dev.best.params with 'bert' + 'linear' submodules)"),
+        ConfigOption("dim", 128, "per-token embedding dimension (must match the checkpoint)"),
+        ConfigOption("maxdoclen", 180, "document tokens fed to the encoder"),
+        ConfigOption("maxqlen", 32, "query tokens (ColBERT pads to this with [MASK])"),
+        ConfigOption("batch", 64, "embedding / query batch size"),
+        ConfigOption("hits", 1000, "number of results"),
+        ConfigOption("chunk", 256, "docs scored per MaxSim chunk (bounds the similarity "
+                     "tensor to batch*chunk*maxqlen*maxdoclen bf16)"),
+        ConfigOption("allowrandominit", False, "allow a randomly-initialized encoder when the "
+                     "checkpoint cannot be loaded (smoke tests only)"),
+    ]
+    config_keys_not_in_path = ["batch", "chunk"]  # neither changes results
+
+    def build(self):
+        from capreolus_tpu.core import ConfigError
+
+        if int(self.config["dim"]) <= 0 or int(self.config["chunk"]) <= 0:
+            raise ConfigError("colbert searcher dim and chunk must be positive")
+
+    # ------------------------------------------------------------------ encoder
+    def _encoder(self):
+        if getattr(self, "_enc", None) is None:
+            import dataclasses as _dc
+
+            import jax
+
+            from capreolus_tpu.reranker.bert.encoder import load_pretrained_encoder
+            from capreolus_tpu.reranker.colbert import ColBERTModel
+
+            name = self.config["pretrained"]
+            cfg, bert_params = load_pretrained_encoder(
+                name, allow_random_init=bool(self.config["allowrandominit"]) or name == "tiny")
+            cfg = _dc.replace(cfg, hidden_dropout_prob=0.0, attention_dropout_prob=0.0)
+            model = ColBERTModel(cfg, dim=int(self.config["dim"]))
+            self._random_init = bert_params is None
+
+            rng = jax.random.PRNGKey(0)
+            dummy = np.zeros((1, 8), dtype=np.int32)
+            variables = model.init(rng, dummy, dummy)
+            if bert_params is not None:
+                variables = {"params": {**variables["params"],
+                                        "bert": jax.tree_util.tree_map(np.asarray, bert_params)}}
+            ckpt = self.config.get("checkpointfile")
+            if ckpt:
+                from flax import serialization
+
+                restored = serialization.msgpack_restore(open(ckpt, "rb").read())
+                tree = restored.get("params", restored)
+                for sub in ("bert", "linear"):
+                    if sub not in tree:
+                        raise ValueError(f"checkpoint {ckpt} has no '{sub}' submodule "
+                                         f"(top-level keys: {sorted(tree)[:8]}) — expected a "
+                                         f"trained colbert reranker checkpoint")
+                variables = {"params": jax.tree_util.tree_map(np.asarray, tree)}
+                self._random_init = False
+                logger.info("colbert searcher weights restored from %s", ckpt)
+            self._enc = (model, variables)
+
+            # jit once; params/tokens are ARGUMENTS (remote-compile payload limit)
+            self._encode_doc_jit = jax.jit(
+                lambda v, toks: model.apply(v, toks, method=ColBERTModel.encode_doc))
+            self._encode_query_jit = jax.jit(
+                lambda v, toks: model.apply(v, toks, method=ColBERTModel.encode_query))
+        return self._enc
+
+    def _tokenize(self, texts, maxlen):
+        tok = self.tokenizer
+        inp = np.zeros((len(texts), maxlen), dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = [tok.cls_id] + tok.convert_tokens_to_ids(tok.tokenize(text)[: maxlen - 2]) + [tok.sep_id]
+            inp[i, : len(ids)] = ids
+        return inp
+
+    # ------------------------------------------------------------------ doc embeddings
+    def _doc_cache_file(self):
+        """Keyed like dense.py's (ADVICE round 2): encoder identity + checkpoint
+        content + tokenizer fingerprint + random-init marker + dim/maxdoclen."""
+        import hashlib
+        import os as _os
+
+        self._encoder()
+        parts = [self.config["pretrained"], str(self.config["dim"]), str(self.config["maxdoclen"]),
+                 self.tokenizer.fingerprint,
+                 "randominit" if getattr(self, "_random_init", False) else "pretrained"]
+        ckpt = self.config.get("checkpointfile")
+        if ckpt:
+            st = _os.stat(ckpt)
+            parts += [ckpt, str(st.st_size), str(st.st_mtime_ns)]
+        key = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+        return self.index.get_cache_path() / "colbert" / f"doc_token_embeddings_{key}.npz"
+
+    def _doc_tensors(self):
+        """([N, Ld, dim] bf16 embeddings, [N, Ld] int8 masks), disk-cached."""
+        if getattr(self, "_docs_emb", None) is not None:
+            return self._docs_emb
+        import jax.numpy as jnp
+
+        self.index.create_index()
+        cache_fn = self._doc_cache_file()
+        docid_strings = self.index.data.docid_strings
+        if cache_fn.exists():
+            z = np.load(cache_fn)
+            emb, mask = z["emb"], z["mask"]
+        else:
+            model, variables = self._encoder()
+            maxlen = int(self.config["maxdoclen"])
+            batch = int(self.config["batch"])
+            logger.info("embedding %d documents' tokens with the %s colbert encoder",
+                        len(docid_strings), self.config["pretrained"])
+            embs, masks = [], []
+            for start in range(0, len(docid_strings), batch):
+                texts = [self.index.get_doc(d) for d in docid_strings[start : start + batch]]
+                toks = self._tokenize(texts, maxlen)
+                if len(toks) < batch:  # fixed batch shape: one compiled executable
+                    toks = np.concatenate([toks, np.zeros((batch - len(toks), maxlen), np.int32)])
+                e, m = self._encode_doc_jit(variables, toks)
+                embs.append(np.asarray(e, np.float16)[: len(texts)])
+                masks.append(np.asarray(m, np.int8)[: len(texts)])
+            emb = np.concatenate(embs) if embs else np.zeros((0, maxlen, int(self.config["dim"])), np.float16)
+            mask = np.concatenate(masks) if masks else np.zeros((0, maxlen), np.int8)
+            from capreolus_tpu.utils.caching import TargetFileExists, cached_file
+
+            try:
+                with cached_file(cache_fn, "wb") as f:
+                    np.savez(f, emb=emb, mask=mask)
+            except TargetFileExists:
+                pass
+        self._docs_emb = (jnp.asarray(emb, dtype=jnp.bfloat16), jnp.asarray(mask, dtype=jnp.int8))
+        return self._docs_emb
+
+    # ------------------------------------------------------------------ search
+    def query_from_file(self, topicsfn, output_path):
+        from pathlib import Path
+
+        output_path = Path(output_path)
+        with done_file(output_path) as already:
+            if not already:
+                self._search_all(Path(topicsfn), output_path)
+        return output_path
+
+    def _search_all(self, topicsfn, output_path):
+        import jax
+        import jax.numpy as jnp
+
+        docs, dmask = self._doc_tensors()
+        docid_strings = self.index.data.docid_strings
+        n = docs.shape[0]
+        hits = min(int(self.config["hits"]), n)
+        chunk = min(int(self.config["chunk"]), max(n, 1))
+
+        from capreolus_tpu.searcher.tpu import _load_topics_tsv
+
+        topics = _load_topics_tsv(topicsfn)
+
+        pad = (-n) % chunk
+        if pad:  # fully-masked pad docs can never win (masked max -> -inf-ish)
+            docs = jnp.concatenate([docs, jnp.zeros((pad, *docs.shape[1:]), docs.dtype)])
+            dmask = jnp.concatenate([dmask, jnp.zeros((pad, dmask.shape[1]), dmask.dtype)])
+        nchunks = docs.shape[0] // chunk
+
+        @jax.jit
+        def topk(q_emb, docs, dmask):
+            # q_emb [Q, Lq, dim]; per chunk: one [Q*Lq, dim] x [dim, C*Ld] MXU
+            # matmul -> [Q, Lq, C, Ld] bf16 sims -> masked max over doc tokens,
+            # sum over query tokens. lax.map keeps peak memory at one chunk.
+            dr = docs.reshape(nchunks, chunk, *docs.shape[1:])
+            mr = dmask.reshape(nchunks, chunk, dmask.shape[1])
+
+            def chunk_scores(args):
+                d, m = args  # [C, Ld, dim], [C, Ld]
+                sim = jnp.einsum("qle,cke->qclk", q_emb.astype(jnp.bfloat16), d,
+                                 preferred_element_type=jnp.float32)  # [Q, C, Lq, Ld]
+                sim = jnp.where(m[None, :, None, :] > 0, sim, -1e9)
+                per_q_token = sim.max(axis=-1)                       # [Q, C, Lq]
+                valid = m.any(axis=-1)[None, :]                      # [Q, C]
+                return jnp.where(valid, per_q_token.sum(axis=-1), -jnp.inf)
+
+            scores = jax.lax.map(chunk_scores, (dr, mr))             # [nchunks, Q, C]
+            scores = jnp.moveaxis(scores, 0, 1).reshape(q_emb.shape[0], -1)
+            return jax.lax.top_k(scores, hits)
+
+        model, variables = self._encoder()
+        run = OrderedDict()
+        batch = int(self.config["batch"])
+        maxqlen = int(self.config["maxqlen"])
+        for start in range(0, len(topics), batch):
+            chunk_topics = topics[start : start + batch]
+            toks = self._tokenize([t for _, t in chunk_topics], maxqlen)
+            if len(toks) < batch:
+                toks = np.concatenate([toks, np.zeros((batch - len(toks), maxqlen), np.int32)])
+            q_emb, _ = self._encode_query_jit(variables, toks)
+            scores, ords = topk(q_emb, docs, dmask)
+            scores, ords = np.asarray(scores), np.asarray(ords)
+            for qi, (qid, _) in enumerate(chunk_topics):
+                run[qid] = {docid_strings[int(o)]: float(s)
+                            for s, o in zip(scores[qi], ords[qi])
+                            if int(o) < n and np.isfinite(s)}
+
+        outfn = output_path / f"searcher_colbert_dim-{self.config['dim']}"
+        with open(outfn, "wt", encoding="utf-8") as f:
+            for qid, docs_ in run.items():
+                for rank, (docid, score) in enumerate(docs_.items(), start=1):
+                    f.write(f"{qid} Q0 {docid} {rank} {score:.6f} capreolus_tpu\n")
+        logger.info("wrote colbert run file %s (%d queries)", outfn, len(run))

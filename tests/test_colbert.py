@@ -1,0 +1,152 @@
+"""ColBERT late-interaction model + searcher (beyond the reference, which only
+consumes a static TCT-ColBERT run: reference searcher/special.py:170-212)."""
+
+import numpy as np
+import pytest
+
+import capreolus_tpu
+
+capreolus_tpu.load_all_modules()
+
+from capreolus_tpu.reranker import Reranker
+
+
+def test_maxsim_matches_numpy_referee():
+    import jax.numpy as jnp
+
+    from capreolus_tpu.reranker.colbert import maxsim
+
+    rng = np.random.RandomState(0)
+    B, Lq, Ld, dim = 3, 5, 9, 4
+    q = rng.randn(B, Lq, dim).astype(np.float32)
+    d = rng.randn(B, Ld, dim).astype(np.float32)
+    dmask = (rng.rand(B, Ld) > 0.3).astype(np.int32)
+    dmask[:, 0] = 1  # at least one valid token
+    got = np.asarray(maxsim(jnp.asarray(q), jnp.asarray(d), jnp.asarray(dmask)))
+    want = np.zeros(B, np.float32)
+    for b in range(B):
+        for i in range(Lq):
+            sims = [float(q[b, i] @ d[b, j]) for j in range(Ld) if dmask[b, j]]
+            want[b] += max(sims)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_marker_insertion_and_query_augmentation():
+    import jax.numpy as jnp
+
+    from capreolus_tpu.reranker.colbert import DOC_MARKER, MASK_ID, QUERY_MARKER, insert_marker
+
+    toks = jnp.asarray([[101, 7, 8, 9, 102, 0, 0, 0]], jnp.int32)
+    q = np.asarray(insert_marker(toks, QUERY_MARKER))
+    # [CLS] [Q] t... with the last position dropped (length preserved)
+    np.testing.assert_array_equal(q[0], [101, QUERY_MARKER, 7, 8, 9, 102, 0, 0])
+    d = np.asarray(insert_marker(toks, DOC_MARKER))
+    assert d[0, 1] == DOC_MARKER
+    # augmentation replaces [PAD] with [MASK] (applied inside encode_query)
+    aug = np.where(q == 0, MASK_ID, q)
+    assert (aug != 0).all() and aug[0, -1] == MASK_ID
+
+
+def test_colbert_forward_and_ranking_shape(tmpdir_as_cache):
+    import jax
+
+    reranker = Reranker.create("colbert", {
+        "pretrained": "tiny", "allowrandominit": True, "dim": 8,
+        "extractor": {"maxqlen": 4, "maxdoclen": 16, "index": {"collection": {"name": "dummy"}}},
+        "trainer": {"niters": 1, "itersize": 4, "batch": 2},
+    })
+    from capreolus_tpu.benchmark import Benchmark
+
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    reranker.build_model()
+    batch = reranker.extractor.id2vec("301", "D001", negid="D002")
+    batch = {k: np.asarray(v)[None, ...] for k, v in batch.items()}
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    pos, neg = reranker.score(params, batch)
+    assert pos.shape == (1,) and neg.shape == (1,)
+    assert np.isfinite(np.asarray(pos)).all() and np.isfinite(np.asarray(neg)).all()
+    # per-token projections are L2-normalized, so MaxSim is bounded by maxqlen+1
+    lq = batch["query"].shape[-1]
+    assert float(np.abs(np.asarray(pos))[0]) <= lq + 1e-4
+
+
+def test_colbert_train_smoke(tmpdir_as_cache, tmp_path):
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.sampler import Sampler
+
+    reranker = Reranker.create("colbert", {
+        "pretrained": "tiny", "allowrandominit": True, "dim": 8,
+        "extractor": {"maxqlen": 4, "maxdoclen": 16, "index": {"collection": {"name": "dummy"}}},
+        "trainer": {"niters": 1, "itersize": 4, "batch": 2, "validatefreq": 1},
+    })
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                                     benchmark.qrels, metric="map")
+    assert np.isfinite(metrics["map"])
+    assert (tmp_path / "t" / "dev.best.params").exists()
+
+
+def test_colbert_searcher_end_to_end_and_checkpoint_handoff(tmpdir_as_cache, tmp_path):
+    """Train the colbert reranker, export its checkpoint into the late-interaction
+    searcher, and search: the searcher must load the TRAINED weights (not the
+    random fallback) and produce a full ranking."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.sampler import Sampler
+    from capreolus_tpu.searcher import Searcher
+
+    reranker = Reranker.create("colbert", {
+        "pretrained": "tiny", "allowrandominit": True, "dim": 8,
+        "extractor": {"maxqlen": 4, "maxdoclen": 16, "index": {"collection": {"name": "dummy"}}},
+        "trainer": {"niters": 1, "itersize": 4, "batch": 2, "validatefreq": 1},
+    })
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                           benchmark.qrels, metric="map")
+    ckpt = tmp_path / "t" / "dev.best.params"
+    assert ckpt.exists()
+
+    searcher = Searcher.create("colbert", {
+        "checkpointfile": str(ckpt), "dim": 8, "maxdoclen": 32, "maxqlen": 8,
+        "batch": 4, "chunk": 2, "index": {"collection": {"name": "dummy"}}})
+    searcher.index.create_index()
+    _, variables = searcher._encoder()
+    trained = np.asarray(reranker.trainer._params["params"]["linear"]["kernel"])
+    np.testing.assert_allclose(np.asarray(variables["params"]["linear"]["kernel"]), trained, atol=1e-6)
+
+    results = searcher.query("galaxies collide")
+    assert len(results) == 3  # full ranking over the dummy corpus
+    assert all(np.isfinite(s) for s in results.values())
+
+
+def test_colbert_searcher_chunking_invariant(tmpdir_as_cache, tmp_path):
+    """MaxSim scores must not depend on the chunk size (pad docs masked out)."""
+    from capreolus_tpu.searcher import Searcher
+
+    runs = {}
+    for chunk in (1, 2, 3):
+        searcher = Searcher.create("colbert", {
+            "dim": 8, "maxdoclen": 32, "maxqlen": 8, "batch": 4, "chunk": chunk,
+            "allowrandominit": True, "index": {"collection": {"name": "dummy"}}})
+        searcher.index.create_index()
+        runs[chunk] = searcher.query("telescope galaxies")
+    for chunk in (2, 3):
+        assert list(runs[chunk]) == list(runs[1])
+        for d in runs[1]:
+            assert runs[chunk][d] == pytest.approx(runs[1][d], abs=1e-2)  # bf16 chunk sums
