@@ -52,8 +52,11 @@ class LateInteractionSearcher(Searcher):
                      "tensor to batch*chunk*maxqlen*maxdoclen bf16)"),
         ConfigOption("allowrandominit", False, "allow a randomly-initialized encoder when the "
                      "checkpoint cannot be loaded (smoke tests only)"),
+        ConfigOption("shards", 1, "devices to shard the token-embedding tensor across "
+                     "(doc-partitioned; per-shard top-k merged over ICI, like searcher.shards "
+                     "on BM25 and dense)"),
     ]
-    config_keys_not_in_path = ["batch", "chunk"]  # neither changes results
+    config_keys_not_in_path = ["batch", "chunk", "shards"]  # none change results
 
     def build(self):
         from capreolus_tpu.core import ConfigError
@@ -196,19 +199,19 @@ class LateInteractionSearcher(Searcher):
 
         topics = _load_topics_tsv(topicsfn)
 
-        pad = (-n) % chunk
-        if pad:  # fully-masked pad docs can never win (masked max -> -inf-ish)
+        shards = int(self.config.get("shards", 1))
+        pad = (-n) % (chunk * shards)
+        if pad:  # fully-masked pad docs can never win (masked max -> -inf)
             docs = jnp.concatenate([docs, jnp.zeros((pad, *docs.shape[1:]), docs.dtype)])
             dmask = jnp.concatenate([dmask, jnp.zeros((pad, dmask.shape[1]), dmask.dtype)])
-        nchunks = docs.shape[0] // chunk
 
-        @jax.jit
-        def topk(q_emb, docs, dmask):
+        def chunked_scores(q_emb, docs_l, dmask_l):
             # q_emb [Q, Lq, dim]; per chunk: one [Q*Lq, dim] x [dim, C*Ld] MXU
-            # matmul -> [Q, Lq, C, Ld] bf16 sims -> masked max over doc tokens,
+            # matmul -> [Q, Lq, C, Ld] sims -> masked max over doc tokens,
             # sum over query tokens. lax.map keeps peak memory at one chunk.
-            dr = docs.reshape(nchunks, chunk, *docs.shape[1:])
-            mr = dmask.reshape(nchunks, chunk, dmask.shape[1])
+            nchunks = docs_l.shape[0] // chunk
+            dr = docs_l.reshape(nchunks, chunk, *docs_l.shape[1:])
+            mr = dmask_l.reshape(nchunks, chunk, dmask_l.shape[1])
 
             def chunk_scores(args):
                 d, m = args  # [C, Ld, dim], [C, Ld]
@@ -220,8 +223,14 @@ class LateInteractionSearcher(Searcher):
                 return jnp.where(valid, per_q_token.sum(axis=-1), -jnp.inf)
 
             scores = jax.lax.map(chunk_scores, (dr, mr))             # [nchunks, Q, C]
-            scores = jnp.moveaxis(scores, 0, 1).reshape(q_emb.shape[0], -1)
-            return jax.lax.top_k(scores, hits)
+            return jnp.moveaxis(scores, 0, 1).reshape(q_emb.shape[0], -1)
+
+        if shards > 1:
+            topk, docs, dmask = self._sharded_topk(docs, dmask, n, hits, shards, chunked_scores)
+        else:
+            @jax.jit
+            def topk(q_emb, docs, dmask):
+                return jax.lax.top_k(chunked_scores(q_emb, docs, dmask), hits)
 
         model, variables = self._encoder()
         run = OrderedDict()
@@ -241,6 +250,50 @@ class LateInteractionSearcher(Searcher):
                             if int(o) < n and np.isfinite(s)}
 
         outfn = output_path / f"searcher_colbert_dim-{self.config['dim']}"
+        self._write_run(run, outfn)
+
+    def _sharded_topk(self, docs, dmask, n, hits, shards, chunked_scores):
+        """Doc-partitioned MaxSim over a 'shard' mesh: each chip scores its slice
+        of the token-embedding tensor chunk-by-chunk and takes a local top-k;
+        candidates merge with an allgather over ICI (the same pattern as the
+        sparse engine's index sharding and dense.py's _sharded_topk)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()
+        if len(devices) < shards:
+            raise ValueError(f"searcher.shards={shards} but only {len(devices)} devices are available")
+        mesh = Mesh(np.array(devices[:shards]), ("shard",))
+        docs_sharded = jax.device_put(docs, NamedSharding(mesh, P("shard", None, None)))
+        dmask_sharded = jax.device_put(dmask, NamedSharding(mesh, P("shard", None)))
+        per_shard = docs.shape[0] // shards
+        local_k = min(hits, per_shard)
+
+        def shard_fn(q_emb, docs_local, dmask_local):
+            scores = chunked_scores(q_emb, docs_local, dmask_local)  # [Q, per_shard]
+            s, o = jax.lax.top_k(scores, local_k)
+            shard_id = jax.lax.axis_index("shard")
+            o = o + shard_id * per_shard  # local ordinal -> global
+            s = jnp.where(o < n, s, -jnp.inf)  # shard-pad docs must never win
+            s_all = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
+            o_all = jax.lax.all_gather(o, "shard", axis=1, tiled=True)
+            ms, idx = jax.lax.top_k(s_all, hits)
+            return ms, jnp.take_along_axis(o_all, idx, axis=1)
+
+        # outputs ARE replicated (every shard merges the same allgathered
+        # candidates); the static checker cannot infer it: check_vma=False
+        mapped = jax.shard_map(shard_fn, mesh=mesh,
+                               in_specs=(P(), P("shard", None, None), P("shard", None)),
+                               out_specs=(P(), P()), check_vma=False)
+
+        @jax.jit
+        def topk(q_emb, docs_sharded, dmask_sharded):
+            return mapped(q_emb, docs_sharded, dmask_sharded)
+
+        return topk, docs_sharded, dmask_sharded
+
+    def _write_run(self, run, outfn):
         with open(outfn, "wt", encoding="utf-8") as f:
             for qid, docs_ in run.items():
                 for rank, (docid, score) in enumerate(docs_.items(), start=1):

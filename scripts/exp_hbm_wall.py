@@ -49,7 +49,7 @@ def corpus():
 def main():
     import jax
 
-    from capreolus_tpu.searcher.scoring import TILE, DeviceIndex, ScoringEngine
+    from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
 
     data = corpus()
     n_post = int(data.term_offsets[-1])

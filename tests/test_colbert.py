@@ -150,3 +150,21 @@ def test_colbert_searcher_chunking_invariant(tmpdir_as_cache, tmp_path):
         assert list(runs[chunk]) == list(runs[1])
         for d in runs[1]:
             assert runs[chunk][d] == pytest.approx(runs[1][d], abs=1e-2)  # bf16 chunk sums
+
+
+def test_colbert_sharded_matches_single(tmpdir_as_cache, tmp_path):
+    """Doc-partitioned MaxSim over the 8-device mesh == single-device search
+    (same ranking, same scores; shard-pad docs never surface)."""
+    from capreolus_tpu.searcher import Searcher
+
+    base = {"dim": 8, "maxdoclen": 32, "maxqlen": 8, "batch": 4, "chunk": 1,
+            "allowrandominit": True, "index": {"collection": {"name": "dummy"}}}
+    single = Searcher.create("colbert", dict(base))
+    single.index.create_index()
+    run1 = single.query("telescope galaxies")
+    sharded = Searcher.create("colbert", {**base, "shards": 4})
+    sharded.index.create_index()
+    run4 = sharded.query("telescope galaxies")
+    assert list(run4) == list(run1)
+    for d in run1:
+        assert run4[d] == pytest.approx(run1[d], abs=1e-2)
