@@ -168,3 +168,54 @@ def test_colbert_sharded_matches_single(tmpdir_as_cache, tmp_path):
     assert list(run4) == list(run1)
     for d in run1:
         assert run4[d] == pytest.approx(run1[d], abs=1e-2)
+
+
+def test_colbert_training_produces_useful_retriever(tmpdir_as_cache, tmp_path):
+    """Retrieval-QUALITY referee for the late-interaction loop (mirrors the
+    dense loop's gate, tests/test_dense.py): after training on the dummy
+    fixtures, the exported colbert searcher must reach full recall, place
+    relevant docs decisively above the random-MRR expectation, and not be worse
+    than the untrained random-init encoder. Bad convergence now fails CI."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.evaluation.metrics import eval_run
+    from capreolus_tpu.sampler import Sampler
+    from capreolus_tpu.searcher import Searcher
+
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0},
+           "302": {"D002": 2.0, "D001": 1.5, "D003": 1.0}}
+
+    reranker = Reranker.create("colbert", {
+        "pretrained": "tiny", "allowrandominit": True, "dim": 8,
+        "extractor": {"maxqlen": 8, "maxdoclen": 32,
+                      "index": {"collection": {"name": "dummy"}}},
+        "trainer": {"niters": 6, "itersize": 16, "batch": 2, "validatefreq": 6},
+    })
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    out = tmp_path / "t"
+    reranker.trainer.train(reranker, sampler, out, dev, out / "d", benchmark.qrels, metric="map")
+    ckpt = out / "dev.best.params"
+    assert ckpt.exists()
+
+    base = {"dim": 8, "maxdoclen": 32, "maxqlen": 8, "batch": 4,
+            "index": {"collection": {"name": "dummy"}}}
+    searcher = Searcher.create("colbert", {**base, "checkpointfile": str(ckpt)})
+    searcher.index.create_index()
+    topics = benchmark.topics[benchmark.query_type]
+    trained_run = {qid: searcher.query(topics[qid]) for qid in ("301", "302")}
+    wanted = ["recip_rank", "recall_1000"]
+    metrics = eval_run(trained_run, benchmark.qrels, wanted,
+                       relevance_level=benchmark.relevance_level)
+    assert metrics["recall_1000"] == 1.0
+    assert metrics["recip_rank"] >= 0.75, metrics
+    untrained = Searcher.create("colbert", {**base, "allowrandominit": True})
+    untrained.index.create_index()
+    untrained_run = {qid: untrained.query(topics[qid]) for qid in ("301", "302")}
+    um = eval_run(untrained_run, benchmark.qrels, wanted,
+                  relevance_level=benchmark.relevance_level)
+    assert metrics["recip_rank"] >= um["recip_rank"] - 1e-9
