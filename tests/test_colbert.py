@@ -219,3 +219,30 @@ def test_colbert_training_produces_useful_retriever(tmpdir_as_cache, tmp_path):
     um = eval_run(untrained_run, benchmark.qrels, wanted,
                   relevance_level=benchmark.relevance_level)
     assert metrics["recip_rank"] >= um["recip_rank"] - 1e-9
+
+
+def test_colbert_trains_with_tensor_parallelism(tmpdir_as_cache, tmp_path):
+    """trainer.tp=2 shards colbert's BERT layers over the model axis (the TP
+    rules are path-suffix based, so they apply to any model with a 'bert'
+    submodule) and the train step runs on the (data, model) mesh."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.sampler import Sampler
+
+    reranker = Reranker.create("colbert", {
+        "pretrained": "tiny", "allowrandominit": True, "dim": 8,
+        "extractor": {"maxqlen": 4, "maxdoclen": 16, "index": {"collection": {"name": "dummy"}}},
+        "trainer": {"niters": 1, "itersize": 4, "batch": 4, "validatefreq": 1, "tp": 2},
+    })
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                                     benchmark.qrels, metric="map")
+    assert np.isfinite(metrics["map"])
+    mesh_shape = dict(reranker.trainer._data_mesh.shape)
+    assert mesh_shape.get("model") == 2, mesh_shape
