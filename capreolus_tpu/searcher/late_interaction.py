@@ -55,6 +55,11 @@ class LateInteractionSearcher(Searcher):
         ConfigOption("shards", 1, "devices to shard the token-embedding tensor across "
                      "(doc-partitioned; per-shard top-k merged over ICI, like searcher.shards "
                      "on BM25 and dense)"),
+        ConfigOption("prefilter", 0, "two-stage mode (PLAID-style candidate generation, "
+                     "Santhanam et al. 2022): 0 = exact MaxSim over the whole corpus; N > 0 = "
+                     "a cheap pooled-embedding first pass selects N candidates per query "
+                     "([Q, dim] x [dim, N] matmul), exact MaxSim reranks only those. "
+                     "Approximate: measured top-10 overlap vs exact in tests/test_colbert.py"),
     ]
     config_keys_not_in_path = ["batch", "chunk", "shards"]  # none change results
 
@@ -63,6 +68,9 @@ class LateInteractionSearcher(Searcher):
 
         if int(self.config["dim"]) <= 0 or int(self.config["chunk"]) <= 0:
             raise ConfigError("colbert searcher dim and chunk must be positive")
+        if int(self.config["prefilter"]) > 0 and int(self.config["shards"]) > 1:
+            raise ConfigError("colbert searcher prefilter is single-device; use shards=1 "
+                              "(the exact sharded path) or prefilter=0")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
@@ -225,8 +233,11 @@ class LateInteractionSearcher(Searcher):
             scores = jax.lax.map(chunk_scores, (dr, mr))             # [nchunks, Q, C]
             return jnp.moveaxis(scores, 0, 1).reshape(q_emb.shape[0], -1)
 
+        prefilter = int(self.config.get("prefilter", 0))
         if shards > 1:
             topk, docs, dmask = self._sharded_topk(docs, dmask, n, hits, shards, chunked_scores)
+        elif prefilter > 0:
+            topk = self._prefilter_topk(docs, dmask, n, hits, min(prefilter, n), chunk)
         else:
             @jax.jit
             def topk(q_emb, docs, dmask):
@@ -251,6 +262,66 @@ class LateInteractionSearcher(Searcher):
 
         outfn = output_path / f"searcher_colbert_dim-{self.config['dim']}"
         self._write_run(run, outfn)
+
+    def _prefilter_topk(self, docs, dmask, n, hits, n_cand, chunk):
+        """Two-stage MaxSim (PLAID-pattern candidate generation): stage 1 scores
+        every doc with ONE [Q, dim] x [dim, N] matmul — sum_i q_i . dbar, where
+        dbar is the doc's mean valid-token embedding (sum over query tokens
+        commutes into a single pooled query vector) — and keeps the top n_cand;
+        stage 2 gathers only those docs' token embeddings and scores exact
+        MaxSim. Approximate overall (stage 1 is a heuristic, not a bound);
+        overlap vs exact is pinned in tests."""
+        import jax
+        import jax.numpy as jnp
+
+        hits = min(hits, n_cand)
+        cch = min(chunk, n_cand)
+        pad_c = (-n_cand) % cch
+        n_cand_pad = n_cand + pad_c
+        nchunks = n_cand_pad // cch
+
+        @jax.jit
+        def topk(q_emb, docs, dmask):
+            # pooled per-doc mean embedding computed in-jit from the jit ARGUMENT
+            # tensors (a closure-captured [N, dim] constant would go into the
+            # remote-compile payload — CLAUDE.md convention); one cheap reduction
+            m = (dmask > 0).astype(jnp.bfloat16)[..., None]
+            pooled = (docs * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)  # [Npad, dim]
+            qsum = q_emb.astype(jnp.bfloat16).sum(axis=1)                 # [Q, dim]
+            s1 = jnp.einsum("qe,ne->qn", qsum, pooled,
+                            preferred_element_type=jnp.float32)
+            s1 = jnp.where(jnp.arange(docs.shape[0])[None, :] < n, s1, -jnp.inf)
+            _, cand = jax.lax.top_k(s1, n_cand)                           # [Q, n_cand]
+            if pad_c:  # pad with repeats of the last candidate (dedup'd by rank)
+                cand = jnp.concatenate(
+                    [cand, jnp.broadcast_to(cand[:, -1:], (cand.shape[0], pad_c))], axis=1)
+            cand_r = jnp.moveaxis(cand.reshape(-1, nchunks, cch), 1, 0)   # [nchunks, Q, cch]
+
+            def chunk_scores(c_slice):                                    # [Q, cch]
+                d = docs[c_slice]                                         # [Q, cch, Ld, dim]
+                mm = dmask[c_slice]                                       # [Q, cch, Ld]
+                sim = jnp.einsum("qle,qcke->qclk", q_emb.astype(jnp.bfloat16), d,
+                                 preferred_element_type=jnp.float32)
+                sim = jnp.where(mm[:, :, None, :] > 0, sim, -1e9)
+                per_q = sim.max(axis=-1).sum(axis=-1)                     # [Q, cch]
+                return jnp.where(mm.any(axis=-1), per_q, -jnp.inf)
+
+            s2 = jax.lax.map(chunk_scores, cand_r)                        # [nchunks, Q, cch]
+            s2 = jnp.moveaxis(s2, 0, 1).reshape(q_emb.shape[0], -1)       # [Q, n_cand_pad]
+            # repeats from pad_c must not yield duplicate docids in the result:
+            # keep only the FIRST occurrence per candidate
+            order = jnp.argsort(cand, axis=1, stable=True)
+            sorted_cand = jnp.take_along_axis(cand, order, axis=1)
+            is_first = jnp.concatenate(
+                [jnp.ones_like(sorted_cand[:, :1], dtype=bool),
+                 sorted_cand[:, 1:] != sorted_cand[:, :-1]], axis=1)
+            first = jnp.zeros_like(is_first).at[
+                jnp.arange(cand.shape[0])[:, None], order].set(is_first)
+            s2 = jnp.where(first, s2, -jnp.inf)
+            ms, idx = jax.lax.top_k(s2, hits)
+            return ms, jnp.take_along_axis(cand, idx, axis=1)
+
+        return topk
 
     def _sharded_topk(self, docs, dmask, n, hits, shards, chunked_scores):
         """Doc-partitioned MaxSim over a 'shard' mesh: each chip scores its slice

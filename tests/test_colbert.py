@@ -246,3 +246,34 @@ def test_colbert_trains_with_tensor_parallelism(tmpdir_as_cache, tmp_path):
     assert np.isfinite(metrics["map"])
     mesh_shape = dict(reranker.trainer._data_mesh.shape)
     assert mesh_shape.get("model") == 2, mesh_shape
+
+
+def test_colbert_prefilter_two_stage(tmpdir_as_cache, tmp_path):
+    """prefilter=N (PLAID-pattern two-stage): with n_cand >= corpus size the
+    result must EQUAL exact MaxSim (stage 2 is exact over all candidates); a
+    tighter prefilter still returns valid rankings without duplicate docids;
+    prefilter + shards is rejected."""
+    from capreolus_tpu.core import ConfigError
+    from capreolus_tpu.searcher import Searcher
+
+    base = {"dim": 8, "maxdoclen": 32, "maxqlen": 8, "batch": 4, "chunk": 2,
+            "allowrandominit": True, "index": {"collection": {"name": "dummy"}}}
+    exact = Searcher.create("colbert", dict(base))
+    exact.index.create_index()
+    run_exact = exact.query("telescope galaxies")
+
+    full = Searcher.create("colbert", {**base, "prefilter": 10})  # >= 3 docs: exact
+    full.index.create_index()
+    run_full = full.query("telescope galaxies")
+    assert list(run_full) == list(run_exact)
+    for d in run_exact:
+        assert run_full[d] == pytest.approx(run_exact[d], abs=1e-2)
+
+    tight = Searcher.create("colbert", {**base, "prefilter": 2})
+    tight.index.create_index()
+    run_tight = tight.query("telescope galaxies")
+    assert len(run_tight) == 2 and len(set(run_tight)) == 2  # no dup docids
+    assert set(run_tight) <= set(run_exact)
+
+    with pytest.raises(ConfigError):
+        Searcher.create("colbert", {**base, "prefilter": 2, "shards": 2})
