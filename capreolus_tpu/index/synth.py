@@ -43,17 +43,30 @@ def assemble_index(term_ids, doc_ords, rng, num_docs: int, num_terms: int,
                    tf_cap: int = 64, cache_fn: str | None = None):
     """Raw (term, doc) pair streams (duplicates allowed) -> IndexData in the
     canonical range-major layout with block-max tables; optionally cached."""
+    key = np.asarray(term_ids, np.int64) * num_docs + np.asarray(doc_ords, np.int64)
+    return assemble_index_from_key(key, rng, num_docs, num_terms, tf_cap=tf_cap,
+                                   cache_fn=cache_fn)
+
+
+def assemble_index_from_key(key, rng, num_docs: int, num_terms: int,
+                            tf_cap: int = 64, cache_fn: str | None = None):
+    """Like assemble_index but takes the packed int64 (term * num_docs + doc)
+    key array directly — billion-posting callers pack the key themselves and
+    drop their raw pair arrays first so peak host RAM stays bounded (the
+    assembly itself is int32-lean after the dedup)."""
     from capreolus_tpu.index.smallfloat import quantize_lengths
     from capreolus_tpu.index.tpu import IndexData, build_prune_tables, canonical_postings_order
 
-    key, counts = np.unique(np.asarray(term_ids, np.int64) * num_docs
-                            + np.asarray(doc_ords, np.int64), return_counts=True)
-    term_ids, doc_ords = key // num_docs, key % num_docs
+    key, counts = np.unique(key, return_counts=True)
+    term_ids = (key // num_docs).astype(np.int32)
+    doc_ords = (key % num_docs).astype(np.int32)
     del key
-    tfs = np.minimum(counts + rng.integers(0, 3, size=len(counts)), tf_cap).astype(np.int64)
+    tfs = np.minimum(counts + rng.integers(0, 3, size=len(counts)), tf_cap).astype(np.int32)
+    del counts
 
     order, range_size = canonical_postings_order(term_ids, doc_ords, tfs, num_docs)
     term_ids, doc_ords, tfs = term_ids[order], doc_ords[order], tfs[order]
+    del order
     offsets = np.zeros(num_terms + 1, dtype=np.int64)
     np.cumsum(np.bincount(term_ids, minlength=num_terms), out=offsets[1:])
     doclens = np.maximum(np.bincount(doc_ords, weights=tfs, minlength=num_docs), 1).astype(np.int32)
@@ -81,9 +94,10 @@ def synth_uniform_index(num_docs: int, num_terms: int, avg_unique: int, seed: in
     nnz = num_docs * avg_unique
     z = rng.zipf(1.3, size=nnz * 2)
     z = z[z <= num_terms][:nnz]
-    term_ids = (z - 1).astype(np.int64)
-    doc_ords = rng.integers(0, num_docs, size=len(term_ids)).astype(np.int64)
-    return assemble_index(term_ids, doc_ords, rng, num_docs, num_terms, cache_fn=cache_fn)
+    key = (z - 1).astype(np.int64) * num_docs
+    del z
+    key += rng.integers(0, num_docs, size=len(key))
+    return assemble_index_from_key(key, rng, num_docs, num_terms, cache_fn=cache_fn)
 
 
 def synth_clustered_index(num_docs: int, num_terms: int, avg_unique: int, seed: int = 2,
@@ -101,11 +115,16 @@ def synth_clustered_index(num_docs: int, num_terms: int, avg_unique: int, seed: 
     topic_of_doc = np.sort(rng.integers(0, n_topics, size=num_docs))  # ids sorted by topic
     n_local = int(avg_unique * 0.7)
     local = topic_vocab[topic_of_doc[:, None],
-                        rng.integers(0, topic_vocab_size, size=(num_docs, n_local))]
+                        rng.integers(0, topic_vocab_size, size=(num_docs, n_local))].astype(np.int32)
     n_glob = avg_unique - n_local
     z = rng.zipf(1.3, size=num_docs * n_glob * 2)
-    z = z[z <= num_terms][: num_docs * n_glob].reshape(num_docs, n_glob) - 1
-    term_ids = np.concatenate([local, z], axis=1).reshape(-1).astype(np.int64)
+    z = (z[z <= num_terms][: num_docs * n_glob].reshape(num_docs, n_glob) - 1).astype(np.int32)
+    term_ids = np.concatenate([local, z], axis=1).reshape(-1)
     del local, z
-    doc_ords = np.repeat(np.arange(num_docs, dtype=np.int64), avg_unique)
-    return assemble_index(term_ids, doc_ords, rng, num_docs, num_terms, cache_fn=cache_fn)
+    # pack the dedup key directly (int32 pairs never materialize twice): doc
+    # ordinal d with avg_unique terms per doc occupies a contiguous run, so the
+    # doc component is the run index
+    key = term_ids.astype(np.int64) * num_docs
+    del term_ids
+    key += np.repeat(np.arange(num_docs, dtype=np.int64), avg_unique)
+    return assemble_index_from_key(key, rng, num_docs, num_terms, cache_fn=cache_fn)
