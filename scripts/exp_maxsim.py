@@ -26,7 +26,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 N, LD, DIM = 200_000, 64, 128
 Q, LQ = 32, 32
 HITS = 100
-CHUNK = 512
+CHUNK = 500
 PREFILTER = 1024
 PASSES = 5
 
@@ -36,17 +36,27 @@ def main():
     import jax.numpy as jnp
 
     rng = np.random.Generator(np.random.PCG64(0))
-    docs = rng.standard_normal((N, LD, DIM), dtype=np.float32)
+    # TOPICAL structure (what trained ColBERT embeddings have; on fully random
+    # vectors a pooled first pass is provably uninformative): each doc's tokens
+    # = its topic centroid + noise, each query targets one topic. Kernel COST
+    # is shape-dependent only; the structure makes the recall column meaningful.
+    n_topics = 1000
+    centroids = rng.standard_normal((n_topics, DIM), dtype=np.float32)
+    topic_of_doc = rng.integers(0, n_topics, size=N)
+    docs = (centroids[topic_of_doc][:, None, :]
+            + 0.7 * rng.standard_normal((N, LD, DIM), dtype=np.float32))
     docs /= np.linalg.norm(docs, axis=-1, keepdims=True)
     dmask = np.ones((N, LD), np.int8)
     dmask[:, LD // 2:] = (rng.random((N, LD - LD // 2)) > 0.3)  # variable doc lengths
-    q = rng.standard_normal((Q, LQ, DIM), dtype=np.float32)
+    q = (centroids[rng.integers(0, n_topics, size=Q)][:, None, :]
+         + 0.7 * rng.standard_normal((Q, LQ, DIM), dtype=np.float32))
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
 
     docs_d = jnp.asarray(docs, jnp.bfloat16)
     dmask_d = jnp.asarray(dmask)
     q_d = jnp.asarray(q)
 
+    assert N % CHUNK == 0
     nchunks = N // CHUNK
 
     @jax.jit
