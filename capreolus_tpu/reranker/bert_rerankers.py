@@ -191,6 +191,43 @@ class BertRerankerBase(Reranker):
             return self.build_model().apply(params, inp, mask, seg, train=True, rngs=rngs)
         return self.build_model().apply(params, inp, mask, seg)
 
+    # ------------------------------------------------------------------ pipeline parallelism
+    pp_compatible = False  # True on rerankers whose model is the plain _BertScorer
+
+    def pp_view(self, params):
+        """Canonical _BertScorer tree -> {"rest", "stacked"} pipeline view
+        (layer params stacked along a leading axis for pipe-axis sharding)."""
+        from capreolus_tpu.parallel import pipeline_parallel as ppmod
+
+        rest, stacked = ppmod.split_scorer_params(params, self.build_model().config)
+        return {"rest": rest, "stacked": stacked}
+
+    def pp_canonical(self, view):
+        """Inverse of pp_view: pipeline view -> canonical _BertScorer tree."""
+        from capreolus_tpu.parallel import pipeline_parallel as ppmod
+
+        return ppmod.merge_scorer_params(view["rest"], view["stacked"], self.build_model().config)
+
+    def _score_doc_pp(self, view, inp, mask, seg, mesh, microbatches, rng=None):
+        from capreolus_tpu.parallel import pipeline_parallel as ppmod
+
+        inp, mask, seg = self._shape_inputs(inp, mask, seg)
+        cfg = self.build_model().config
+        raw = ppmod.pipelined_scorer_forward(cfg, view["rest"], view["stacked"], inp, mask, seg,
+                                             mesh, microbatches, dropout_rng=rng,
+                                             train=rng is not None)
+        return self._head_scores(raw, mask)
+
+    def score_pp(self, view, batch, mesh, microbatches, rngs=None):
+        """Pairwise training scores through the GPipe pipeline (trainer.pp>1)."""
+        rng = rngs.get("dropout") if rngs else None
+        pos = self._score_doc_pp(view, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"],
+                                 mesh, microbatches, rng)
+        neg = self._score_doc_pp(view, batch["neg_bert_input"], batch["neg_mask"], batch["neg_seg"],
+                                 mesh, microbatches,
+                                 None if rng is None else jax.random.fold_in(rng, 1))
+        return [pos, neg]
+
     # ------------------------------------------------------------------ int8 inference
     def build_test_model(self):
         """Model used at inference: int8 FFN matmuls (v5e double-rate MXU path)
@@ -253,6 +290,7 @@ class BERTMaxP(BertRerankerBase):
     compatibility with the reference."""
 
     module_name = "BERTMaxP"
+    pp_compatible = True  # plain _BertScorer model: trainer.pp>1 pipelines the encoder
     config_spec = [
         ConfigOption("pretrained", "bert-base-uncased", "pretrained model: bert-base-uncased, "
                      "Capreolus/bert-base-msmarco, electra-base, or tiny (offline)"),

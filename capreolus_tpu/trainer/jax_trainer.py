@@ -127,6 +127,15 @@ class JaxTrainer(Trainer):
                      "(string values match the reference pytorch trainer, pytorch.py:43)", value_type="str"),
         ConfigOption("tp", 1, "tensor-parallel degree: shard BERT matmuls over a 'model' mesh axis "
                      "(Megatron-style column/row split via GSPMD; for bert-large/PARADE-large)"),
+        ConfigOption("pp", 1, "pipeline-parallel degree: split the BERT layer stack into stages over "
+                     "a 'pipe' mesh axis (GPipe microbatched schedule via shard_map+ppermute; "
+                     "each device stores only its stage's layers)"),
+        ConfigOption("sp", False, "sequence parallelism (requires tp>1): shard the token axis of the "
+                     "batch over the 'model' mesh axis so token-independent work (embeddings, "
+                     "layernorm, FFN rows) runs sequence-sharded; GSPMD inserts the allgathers "
+                     "only where attention needs the full sequence (Megatron-SP semantics)"),
+        ConfigOption("microbatches", 0, "pipeline microbatches per step (0 = auto: largest divisor "
+                     "of the per-data-shard batch <= 2*pp)"),
         ConfigOption("boardname", "default", "experiment label for artifacts"),
         ConfigOption("profile", False, "capture a jax profiler trace of the first iteration"),
         ConfigOption("evalbatch", 0, "prediction batch size (0 = use the training batch size)"),
@@ -177,10 +186,28 @@ class JaxTrainer(Trainer):
         return LOSS_FUNCTIONS[loss]
 
     def _mesh(self, batch_size):
-        """Device mesh: 1D ("data",) for pure DP; 2D ("data", "model") when tp>1."""
+        """Device mesh: 1D ("data",) for pure DP; 2D ("data", "model") when tp>1;
+        2D ("data", "pipe") when pp>1 (the GPipe schedule)."""
         devices = jax.devices()
         n = len(devices)
         tp = int(self.config.get("tp", 1))
+        pp = int(self.config.get("pp", 1))
+        if self.config.get("sp") and tp <= 1:
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError("trainer.sp=True requires trainer.tp>1 (sequence shards ride the "
+                              "'model' mesh axis, Megatron-SP style)")
+        if pp > 1:
+            from capreolus_tpu.core import ConfigError
+
+            if tp > 1:
+                raise ConfigError("trainer.pp and trainer.tp cannot be combined yet; pick one")
+            if n % pp != 0:
+                raise ConfigError(f"trainer.pp={pp} does not divide the {n} available devices")
+            dp = n // pp
+            while dp > 1 and batch_size % dp != 0:
+                dp -= 1
+            return jax.sharding.Mesh(np.array(devices[: dp * pp]).reshape(dp, pp), ("data", "pipe"))
         if tp > 1:
             if n % tp != 0:
                 from capreolus_tpu.core import ConfigError
@@ -196,13 +223,32 @@ class JaxTrainer(Trainer):
             return None
         return jax.sharding.Mesh(np.array(devices[:n]), ("data",))
 
+    _SEQ_LAST_AXIS_KEYS = ("pos_bert_input", "pos_mask", "pos_seg",
+                           "neg_bert_input", "neg_mask", "neg_seg")
+
     def _shard_batch(self, batches, leading_dims=2):
-        """Place a [gradacc, batch, ...] pytree with the batch axis sharded over 'data'."""
+        """Place a [gradacc, batch, ...] pytree with the batch axis sharded over
+        'data'; with sp=True (and tp>1) the trailing token axis of BERT inputs is
+        additionally sharded over 'model' — GSPMD propagates the sequence
+        sharding through token-independent ops and gathers only for attention."""
         if self._data_mesh is None:
             return batches
         P = jax.sharding.PartitionSpec
         spec = P(None, "data") if leading_dims == 2 else P("data")
         sharding = jax.sharding.NamedSharding(self._data_mesh, spec)
+        sp = bool(self.config.get("sp")) and "model" in self._data_mesh.axis_names
+        tp_size = self._data_mesh.shape.get("model", 1)
+
+        def place(key, x):
+            if (sp and key in self._SEQ_LAST_AXIS_KEYS and hasattr(x, "ndim")
+                    and x.ndim >= leading_dims + 1 and x.shape[-1] % tp_size == 0):
+                prefix = [None, "data"] if leading_dims == 2 else ["data"]
+                seq_spec = P(*(prefix + [None] * (x.ndim - leading_dims - 1) + ["model"]))
+                return jax.device_put(x, jax.sharding.NamedSharding(self._data_mesh, seq_spec))
+            return jax.device_put(x, sharding)
+
+        if isinstance(batches, dict):
+            return {k: place(k, v) for k, v in batches.items()}
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batches)
 
     def _replicate(self, tree):
@@ -210,6 +256,37 @@ class JaxTrainer(Trainer):
             return tree
         sharding = jax.sharding.NamedSharding(self._data_mesh, jax.sharding.PartitionSpec())
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+    # ------------------------------------------------------------------ pipeline parallelism
+    def _pp_active(self):
+        return int(self.config.get("pp", 1)) > 1 and self._data_mesh is not None \
+            and "pipe" in self._data_mesh.axis_names
+
+    def _pp_setup(self, reranker, params):
+        """Canonical params -> placed {"rest","stacked"} pipeline view (stacked
+        layers sharded over the pipe axis: each device stores only its stage)."""
+        from capreolus_tpu.core import ConfigError
+        from capreolus_tpu.parallel import pipeline_parallel as ppmod
+
+        if not getattr(reranker, "pp_compatible", False):
+            raise ConfigError(
+                f"trainer.pp>1 supports plain-BERT cross-encoders (BERTMaxP/TFVanillaBERT); "
+                f"{type(reranker).module_name} is not pipeline-compatible")
+        if self.config["loss"] == "lce":
+            raise ConfigError("trainer.pp>1 does not support loss=lce yet")
+        cfg = reranker.build_model().config
+        pp = int(self.config["pp"])
+        if cfg.num_layers % pp != 0:
+            raise ConfigError(f"trainer.pp={pp} does not divide the {cfg.num_layers} encoder layers")
+        view = reranker.pp_view(params)
+        rest, stacked = ppmod.place_pp_view(view["rest"], view["stacked"], self._data_mesh)
+        return {"rest": rest, "stacked": stacked}
+
+    def _pp_canonical(self, reranker, params):
+        """Pipeline view -> canonical replicated tree (for predict/checkpoints)."""
+        if not (self._pp_active() and isinstance(params, dict) and "stacked" in params):
+            return params
+        return self._replicate(reranker.pp_canonical(params))
 
     def _place_params(self, tree):
         """Params onto the mesh: replicated (DP) or Megatron column/row-sharded
@@ -227,6 +304,8 @@ class JaxTrainer(Trainer):
             name = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path).lower()
             if not reranker.trainable(tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path), value):
                 return "frozen"
+            if name.startswith("stacked"):
+                return "bert"  # pp view: the stacked transformer layers ARE the bert stack
             if "bert" in name or "electra" in name:
                 return "bert"
             return "other"
@@ -291,6 +370,16 @@ class JaxTrainer(Trainer):
                 )
             rngs = {"dropout": rng} if use_rngs else None
             kwargs = {"rngs": rngs} if use_rngs else {}
+            if self._pp_active():
+                # params is the {"rest","stacked"} pipeline view; scores flow
+                # through the GPipe schedule (parallel/pipeline_parallel.py)
+                pos, neg = reranker.score_pp(params, micro, self._data_mesh,
+                                             self.config.get("microbatches", 0), rngs=rngs)
+                if self.config["loss"] == "crossentropy":
+                    loss = loss_fn(jnp.stack([neg, pos], axis=1).astype(jnp.float32), micro["label"])
+                else:
+                    loss = loss_fn([pos.astype(jnp.float32), neg.astype(jnp.float32)])
+                return loss
             if self.config["loss"] == "lce":
                 scores = reranker.score_lce(params, micro, **kwargs)
                 loss = loss_fn(scores, micro.get("label"))
@@ -346,10 +435,17 @@ class JaxTrainer(Trainer):
         # XLA inserts the gradient allreduce (TPUStrategy equivalent)
         self._data_mesh = self._mesh(batch_size)
         if self._data_mesh is not None:
+            kind = "data-parallel"
+            if "model" in self._data_mesh.axis_names:
+                kind = "tensor+data-parallel"
+            elif "pipe" in self._data_mesh.axis_names:
+                kind = "pipeline+data-parallel"
             logger.info("%s training over %d devices (mesh %s)",
-                        "tensor+data-parallel" if "model" in self._data_mesh.axis_names else "data-parallel",
-                        self._data_mesh.devices.size, dict(self._data_mesh.shape))
-            params = self._place_params(params)
+                        kind, self._data_mesh.devices.size, dict(self._data_mesh.shape))
+            if self._pp_active():
+                params = self._pp_setup(reranker, params)
+            else:
+                params = self._place_params(params)
 
         tx = self._make_optimizer(reranker, params)
         opt_state = tx.init(params)
@@ -359,9 +455,17 @@ class JaxTrainer(Trainer):
         initial_iter = 0
         train_loss = []
         if self.config["fastforward"]:
-            initial_iter, params, opt_state, train_loss = self._fastforward(
-                weights_path, loss_fn_path, params, opt_state, reranker
+            # checkpoints are always canonical-format: convert the pp view out
+            # for template matching and back in after a successful load
+            ff_template = self._pp_canonical(reranker, params)
+            initial_iter, ff_params, opt_state, train_loss = self._fastforward(
+                weights_path, loss_fn_path, ff_template, opt_state, reranker
             )
+            if self._pp_active():
+                if initial_iter > 0:
+                    params = self._pp_setup(reranker, ff_params)
+            else:
+                params = ff_params
             if initial_iter > 0:
                 logger.info("fastforwarding to iteration %d", initial_iter)
                 # the stream already yielded batch_size samples for init; skip the rest
@@ -444,12 +548,13 @@ class JaxTrainer(Trainer):
                 logger.info("profiler trace written to %s", info_path / "profile")
 
             if self.config["fastforward"]:
-                self.save_checkpoint(weights_path / f"{niter}", params, opt_state, reranker)
+                self.save_checkpoint(weights_path / f"{niter}", self._pp_canonical(reranker, params),
+                                     opt_state, reranker)
             self.write_to_loss_file(loss_fn_path, train_loss)
             _plot_loss(train_loss, info_path / "loss.png")
 
             if (niter + 1) % self.config["validatefreq"] == 0 and dev_data is not None:
-                preds = self.predict(reranker, dev_data, params=params)
+                preds = self.predict(reranker, dev_data, params=self._pp_canonical(reranker, params))
                 metrics = self._eval_dev_runs(preds, qrels, self._validation_metrics(metric), relevance_level)
                 logger.info("dev metrics: %s", " ".join(f"{k}={v:0.3f}" for k, v in sorted(metrics.items())))
                 metric_history.append((niter, dict(metrics)))
@@ -463,16 +568,18 @@ class JaxTrainer(Trainer):
                     logger.info("new best dev metric: %s=%0.3f", metric, best_metric)
                     dev_best_metrics = metrics
                     self.write_to_metric_file(metrics_fn, metrics)
-                    self.save_checkpoint(dev_best_fn, params, opt_state, reranker)
+                    self.save_checkpoint(dev_best_fn, self._pp_canonical(reranker, params),
+                                         opt_state, reranker)
                     try:
-                        reranker.add_summary(params, niter, info_path / "summaries")
+                        reranker.add_summary(self._pp_canonical(reranker, params), niter,
+                                             info_path / "summaries")
                     except Exception as e:
                         logger.debug("add_summary failed: %s", e)
 
         stop_flag.append(True)
         if tb is not None:
             tb.close()
-        self._params = params
+        self._params = self._pp_canonical(reranker, params)
         self._opt_state = opt_state
         return dev_best_metrics
 

