@@ -38,6 +38,12 @@ class BertConfig:
     remat: bool = False  # rematerialize each layer's activations in the backward pass
     gelu_approximate: bool = True  # tanh GELU (fast on VPU); False for erf parity
     quantize: str = "none"  # "int8": int8 FFN matmuls at inference (v5e 2x int8 MACs)
+    # mixture-of-experts FFN (beyond-reference TPU extension): 0 = dense FFN;
+    # >0 replaces each layer's FFN with moe_experts expert FFNs and top-k routing.
+    # Expert weights carry a leading [E] axis shardable over an 'expert' mesh
+    # axis (trainer.ep, parallel/expert_parallel.py)
+    moe_experts: int = 0
+    moe_topk: int = 2
     # training-time regularization (parity: HF BertConfig / reference CEDRKNRM.py:199);
     # active only when the model is applied with train=True and a "dropout" rng
     hidden_dropout_prob: float = 0.1
@@ -120,6 +126,50 @@ class Int8Dense(nn.Module):
         return out.astype(self.dtype)
 
 
+class MoeFFN(nn.Module):
+    """Mixture-of-experts FFN with top-k softmax routing (dense dispatch).
+
+    TPU-idiomatic formulation: expert weights are STACKED with a leading [E]
+    axis, compute is two batched einsums over E, and the top-k gate zeroes the
+    non-routed experts' contributions. Dense dispatch (every expert sees every
+    token) keeps shapes static and MXU-friendly; with the expert axis sharded
+    over an 'expert' mesh axis, XLA computes each expert on its owner device
+    and inserts one psum for the gated combine — real expert-parallel compute
+    without capacity/overflow heuristics. Cost is E/topk times the routed
+    FLOPs, the honest tradeoff at small-to-moderate E.
+
+    Beyond-reference extension (the reference has no MoE); routing follows the
+    standard top-k-of-softmax with renormalized gates (Shazeer et al. 2017)."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        dtype = jnp.dtype(c.dtype)
+        E, H, I = c.moe_experts, c.hidden_size, c.intermediate_size
+        k = min(c.moe_topk, E)
+        # routing in f32 for stable softmax
+        logits = nn.Dense(E, name="gate", dtype=jnp.float32)(x.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)  # [B, L, E]
+        _, topi = jax.lax.top_k(probs, k)
+        mask = jnp.sum(jax.nn.one_hot(topi, E, dtype=probs.dtype), axis=-2)  # [B, L, E]
+        gates = probs * mask
+        gates = gates / jnp.maximum(gates.sum(axis=-1, keepdims=True), 1e-9)
+
+        # batch_axis=0: fan computed per expert, not across the stacked E axis
+        init = nn.initializers.lecun_normal(in_axis=-2, out_axis=-1, batch_axis=(0,))
+        wi = self.param("experts_wi", init, (E, H, I), jnp.float32)
+        bi = self.param("experts_bi", nn.initializers.zeros_init(), (E, I), jnp.float32)
+        wo = self.param("experts_wo", init, (E, I, H), jnp.float32)
+        bo = self.param("experts_bo", nn.initializers.zeros_init(), (E, H), jnp.float32)
+
+        h = jnp.einsum("blh,ehi->blei", x.astype(dtype), wi.astype(dtype)) + bi.astype(dtype)
+        h = nn.gelu(h, approximate=c.gelu_approximate)
+        out = jnp.einsum("blei,eio->bleo", h, wo.astype(dtype)) + bo.astype(dtype)
+        return jnp.einsum("ble,bleo->blo", gates.astype(dtype), out)
+
+
 class BertSelfAttention(nn.Module):
     config: BertConfig
 
@@ -160,6 +210,8 @@ class BertLayer(nn.Module):
         ).astype(dtype)
         if c.quantize == "int8":
             ff = self._int8_ffn(hidden, calibrate, dtype)
+        elif c.moe_experts:
+            ff = MoeFFN(c, name="moe")(hidden)
         else:
             ff = nn.Dense(c.intermediate_size, name="intermediate", dtype=dtype)(hidden)
             # tanh-approximate GELU by default: erf is a slow transcendental chain on

@@ -111,6 +111,19 @@ class BertRerankerBase(Reranker):
             # one knob controls both dropout sites (the reference exposes only
             # hidden_dropout_prob, CEDRKNRM.py:199)
             cfg = _dc.replace(cfg, hidden_dropout_prob=float(hdp), attention_dropout_prob=float(hdp))
+        moe = int(self.config.get("moeexperts", 0) or 0)
+        if moe:
+            if self.config.get("quantize", "none") == "int8":
+                from capreolus_tpu.core import ConfigError
+
+                raise ConfigError("moeexperts and quantize=int8 cannot be combined")
+            if getattr(self, "_pretrained_params", None) is not None:
+                from capreolus_tpu.core import ConfigError
+
+                raise ConfigError(
+                    "moeexperts>0 replaces the FFN weights and cannot load a dense "
+                    "pretrained checkpoint; use pretrained=tiny or allowrandominit")
+            cfg = _dc.replace(cfg, moe_experts=moe, moe_topk=int(self.config.get("moetopk", 2)))
         return cfg
 
     def _passage_mask(self, mask):
@@ -298,6 +311,9 @@ class BERTMaxP(BertRerankerBase):
         ConfigOption("allowrandominit", False, "allow training from random weights when the pretrained checkpoint cannot be loaded"),
         ConfigOption("aggregation", "max", "passage aggregation: max, first, sum, or avg"),
         ConfigOption("remat", False, "rematerialize encoder layers in the backward pass"),
+        ConfigOption("moeexperts", 0, "mixture-of-experts FFN: number of expert FFNs per layer "
+                     "(0 = dense FFN; beyond-reference TPU extension, shardable via trainer.ep)"),
+        ConfigOption("moetopk", 2, "experts routed per token (top-k of the softmax gate)"),
         _QUANTIZE_OPT,
         _DROPOUT_OPT,
     ]

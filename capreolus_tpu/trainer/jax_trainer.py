@@ -130,6 +130,9 @@ class JaxTrainer(Trainer):
         ConfigOption("pp", 1, "pipeline-parallel degree: split the BERT layer stack into stages over "
                      "a 'pipe' mesh axis (GPipe microbatched schedule via shard_map+ppermute; "
                      "each device stores only its stage's layers)"),
+        ConfigOption("ep", 1, "expert-parallel degree: shard MoE expert weights (reranker.moeexperts>0) "
+                     "over an 'expert' mesh axis; each device computes its experts' einsums and XLA "
+                     "inserts the gated-combine psum (parallel/expert_parallel.py)"),
         ConfigOption("sp", False, "sequence parallelism (requires tp>1): shard the token axis of the "
                      "batch over the 'model' mesh axis so token-independent work (embeddings, "
                      "layernorm, FFN rows) runs sequence-sharded; GSPMD inserts the allgathers "
@@ -192,6 +195,18 @@ class JaxTrainer(Trainer):
         n = len(devices)
         tp = int(self.config.get("tp", 1))
         pp = int(self.config.get("pp", 1))
+        ep = int(self.config.get("ep", 1))
+        if ep > 1:
+            from capreolus_tpu.core import ConfigError
+
+            if tp > 1 or pp > 1:
+                raise ConfigError("trainer.ep cannot be combined with tp/pp yet; pick one")
+            if n % ep != 0:
+                raise ConfigError(f"trainer.ep={ep} does not divide the {n} available devices")
+            dp = n // ep
+            while dp > 1 and batch_size % dp != 0:
+                dp -= 1
+            return jax.sharding.Mesh(np.array(devices[: dp * ep]).reshape(dp, ep), ("data", "expert"))
         if self.config.get("sp") and tp <= 1:
             from capreolus_tpu.core import ConfigError
 
@@ -289,12 +304,17 @@ class JaxTrainer(Trainer):
         return self._replicate(reranker.pp_canonical(params))
 
     def _place_params(self, tree):
-        """Params onto the mesh: replicated (DP) or Megatron column/row-sharded
-        over the 'model' axis (tp>1) — XLA inserts the TP psums from these."""
+        """Params onto the mesh: replicated (DP), Megatron column/row-sharded
+        over the 'model' axis (tp>1), or expert-axis sharded (ep>1) — XLA
+        inserts the TP/EP psums from these."""
         if self._data_mesh is not None and "model" in self._data_mesh.axis_names:
             from capreolus_tpu.parallel.tensor_parallel import shard_params_tp
 
             return shard_params_tp(tree, self._data_mesh)
+        if self._data_mesh is not None and "expert" in self._data_mesh.axis_names:
+            from capreolus_tpu.parallel.expert_parallel import shard_params_ep
+
+            return shard_params_ep(tree, self._data_mesh)
         return self._replicate(tree)
 
     def _label_params(self, reranker, params):
