@@ -66,11 +66,16 @@ def merge_bert_params(rest, stacked, num_layers):
     return out
 
 
-def make_pp_mesh(devices=None, pp=2):
-    """2D (data, pipe) mesh; the data axis gets the remaining devices."""
+def make_pp_mesh(devices=None, pp=2, tp=1):
+    """(data, pipe) mesh, or 3D (data, pipe, model) when tp>1 (pipeline stages
+    whose per-stage layers are additionally Megatron tensor-parallel); the data
+    axis gets the remaining devices."""
     devices = list(jax.devices() if devices is None else devices)
-    if len(devices) % pp != 0:
-        raise ValueError(f"{len(devices)} devices not divisible by pp={pp}")
+    if len(devices) % (pp * tp) != 0:
+        raise ValueError(f"{len(devices)} devices not divisible by pp={pp}*tp={tp}")
+    if tp > 1:
+        arr = np.array(devices).reshape(len(devices) // (pp * tp), pp, tp)
+        return jax.sharding.Mesh(arr, ("data", "pipe", "model"))
     arr = np.array(devices).reshape(len(devices) // pp, pp)
     return jax.sharding.Mesh(arr, ("data", "pipe"))
 
@@ -78,10 +83,31 @@ def make_pp_mesh(devices=None, pp=2):
 def place_pp_view(rest, stacked, mesh):
     """Place the split param view on the mesh: stacked layers sharded over
     ``pipe`` along the layer axis (each device holds only its stage's layers),
-    everything else replicated."""
-    layer_sh = jax.sharding.NamedSharding(mesh, P("pipe"))
+    everything else replicated. On a 3D (data, pipe, model) mesh each stacked
+    leaf ADDITIONALLY carries the Megatron column/row sharding on its matmul
+    dims (tensor_parallel.bert_param_spec shifted past the leading layer axis)
+    — pp x tp composition from parameter shardings alone."""
     rep = jax.sharding.NamedSharding(mesh, P())
-    stacked = jax.tree_util.tree_map(lambda x: jax.device_put(x, layer_sh), stacked)
+    if "model" in mesh.axis_names:
+        from capreolus_tpu.parallel.tensor_parallel import bert_param_spec
+
+        tp_size = mesh.shape["model"]
+
+        def place_layer(path, x):
+            spec = bert_param_spec(path)
+            # shift past the stacked [L] axis; replicate over 'model' when the
+            # sharded dim does not divide (correct, just not tensor-parallel)
+            for dim, axis in enumerate(spec):
+                if axis == "model" and (x.ndim <= dim + 1 or x.shape[dim + 1] % tp_size != 0):
+                    spec = P()
+                    break
+            sh = jax.sharding.NamedSharding(mesh, P("pipe", *spec))
+            return jax.device_put(x, sh)
+
+        stacked = jax.tree_util.tree_map_with_path(place_layer, stacked)
+    else:
+        layer_sh = jax.sharding.NamedSharding(mesh, P("pipe"))
+        stacked = jax.tree_util.tree_map(lambda x: jax.device_put(x, layer_sh), stacked)
     rest = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), rest)
     return rest, stacked
 
@@ -209,11 +235,16 @@ def pipelined_layers(config, stacked_layers, hidden, mask, mesh, microbatches,
         outputs = jax.lax.psum(jnp.where(stage == stages - 1, outputs, jnp.zeros_like(outputs)), "pipe")
         return outputs.reshape(b_local, t, hdim)
 
+    # manual over (data, pipe) only: on a 3D mesh the 'model' axis stays AUTO,
+    # so GSPMD tensor-parallelizes each stage's matmuls from the param
+    # shardings (place_pp_view) and inserts the Megatron psums inside the
+    # pipeline schedule — pp x tp composition without rewriting either
     mapped = jax.shard_map(
         pipe_body,
         mesh=mesh,
         in_specs=(P("data", None, None), P("data", None), P("pipe")),
         out_specs=P("data", None, None),
+        axis_names={"data", "pipe"},
     )
     return mapped(hidden, mask, stacked_layers)
 

@@ -129,7 +129,8 @@ class JaxTrainer(Trainer):
                      "(Megatron-style column/row split via GSPMD; for bert-large/PARADE-large)"),
         ConfigOption("pp", 1, "pipeline-parallel degree: split the BERT layer stack into stages over "
                      "a 'pipe' mesh axis (GPipe microbatched schedule via shard_map+ppermute; "
-                     "each device stores only its stage's layers)"),
+                     "each device stores only its stage's layers); composes with tp>1 into a 3D "
+                     "(data, pipe, model) mesh where each stage's matmuls are Megatron-sharded"),
         ConfigOption("ep", 1, "expert-parallel degree: shard MoE expert weights (reranker.moeexperts>0) "
                      "over an 'expert' mesh axis; each device computes its experts' einsums and XLA "
                      "inserts the gated-combine psum (parallel/expert_parallel.py)"),
@@ -215,13 +216,21 @@ class JaxTrainer(Trainer):
         if pp > 1:
             from capreolus_tpu.core import ConfigError
 
-            if tp > 1:
-                raise ConfigError("trainer.pp and trainer.tp cannot be combined yet; pick one")
-            if n % pp != 0:
-                raise ConfigError(f"trainer.pp={pp} does not divide the {n} available devices")
-            dp = n // pp
+            if self.config.get("sp"):
+                raise ConfigError("trainer.sp cannot be combined with trainer.pp yet")
+            if n % (pp * tp) != 0:
+                raise ConfigError(f"trainer.pp={pp} x trainer.tp={tp} does not divide the "
+                                  f"{n} available devices")
+            dp = n // (pp * tp)
             while dp > 1 and batch_size % dp != 0:
                 dp -= 1
+            if tp > 1:
+                # 3D (data, pipe, model): GPipe stages whose layers are
+                # additionally Megatron tensor-parallel (partial-manual
+                # shard_map; parallel/pipeline_parallel.py)
+                return jax.sharding.Mesh(
+                    np.array(devices[: dp * pp * tp]).reshape(dp, pp, tp),
+                    ("data", "pipe", "model"))
             return jax.sharding.Mesh(np.array(devices[: dp * pp]).reshape(dp, pp), ("data", "pipe"))
         if tp > 1:
             if n % tp != 0:
@@ -456,9 +465,13 @@ class JaxTrainer(Trainer):
         self._data_mesh = self._mesh(batch_size)
         if self._data_mesh is not None:
             kind = "data-parallel"
-            if "model" in self._data_mesh.axis_names:
+            has_tp = "model" in self._data_mesh.axis_names
+            has_pp = "pipe" in self._data_mesh.axis_names
+            if has_pp and has_tp:
+                kind = "pipeline+tensor+data-parallel"
+            elif has_tp:
                 kind = "tensor+data-parallel"
-            elif "pipe" in self._data_mesh.axis_names:
+            elif has_pp:
                 kind = "pipeline+data-parallel"
             logger.info("%s training over %d devices (mesh %s)",
                         kind, self._data_mesh.devices.size, dict(self._data_mesh.shape))

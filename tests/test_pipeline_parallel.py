@@ -202,11 +202,102 @@ def test_trainer_pp_incompatible_reranker_raises(tmpdir_as_cache, tmp_path):
                                benchmark.qrels, metric="map")
 
 
-def test_trainer_pp_tp_combination_raises(tmpdir_as_cache):
+def test_trainer_pp_sp_combination_raises(tmpdir_as_cache):
     from tests.test_bert_rerankers import make_reranker
     from capreolus_tpu.core import ConfigError
 
     reranker = make_reranker("BERTMaxP", reranker_overrides={
-        "trainer": {"batch": 8, "pp": 2, "tp": 2}})
+        "trainer": {"batch": 8, "pp": 2, "tp": 2, "sp": True}})
     with pytest.raises(ConfigError):
         reranker.trainer._mesh(8)
+
+
+# ------------------------------------------------------------------ pp x tp (3D)
+def test_pp_tp_mesh_and_param_shardings():
+    """pp=2 x tp=2 builds the 3D (data, pipe, model) mesh and stacked kernels
+    carry BOTH the pipe (layer-axis) and Megatron model-dim shardings."""
+    mesh = pp.make_pp_mesh(pp=2, tp=2)
+    assert dict(mesh.shape) == {"data": 2, "pipe": 2, "model": 2}
+    inp, mask, seg = _make_inputs()
+    model = BertEncoder(CFG)
+    params = model.init(jax.random.PRNGKey(0), inp, mask, seg)["params"]
+    rest, stacked = pp.split_bert_params(params, CFG.num_layers)
+    rest, stacked = pp.place_pp_view(rest, stacked, mesh)
+    P = jax.sharding.PartitionSpec
+    # column-parallel: output dim sharded (shifted past the [L] axis)
+    assert stacked["attention"]["query"]["kernel"].sharding.spec == P("pipe", None, "model")
+    # row-parallel: input dim sharded
+    assert stacked["ffn_output"]["kernel"].sharding.spec == P("pipe", "model", None)
+    # layernorms replicate over model, shard over pipe only
+    assert stacked["attention_ln"]["scale"].sharding.spec == P("pipe")
+
+
+def test_pipelined_encoder_pp_tp_matches_plain(encoder_params):
+    """3D composition referee: the pipeline over 'pipe' with 'model' left to
+    GSPMD (partial-manual shard_map) equals the plain single-device encoder."""
+    inp, mask, seg = _make_inputs()
+    model = BertEncoder(CFG)
+    ref_seq, ref_pooled, _ = model.apply({"params": encoder_params}, inp, mask, seg)
+
+    mesh = pp.make_pp_mesh(pp=2, tp=2)
+    rest, stacked = pp.split_bert_params(encoder_params, CFG.num_layers)
+    rest, stacked = pp.place_pp_view(rest, stacked, mesh)
+    seq, pooled = jax.jit(
+        lambda r, s: pp.pipelined_encoder(CFG, r, s, inp, mask, seg, mesh, 2)
+    )(rest, stacked)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(ref_seq), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(ref_pooled), rtol=2e-5, atol=2e-5)
+
+
+def test_pipelined_gradients_pp_tp_match_plain(encoder_params):
+    """Gradients through the pp x tp composition equal the plain encoder's,
+    and arrive still carrying the (pipe, model) shardings."""
+    inp, mask, seg = _make_inputs(batch=8)
+    model = BertEncoder(CFG)
+
+    def ref_loss(p):
+        _, pooled, _ = model.apply({"params": p}, inp, mask, seg)
+        return jnp.sum(pooled ** 2)
+
+    ref_val, ref_grads = jax.value_and_grad(ref_loss)(encoder_params)
+
+    mesh = pp.make_pp_mesh(pp=2, tp=2)
+    rest0, stacked0 = pp.split_bert_params(encoder_params, CFG.num_layers)
+    rest0, stacked0 = pp.place_pp_view(rest0, stacked0, mesh)
+
+    def pp_loss(rest, stacked):
+        _, pooled = pp.pipelined_encoder(CFG, rest, stacked, inp, mask, seg, mesh, 2)
+        return jnp.sum(pooled ** 2)
+
+    val, (g_rest, g_stacked) = jax.jit(jax.value_and_grad(pp_loss, argnums=(0, 1)))(rest0, stacked0)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    assert "model" in str(g_stacked["attention"]["query"]["kernel"].sharding.spec)
+    g_merged = pp.merge_bert_params(g_rest, g_stacked, CFG.num_layers)
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    flat_pp = dict(jax.tree_util.tree_flatten_with_path(g_merged)[0])
+    for path, ref_leaf in flat_ref:
+        np.testing.assert_allclose(np.asarray(flat_pp[path]), np.asarray(ref_leaf),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_trainer_pp_tp_end_to_end(tmpdir_as_cache, tmp_path):
+    """BERTMaxP training with trainer.pp=2 trainer.tp=2 on the 3D (data=2,
+    pipe=2, model=2) mesh: finite loss/metrics, canonical checkpoint."""
+    from tests.test_bert_rerankers import make_reranker, prepared
+    from capreolus_tpu.sampler import Sampler
+
+    reranker = make_reranker("BERTMaxP", reranker_overrides={
+        "trainer": {"niters": 1, "itersize": 4, "batch": 4, "validatefreq": 1,
+                    "pp": 2, "tp": 2}})
+    benchmark, run = prepared(reranker)
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    metrics = reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                                     benchmark.qrels, metric="map")
+    mesh_shape = dict(reranker.trainer._data_mesh.shape)
+    assert mesh_shape.get("pipe") == 2 and mesh_shape.get("model") == 2, mesh_shape
+    assert np.isfinite(metrics["map"])
+    assert (tmp_path / "t" / "dev.best.params").exists()
