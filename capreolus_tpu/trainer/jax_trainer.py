@@ -140,6 +140,10 @@ class JaxTrainer(Trainer):
                      "only where attention needs the full sequence (Megatron-SP semantics)"),
         ConfigOption("microbatches", 0, "pipeline microbatches per step (0 = auto: largest divisor "
                      "of the per-data-shard batch <= 2*pp)"),
+        ConfigOption("fsdp", False, "fully-sharded data parallelism (ZeRO-3): shard every parameter, "
+                     "gradient, and Adam moment over the 'data' mesh axis along its largest divisible "
+                     "dim; GSPMD inserts the gather-weights / reduce-scatter-grads schedule "
+                     "(parallel/fsdp.py). Each device stores 1/dp of model+optimizer state"),
         ConfigOption("boardname", "default", "experiment label for artifacts"),
         ConfigOption("profile", False, "capture a jax profiler trace of the first iteration"),
         ConfigOption("evalbatch", 0, "prediction batch size (0 = use the training batch size)"),
@@ -197,6 +201,11 @@ class JaxTrainer(Trainer):
         tp = int(self.config.get("tp", 1))
         pp = int(self.config.get("pp", 1))
         ep = int(self.config.get("ep", 1))
+        if self.config.get("fsdp") and (tp > 1 or pp > 1 or ep > 1):
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError("trainer.fsdp shards state over the pure-DP 'data' mesh; "
+                              "it cannot be combined with tp/pp/ep")
         if ep > 1:
             from capreolus_tpu.core import ConfigError
 
@@ -314,8 +323,9 @@ class JaxTrainer(Trainer):
 
     def _place_params(self, tree):
         """Params onto the mesh: replicated (DP), Megatron column/row-sharded
-        over the 'model' axis (tp>1), or expert-axis sharded (ep>1) — XLA
-        inserts the TP/EP psums from these."""
+        over the 'model' axis (tp>1), expert-axis sharded (ep>1), or ZeRO-3
+        sharded over 'data' (fsdp) — XLA inserts the TP/EP psums and the FSDP
+        gather/reduce-scatter schedule from these shardings alone."""
         if self._data_mesh is not None and "model" in self._data_mesh.axis_names:
             from capreolus_tpu.parallel.tensor_parallel import shard_params_tp
 
@@ -324,6 +334,10 @@ class JaxTrainer(Trainer):
             from capreolus_tpu.parallel.expert_parallel import shard_params_ep
 
             return shard_params_ep(tree, self._data_mesh)
+        if self.config.get("fsdp") and self._data_mesh is not None:
+            from capreolus_tpu.parallel.fsdp import shard_params_fsdp
+
+            return shard_params_fsdp(tree, self._data_mesh)
         return self._replicate(tree)
 
     def _label_params(self, reranker, params):
@@ -473,6 +487,8 @@ class JaxTrainer(Trainer):
                 kind = "tensor+data-parallel"
             elif has_pp:
                 kind = "pipeline+data-parallel"
+            elif self.config.get("fsdp"):
+                kind = "fully-sharded data-parallel (ZeRO-3)"
             logger.info("%s training over %d devices (mesh %s)",
                         kind, self._data_mesh.devices.size, dict(self._data_mesh.shape))
             if self._pp_active():
