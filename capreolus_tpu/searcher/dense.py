@@ -29,6 +29,20 @@ from capreolus_tpu.utils.loginit import get_logger
 logger = get_logger(__name__)
 
 
+def _dense_scores(q_emb, docs):
+    """[Q, D] float queries x corpus -> [Q, N] f32 scores. The corpus is either
+    the bf16 [N, D] matrix or, with searcher.quantize=int8, the
+    {"emb": int8 [N, D], "scale": f32 [N]} pair (ops/quantization.py)."""
+    import jax.numpy as jnp
+
+    if isinstance(docs, dict):
+        from capreolus_tpu.ops.quantization import int8_mips_scores
+
+        return int8_mips_scores(q_emb, docs["emb"], docs["scale"])
+    return jnp.einsum("qd,nd->qn", q_emb.astype(jnp.bfloat16), docs,
+                      preferred_element_type=jnp.float32)
+
+
 @Searcher.register
 class DenseSearcher(Searcher):
     """Exact dense retrieval (bi-encoder + MXU matmul top-k)."""
@@ -55,6 +69,9 @@ class DenseSearcher(Searcher):
                      "TPU-accelerated partial reduction (measured 14x faster at recall@10 = 1.0, "
                      "recall@1000 = 0.98 on 200k docs - PERF.md)"),
         ConfigOption("recalltarget", 0.95, "approx_max_k per-operation recall target (topkmode=approx)"),
+        ConfigOption("quantize", "none", "corpus-embedding quantization: none (bf16) or int8 "
+                     "(per-doc symmetric scales; int8 MXU matmul at double rate, half the HBM "
+                     "per corpus — ops/quantization.py, top-k overlap referee'd in tests)"),
     ]
     config_keys_not_in_path = ["batch", "shards"]  # neither changes results
 
@@ -65,6 +82,8 @@ class DenseSearcher(Searcher):
             raise ConfigError(f"dense pooling must be 'mean' or 'cls', got {self.config['pooling']!r}")
         if self.config["topkmode"] not in ("exact", "approx"):
             raise ConfigError(f"dense topkmode must be 'exact' or 'approx', got {self.config['topkmode']!r}")
+        if self.config["quantize"] not in (None, "none", "int8"):  # "none" casts to None
+            raise ConfigError(f"dense quantize must be 'none' or 'int8', got {self.config['quantize']!r}")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
@@ -189,7 +208,16 @@ class DenseSearcher(Searcher):
                 pass  # a concurrent process won the race with identical content
         import jax.numpy as jnp
 
-        self._docs_emb = jnp.asarray(emb, dtype=jnp.bfloat16)  # HBM resident
+        if self.config.get("quantize", "none") == "int8":
+            # quantization is a search-time representation: the disk cache keeps
+            # full-precision embeddings (shared with quantize=none runs) and the
+            # int8 corpus + per-doc scales are derived at load
+            from capreolus_tpu.ops.quantization import quantize_rows
+
+            q, scale = quantize_rows(emb)
+            self._docs_emb = {"emb": jnp.asarray(q), "scale": jnp.asarray(scale)}
+        else:
+            self._docs_emb = jnp.asarray(emb, dtype=jnp.bfloat16)  # HBM resident
         return self._docs_emb
 
     # ------------------------------------------------------------------ search
@@ -208,7 +236,8 @@ class DenseSearcher(Searcher):
 
         docs = self._doc_matrix()
         docid_strings = self.index.data.docid_strings
-        hits = min(int(self.config["hits"]), docs.shape[0])
+        n_corpus = docs["emb"].shape[0] if isinstance(docs, dict) else docs.shape[0]
+        hits = min(int(self.config["hits"]), n_corpus)
 
         from capreolus_tpu.searcher.tpu import _load_topics_tsv
 
@@ -224,9 +253,7 @@ class DenseSearcher(Searcher):
         else:
             @jax.jit
             def topk(q_emb, docs):
-                scores = jnp.einsum("qd,nd->qn", q_emb.astype(jnp.bfloat16), docs,
-                                    preferred_element_type=jnp.float32)
-                return select(scores)
+                return select(_dense_scores(q_emb, docs))
 
         self._embed_maxlen = int(self.config["maxqlen"])
         run = OrderedDict()
@@ -274,12 +301,23 @@ class DenseSearcher(Searcher):
         devices = jax.devices()
         if len(devices) < shards:
             raise ValueError(f"searcher.shards={shards} but only {len(devices)} devices are available")
-        n = docs.shape[0]
+        is_q = isinstance(docs, dict)  # int8 {"emb","scale"} pair vs bf16 matrix
+        n = (docs["emb"] if is_q else docs).shape[0]
         pad = (-n) % shards
-        docs_padded = jnp.concatenate([docs, jnp.zeros((pad, docs.shape[1]), docs.dtype)]) if pad else docs
         mesh = Mesh(np.array(devices[:shards]), ("shard",))
-        docs_sharded = jax.device_put(docs_padded, NamedSharding(mesh, P("shard", None)))
-        per_shard = docs_padded.shape[0] // shards
+        if is_q:
+            if pad:
+                docs = {"emb": jnp.concatenate([docs["emb"],
+                                                jnp.zeros((pad, docs["emb"].shape[1]), docs["emb"].dtype)]),
+                        "scale": jnp.concatenate([docs["scale"], jnp.ones((pad,), docs["scale"].dtype)])}
+            doc_specs = {"emb": P("shard", None), "scale": P("shard")}
+            docs_sharded = {k: jax.device_put(v, NamedSharding(mesh, doc_specs[k])) for k, v in docs.items()}
+            per_shard = docs_sharded["emb"].shape[0] // shards
+        else:
+            docs_padded = jnp.concatenate([docs, jnp.zeros((pad, docs.shape[1]), docs.dtype)]) if pad else docs
+            doc_specs = P("shard", None)
+            docs_sharded = jax.device_put(docs_padded, NamedSharding(mesh, doc_specs))
+            per_shard = docs_padded.shape[0] // shards
         local_k = min(hits, per_shard)
         if self.config.get("topkmode", "exact") == "approx":
             rt = float(self.config.get("recalltarget", 0.95))
@@ -288,8 +326,7 @@ class DenseSearcher(Searcher):
             local_select = lambda scores: jax.lax.top_k(scores, local_k)
 
         def shard_fn(q_emb, docs_local):
-            scores = jnp.einsum("qd,nd->qn", q_emb.astype(jnp.bfloat16), docs_local,
-                                preferred_element_type=jnp.float32)
+            scores = _dense_scores(q_emb, docs_local)
             s, o = local_select(scores)
             shard_id = jax.lax.axis_index("shard")
             o = o + shard_id * per_shard  # local ordinal -> global
@@ -307,7 +344,7 @@ class DenseSearcher(Searcher):
         # candidates) but the static checker cannot infer it: check_vma=False,
         # matching parallel/sharded_search.py:252
         mapped = jax.shard_map(shard_fn, mesh=mesh,
-                               in_specs=(P(), P("shard", None)),
+                               in_specs=(P(), doc_specs),
                                out_specs=(P(), P()), check_vma=False)
 
         @jax.jit

@@ -60,6 +60,10 @@ class LateInteractionSearcher(Searcher):
                      "a cheap pooled-embedding first pass selects N candidates per query "
                      "([Q, dim] x [dim, N] matmul), exact MaxSim reranks only those. "
                      "Approximate: measured top-10 overlap vs exact in tests/test_colbert.py"),
+        ConfigOption("quantize", "none", "token-embedding quantization: none (bf16) or int8 "
+                     "(per-doc symmetric scales, int8 MXU MaxSim at double rate, half the HBM "
+                     "per corpus; the per-doc scale factors out of MaxSim's max/sum exactly — "
+                     "ops/quantization.py, overlap referee'd in tests/test_colbert.py)"),
     ]
     config_keys_not_in_path = ["batch", "chunk", "shards"]  # none change results
 
@@ -71,6 +75,8 @@ class LateInteractionSearcher(Searcher):
         if int(self.config["prefilter"]) > 0 and int(self.config["shards"]) > 1:
             raise ConfigError("colbert searcher prefilter is single-device; use shards=1 "
                               "(the exact sharded path) or prefilter=0")
+        if self.config["quantize"] not in (None, "none", "int8"):  # "none" casts to None
+            raise ConfigError(f"colbert quantize must be 'none' or 'int8', got {self.config['quantize']!r}")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
@@ -145,7 +151,10 @@ class LateInteractionSearcher(Searcher):
         return self.index.get_cache_path() / "colbert" / f"doc_token_embeddings_{key}.npz"
 
     def _doc_tensors(self):
-        """([N, Ld, dim] bf16 embeddings, [N, Ld] int8 masks), disk-cached."""
+        """([N, Ld, dim] embeddings, [N, Ld] int8 masks, per-doc scales), disk-
+        cached. With quantize=none the embeddings are bf16 and scales is None;
+        with quantize=int8 they are int8 with f32 [N] per-doc scales derived at
+        load (the disk cache stays full-precision, shared across both modes)."""
         if getattr(self, "_docs_emb", None) is not None:
             return self._docs_emb
         import jax.numpy as jnp
@@ -180,7 +189,13 @@ class LateInteractionSearcher(Searcher):
                     np.savez(f, emb=emb, mask=mask)
             except TargetFileExists:
                 pass
-        self._docs_emb = (jnp.asarray(emb, dtype=jnp.bfloat16), jnp.asarray(mask, dtype=jnp.int8))
+        if self.config.get("quantize", "none") == "int8":
+            from capreolus_tpu.ops.quantization import quantize_rows
+
+            q, scale = quantize_rows(emb)
+            self._docs_emb = (jnp.asarray(q), jnp.asarray(mask, dtype=jnp.int8), jnp.asarray(scale))
+        else:
+            self._docs_emb = (jnp.asarray(emb, dtype=jnp.bfloat16), jnp.asarray(mask, dtype=jnp.int8), None)
         return self._docs_emb
 
     # ------------------------------------------------------------------ search
@@ -197,11 +212,12 @@ class LateInteractionSearcher(Searcher):
         import jax
         import jax.numpy as jnp
 
-        docs, dmask = self._doc_tensors()
+        docs, dmask, dscale = self._doc_tensors()
         docid_strings = self.index.data.docid_strings
         n = docs.shape[0]
         hits = min(int(self.config["hits"]), n)
         chunk = min(int(self.config["chunk"]), max(n, 1))
+        quantized = dscale is not None
 
         from capreolus_tpu.searcher.tpu import _load_topics_tsv
 
@@ -212,14 +228,38 @@ class LateInteractionSearcher(Searcher):
         if pad:  # fully-masked pad docs can never win (masked max -> -inf)
             docs = jnp.concatenate([docs, jnp.zeros((pad, *docs.shape[1:]), docs.dtype)])
             dmask = jnp.concatenate([dmask, jnp.zeros((pad, dmask.shape[1]), dmask.dtype)])
+            if quantized:
+                dscale = jnp.concatenate([dscale, jnp.ones((pad,), dscale.dtype)])
+        corpus = (docs, dmask, dscale) if quantized else (docs, dmask)
 
-        def chunked_scores(q_emb, docs_l, dmask_l):
+        def chunked_scores(q_emb, docs_l, dmask_l, dscale_l=None):
             # q_emb [Q, Lq, dim]; per chunk: one [Q*Lq, dim] x [dim, C*Ld] MXU
             # matmul -> [Q, Lq, C, Ld] sims -> masked max over doc tokens,
             # sum over query tokens. lax.map keeps peak memory at one chunk.
+            # int8 mode: both operands int8 (double-rate MXU), int32 sims; the
+            # per-query and per-doc scales are constant within a row so they
+            # factor out of the max AND the sum exactly (ops/quantization.py).
             nchunks = docs_l.shape[0] // chunk
             dr = docs_l.reshape(nchunks, chunk, *docs_l.shape[1:])
             mr = dmask_l.reshape(nchunks, chunk, dmask_l.shape[1])
+            if dscale_l is not None:
+                from capreolus_tpu.ops.quantization import quantize_rows_jnp
+
+                q_i8, qscale = quantize_rows_jnp(q_emb)
+                scr = dscale_l.reshape(nchunks, chunk)
+
+                def chunk_scores_q(args):
+                    d, m, sc = args  # [C, Ld, dim] int8, [C, Ld], [C]
+                    sim = jnp.einsum("qle,cke->qclk", q_i8, d,
+                                     preferred_element_type=jnp.int32)
+                    sim = jnp.where(m[None, :, None, :] > 0, sim, jnp.int32(-(2 ** 30)))
+                    per_q_token = sim.max(axis=-1).astype(jnp.float32)   # [Q, C, Lq]
+                    scores = per_q_token.sum(axis=-1) * qscale[:, None] * sc[None, :]
+                    valid = m.any(axis=-1)[None, :]                      # [Q, C]
+                    return jnp.where(valid, scores, -jnp.inf)
+
+                scores = jax.lax.map(chunk_scores_q, (dr, mr, scr))      # [nchunks, Q, C]
+                return jnp.moveaxis(scores, 0, 1).reshape(q_emb.shape[0], -1)
 
             def chunk_scores(args):
                 d, m = args  # [C, Ld, dim], [C, Ld]
@@ -235,13 +275,13 @@ class LateInteractionSearcher(Searcher):
 
         prefilter = int(self.config.get("prefilter", 0))
         if shards > 1:
-            topk, docs, dmask = self._sharded_topk(docs, dmask, n, hits, shards, chunked_scores)
+            topk, corpus = self._sharded_topk(corpus, n, hits, shards, chunked_scores)
         elif prefilter > 0:
-            topk = self._prefilter_topk(docs, dmask, n, hits, min(prefilter, n), chunk)
+            topk = self._prefilter_topk(corpus, n, hits, min(prefilter, n), chunk)
         else:
             @jax.jit
-            def topk(q_emb, docs, dmask):
-                return jax.lax.top_k(chunked_scores(q_emb, docs, dmask), hits)
+            def topk(q_emb, *corpus):
+                return jax.lax.top_k(chunked_scores(q_emb, *corpus), hits)
 
         model, variables = self._encoder()
         run = OrderedDict()
@@ -253,7 +293,7 @@ class LateInteractionSearcher(Searcher):
             if len(toks) < batch:
                 toks = np.concatenate([toks, np.zeros((batch - len(toks), maxqlen), np.int32)])
             q_emb, _ = self._encode_query_jit(variables, toks)
-            scores, ords = topk(q_emb, docs, dmask)
+            scores, ords = topk(q_emb, *corpus)
             scores, ords = np.asarray(scores), np.asarray(ords)
             for qi, (qid, _) in enumerate(chunk_topics):
                 run[qid] = {docid_strings[int(o)]: float(s)
@@ -263,14 +303,16 @@ class LateInteractionSearcher(Searcher):
         outfn = output_path / f"searcher_colbert_dim-{self.config['dim']}"
         self._write_run(run, outfn)
 
-    def _prefilter_topk(self, docs, dmask, n, hits, n_cand, chunk):
+    def _prefilter_topk(self, corpus, n, hits, n_cand, chunk):
         """Two-stage MaxSim (PLAID-pattern candidate generation): stage 1 scores
         every doc with ONE [Q, dim] x [dim, N] matmul — sum_i q_i . dbar, where
         dbar is the doc's mean valid-token embedding (sum over query tokens
         commutes into a single pooled query vector) — and keeps the top n_cand;
         stage 2 gathers only those docs' token embeddings and scores exact
         MaxSim. Approximate overall (stage 1 is a heuristic, not a bound);
-        overlap vs exact is pinned in tests."""
+        overlap vs exact is pinned in tests. With quantize=int8 stage 1
+        dequantizes inside the pooling reduction (fused by XLA, no bf16 corpus
+        materializes) and stage 2 runs the gathered candidates on the int8 MXU."""
         import jax
         import jax.numpy as jnp
 
@@ -279,14 +321,17 @@ class LateInteractionSearcher(Searcher):
         pad_c = (-n_cand) % cch
         n_cand_pad = n_cand + pad_c
         nchunks = n_cand_pad // cch
+        quantized = len(corpus) == 3
 
         @jax.jit
-        def topk(q_emb, docs, dmask):
+        def topk(q_emb, docs, dmask, dscale=None):
             # pooled per-doc mean embedding computed in-jit from the jit ARGUMENT
             # tensors (a closure-captured [N, dim] constant would go into the
             # remote-compile payload — CLAUDE.md convention); one cheap reduction
             m = (dmask > 0).astype(jnp.bfloat16)[..., None]
-            pooled = (docs * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)  # [Npad, dim]
+            d_f = docs if not quantized else \
+                docs.astype(jnp.bfloat16) * dscale.astype(jnp.bfloat16)[:, None, None]
+            pooled = (d_f * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)  # [Npad, dim]
             qsum = q_emb.astype(jnp.bfloat16).sum(axis=1)                 # [Q, dim]
             s1 = jnp.einsum("qe,ne->qn", qsum, pooled,
                             preferred_element_type=jnp.float32)
@@ -297,13 +342,25 @@ class LateInteractionSearcher(Searcher):
                     [cand, jnp.broadcast_to(cand[:, -1:], (cand.shape[0], pad_c))], axis=1)
             cand_r = jnp.moveaxis(cand.reshape(-1, nchunks, cch), 1, 0)   # [nchunks, Q, cch]
 
+            if quantized:
+                from capreolus_tpu.ops.quantization import quantize_rows_jnp
+
+                q_i8, qscale = quantize_rows_jnp(q_emb)
+
             def chunk_scores(c_slice):                                    # [Q, cch]
                 d = docs[c_slice]                                         # [Q, cch, Ld, dim]
                 mm = dmask[c_slice]                                       # [Q, cch, Ld]
-                sim = jnp.einsum("qle,qcke->qclk", q_emb.astype(jnp.bfloat16), d,
-                                 preferred_element_type=jnp.float32)
-                sim = jnp.where(mm[:, :, None, :] > 0, sim, -1e9)
-                per_q = sim.max(axis=-1).sum(axis=-1)                     # [Q, cch]
+                if quantized:
+                    sim = jnp.einsum("qle,qcke->qclk", q_i8, d,
+                                     preferred_element_type=jnp.int32)
+                    sim = jnp.where(mm[:, :, None, :] > 0, sim, jnp.int32(-(2 ** 30)))
+                    per_q = sim.max(axis=-1).astype(jnp.float32).sum(axis=-1) \
+                        * qscale[:, None] * dscale[c_slice]               # [Q, cch]
+                else:
+                    sim = jnp.einsum("qle,qcke->qclk", q_emb.astype(jnp.bfloat16), d,
+                                     preferred_element_type=jnp.float32)
+                    sim = jnp.where(mm[:, :, None, :] > 0, sim, -1e9)
+                    per_q = sim.max(axis=-1).sum(axis=-1)                 # [Q, cch]
                 return jnp.where(mm.any(axis=-1), per_q, -jnp.inf)
 
             s2 = jax.lax.map(chunk_scores, cand_r)                        # [nchunks, Q, cch]
@@ -323,11 +380,13 @@ class LateInteractionSearcher(Searcher):
 
         return topk
 
-    def _sharded_topk(self, docs, dmask, n, hits, shards, chunked_scores):
+    def _sharded_topk(self, corpus, n, hits, shards, chunked_scores):
         """Doc-partitioned MaxSim over a 'shard' mesh: each chip scores its slice
         of the token-embedding tensor chunk-by-chunk and takes a local top-k;
         candidates merge with an allgather over ICI (the same pattern as the
-        sparse engine's index sharding and dense.py's _sharded_topk)."""
+        sparse engine's index sharding and dense.py's _sharded_topk). With
+        quantize=int8 each shard holds its slice of the int8 tensor + per-doc
+        scales (half the HBM per shard => twice the corpus per pod)."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -336,13 +395,15 @@ class LateInteractionSearcher(Searcher):
         if len(devices) < shards:
             raise ValueError(f"searcher.shards={shards} but only {len(devices)} devices are available")
         mesh = Mesh(np.array(devices[:shards]), ("shard",))
-        docs_sharded = jax.device_put(docs, NamedSharding(mesh, P("shard", None, None)))
-        dmask_sharded = jax.device_put(dmask, NamedSharding(mesh, P("shard", None)))
-        per_shard = docs.shape[0] // shards
+        corpus_specs = (P("shard", None, None), P("shard", None)) + \
+            ((P("shard"),) if len(corpus) == 3 else ())
+        corpus_sharded = tuple(jax.device_put(x, NamedSharding(mesh, spec))
+                               for x, spec in zip(corpus, corpus_specs))
+        per_shard = corpus[0].shape[0] // shards
         local_k = min(hits, per_shard)
 
-        def shard_fn(q_emb, docs_local, dmask_local):
-            scores = chunked_scores(q_emb, docs_local, dmask_local)  # [Q, per_shard]
+        def shard_fn(q_emb, *corpus_local):
+            scores = chunked_scores(q_emb, *corpus_local)  # [Q, per_shard]
             s, o = jax.lax.top_k(scores, local_k)
             shard_id = jax.lax.axis_index("shard")
             o = o + shard_id * per_shard  # local ordinal -> global
@@ -355,14 +416,14 @@ class LateInteractionSearcher(Searcher):
         # outputs ARE replicated (every shard merges the same allgathered
         # candidates); the static checker cannot infer it: check_vma=False
         mapped = jax.shard_map(shard_fn, mesh=mesh,
-                               in_specs=(P(), P("shard", None, None), P("shard", None)),
+                               in_specs=(P(),) + corpus_specs,
                                out_specs=(P(), P()), check_vma=False)
 
         @jax.jit
-        def topk(q_emb, docs_sharded, dmask_sharded):
-            return mapped(q_emb, docs_sharded, dmask_sharded)
+        def topk(q_emb, *corpus_sharded):
+            return mapped(q_emb, *corpus_sharded)
 
-        return topk, docs_sharded, dmask_sharded
+        return topk, corpus_sharded
 
     def _write_run(self, run, outfn):
         with open(outfn, "wt", encoding="utf-8") as f:

@@ -277,3 +277,44 @@ def test_colbert_prefilter_two_stage(tmpdir_as_cache, tmp_path):
 
     with pytest.raises(ConfigError):
         Searcher.create("colbert", {**base, "prefilter": 2, "shards": 2})
+
+
+def test_colbert_int8_quantized_search(tmpdir_as_cache, tmp_path):
+    """searcher.quantize=int8 MaxSim: per-doc scales factor out of max/sum
+    exactly, so rankings track bf16 exact (scores approx); int8 composes with
+    shards (equality) and with prefilter (n_cand >= corpus: equals int8 exact)."""
+    from capreolus_tpu.searcher import Searcher
+
+    base = {"dim": 8, "maxdoclen": 32, "maxqlen": 8, "batch": 4, "chunk": 2,
+            "allowrandominit": True, "index": {"collection": {"name": "dummy"}}}
+    exact = Searcher.create("colbert", dict(base))
+    exact.index.create_index()
+    run_exact = exact.query("telescope galaxies")
+
+    q8 = Searcher.create("colbert", {**base, "quantize": "int8"})
+    q8.index.create_index()
+    run_q8 = q8.query("telescope galaxies")
+    assert set(run_q8) == set(run_exact)
+    best_e = max(run_exact.values())
+    best_q_doc = max(run_q8.items(), key=lambda kv: kv[1])[0]
+    assert run_exact[best_q_doc] >= best_e - 5e-2  # int8 winner near-optimal
+    for d in run_exact:
+        assert run_q8[d] == pytest.approx(run_exact[d], abs=5e-2)
+
+    sharded = Searcher.create("colbert", {**base, "quantize": "int8", "shards": 2})
+    sharded.index.create_index()
+    run_sh = sharded.query("telescope galaxies")
+    assert list(run_sh) == list(run_q8)
+    for d in run_q8:
+        assert run_sh[d] == pytest.approx(run_q8[d], abs=1e-4)
+
+    pre = Searcher.create("colbert", {**base, "quantize": "int8", "prefilter": 10})
+    pre.index.create_index()
+    run_pre = pre.query("telescope galaxies")
+    assert list(run_pre) == list(run_q8)
+    for d in run_q8:
+        assert run_pre[d] == pytest.approx(run_q8[d], abs=1e-3)
+
+    from capreolus_tpu.core import ConfigError
+    with pytest.raises(ConfigError):
+        Searcher.create("colbert", {**base, "quantize": "fp4"})

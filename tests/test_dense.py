@@ -239,3 +239,44 @@ def test_dense_first_stage_feeds_rerank(tmpdir_as_cache, tmp_path, monkeypatch):
     })
     result = task.traineval()
     assert result  # per-fold metrics dict
+
+
+def test_dense_int8_quantized_search(tmpdir_as_cache, tmp_path):
+    """quantize=int8: same ranking semantics as bf16 exact (top doc within a
+    quantization step, scores approx), sharded int8 == single int8, and the
+    full-precision disk cache is SHARED between modes (one embedding pass)."""
+    exact = _make()
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n302\twhales ocean\n")
+    run_e = Searcher.load_trec_run(next(p for p in exact.query_from_file(topicsfn, tmp_path / "e").iterdir()
+                                        if p.name != "done"))
+
+    q8 = _make({"quantize": "int8"})
+    run_q = Searcher.load_trec_run(next(p for p in q8.query_from_file(topicsfn, tmp_path / "q").iterdir()
+                                        if p.name != "done"))
+    assert set(run_q) == set(run_e)
+    for qid in run_e:
+        assert set(run_q[qid]) == set(run_e[qid])
+        best_e = max(run_e[qid].items(), key=lambda kv: kv[1])
+        best_q = max(run_q[qid].items(), key=lambda kv: kv[1])
+        assert run_e[qid][best_q[0]] >= best_e[1] - 2e-2  # int8 winner near-optimal
+        for d in run_e[qid]:
+            assert run_q[qid][d] == pytest.approx(run_e[qid][d], abs=3e-2)
+
+    # both modes share one full-precision cache file
+    assert q8._doc_cache_file() == exact._doc_cache_file()
+
+    q8s = _make({"quantize": "int8", "shards": 4})
+    run_s = Searcher.load_trec_run(next(p for p in q8s.query_from_file(topicsfn, tmp_path / "s").iterdir()
+                                        if p.name != "done"))
+    for qid in run_q:
+        assert list(run_s[qid]) == list(run_q[qid])  # same ranking
+        for d in run_q[qid]:
+            assert run_s[qid][d] == pytest.approx(run_q[qid][d], abs=1e-4)
+
+
+def test_dense_quantize_validation(tmpdir_as_cache):
+    from capreolus_tpu.core import ConfigError
+
+    with pytest.raises(ConfigError):
+        _make({"quantize": "int4"})

@@ -50,3 +50,57 @@ def test_flash_attention_kernel_interpret():
     with mock.patch.object(pl, "pallas_call", functools.partial(orig, interpret=True)):
         out = _flash_attention_tpu(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+# ------------------------------------------------------------------ int8 embedding quantization
+def test_quantize_rows_roundtrip_and_scales():
+    from capreolus_tpu.ops.quantization import quantize_rows
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    emb = rng.standard_normal((64, 32)).astype(np.float32)
+    emb[7] = 0.0  # all-zero row must not divide by zero
+    q, scale = quantize_rows(emb)
+    assert q.dtype == np.int8 and scale.dtype == np.float32
+    assert scale[7] == 1.0 and not q[7].any()
+    # reconstruction error bounded by half a quantization step per element
+    recon = q.astype(np.float32) * scale[:, None]
+    assert np.max(np.abs(recon - emb)) <= 0.5 * scale.max() + 1e-6
+    # 3D (ColBERT token tensors): one scale per document
+    q3, s3 = quantize_rows(rng.standard_normal((5, 4, 8)))
+    assert q3.shape == (5, 4, 8) and s3.shape == (5,)
+
+
+def test_int8_mips_scores_referee():
+    """int8 MIPS == the exactly-factored f32 computation (the rank-1 scale is
+    exact, only input rounding differs), and ranking quality survives: top-1
+    identical and top-10 overlap >= 8/10 vs full-precision scores."""
+    import jax.numpy as jnp
+
+    from capreolus_tpu.ops.quantization import int8_mips_scores, quantize_rows, quantize_rows_jnp
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    # clustered corpus (the structure trained embeddings have)
+    centers = rng.standard_normal((20, 32))
+    docs = (centers[rng.integers(0, 20, 500)] + 0.3 * rng.standard_normal((500, 32))).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries = (centers[rng.integers(0, 20, 16)] + 0.3 * rng.standard_normal((16, 32))).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    d_i8, dscale = quantize_rows(docs)
+    scores = np.asarray(int8_mips_scores(jnp.asarray(queries), jnp.asarray(d_i8), jnp.asarray(dscale)))
+
+    # exactness of the factoring: same result as dequantize-then-matmul in f64
+    q_i8, qscale = (np.asarray(x) for x in quantize_rows_jnp(jnp.asarray(queries)))
+    ref_factored = (q_i8.astype(np.float64) * qscale[:, None]) @ (d_i8.astype(np.float64) * dscale[:, None]).T
+    np.testing.assert_allclose(scores, ref_factored, rtol=1e-5, atol=1e-5)
+
+    # ranking quality vs full precision: the int8 winner must score within a
+    # quantization step of the true winner (clustered corpora contain genuine
+    # near-ties, so exact argmax equality is not the right referee), and the
+    # top-10 sets must overlap >= 8/10
+    exact = queries @ docs.T
+    for qi in range(len(queries)):
+        assert exact[qi, np.argmax(scores[qi])] >= exact[qi].max() - 1e-2
+        top_q = set(np.argsort(scores[qi])[-10:])
+        top_e = set(np.argsort(exact[qi])[-10:])
+        assert len(top_q & top_e) >= 8, f"query {qi}: overlap {len(top_q & top_e)}"
