@@ -29,6 +29,16 @@ from capreolus_tpu.utils.loginit import get_logger
 logger = get_logger(__name__)
 
 
+class _HostCorpus:
+    """Host-resident corpus for the streaming path (corpus bytes > hbmbudget):
+    numpy arrays — bf16 via ml_dtypes, or int8 + f32 per-doc scales — uploaded
+    chunk-by-chunk per query batch with a running on-device top-k merge."""
+
+    def __init__(self, emb, scale=None):
+        self.emb, self.scale = emb, scale
+        self.n = emb.shape[0]
+
+
 def _dense_scores(q_emb, docs):
     """[Q, D] float queries x corpus -> [Q, N] f32 scores. The corpus is either
     the bf16 [N, D] matrix or, with searcher.quantize=int8, the
@@ -72,8 +82,13 @@ class DenseSearcher(Searcher):
         ConfigOption("quantize", "none", "corpus-embedding quantization: none (bf16) or int8 "
                      "(per-doc symmetric scales; int8 MXU matmul at double rate, half the HBM "
                      "per corpus — ops/quantization.py, top-k overlap referee'd in tests)"),
+        ConfigOption("hbmbudget", 12000.0, "HBM budget (MB) for the resident embedding matrix; "
+                     "corpora above it stream host-resident chunks through the device with a "
+                     "running on-device top-k merge (the dense analogue of the sparse engine's "
+                     "host-streaming postings; composes with quantize=int8 = half the stream)"),
     ]
-    config_keys_not_in_path = ["batch", "shards"]  # neither changes results
+    config_keys_not_in_path = ["batch", "shards", "hbmbudget"]  # none changes results
+    # (hbmbudget: streamed-vs-resident equality pinned in tests/test_dense.py)
 
     def build(self):
         from capreolus_tpu.core import ConfigError
@@ -208,16 +223,31 @@ class DenseSearcher(Searcher):
                 pass  # a concurrent process won the race with identical content
         import jax.numpy as jnp
 
-        if self.config.get("quantize", "none") == "int8":
+        quantized = self.config.get("quantize", "none") == "int8"
+        n, d = emb.shape
+        dev_bytes = n * d * (1 if quantized else 2) + (4 * n if quantized else 0)
+        budget_bytes = float(self.config.get("hbmbudget", 12000.0) or 12000.0) * 1e6
+        if quantized:
             # quantization is a search-time representation: the disk cache keeps
             # full-precision embeddings (shared with quantize=none runs) and the
             # int8 corpus + per-doc scales are derived at load
             from capreolus_tpu.ops.quantization import quantize_rows
 
             q, scale = quantize_rows(emb)
-            self._docs_emb = {"emb": jnp.asarray(q), "scale": jnp.asarray(scale)}
+            if dev_bytes > budget_bytes:
+                self._docs_emb = _HostCorpus(q, scale)
+            else:
+                self._docs_emb = {"emb": jnp.asarray(q), "scale": jnp.asarray(scale)}
+        elif dev_bytes > budget_bytes:
+            import ml_dtypes
+
+            self._docs_emb = _HostCorpus(np.asarray(emb, dtype=ml_dtypes.bfloat16))
         else:
             self._docs_emb = jnp.asarray(emb, dtype=jnp.bfloat16)  # HBM resident
+        if isinstance(self._docs_emb, _HostCorpus):
+            logger.info("dense corpus (%d docs, %.0f MB device bytes) exceeds hbmbudget=%.0f MB: "
+                        "host-streaming mode (chunked uploads + running top-k merge)",
+                        n, dev_bytes / 1e6, budget_bytes / 1e6)
         return self._docs_emb
 
     # ------------------------------------------------------------------ search
@@ -236,7 +266,8 @@ class DenseSearcher(Searcher):
 
         docs = self._doc_matrix()
         docid_strings = self.index.data.docid_strings
-        n_corpus = docs["emb"].shape[0] if isinstance(docs, dict) else docs.shape[0]
+        n_corpus = docs.n if isinstance(docs, _HostCorpus) else \
+            (docs["emb"].shape[0] if isinstance(docs, dict) else docs.shape[0])
         hits = min(int(self.config["hits"]), n_corpus)
 
         from capreolus_tpu.searcher.tpu import _load_topics_tsv
@@ -248,7 +279,14 @@ class DenseSearcher(Searcher):
         # arrays on remote-compilation backends (observed: tunnel HTTP 413)
         shards = int(self.config.get("shards", 1))
         select = self._topk_fn(hits)
-        if shards > 1:
+        if isinstance(docs, _HostCorpus):
+            from capreolus_tpu.core import ConfigError
+
+            if shards > 1:
+                raise ConfigError("searcher.shards>1 already partitions the corpus across chips; "
+                                  "raise hbmbudget or use shards alone (streaming is single-chip)")
+            topk = self._streamed_topk(docs, hits)
+        elif shards > 1:
             topk, docs = self._sharded_topk(docs, hits, shards)
         else:
             @jax.jit
@@ -288,6 +326,61 @@ class DenseSearcher(Searcher):
             rt = float(self.config.get("recalltarget", 0.95))
             return lambda scores: jax.lax.approx_max_k(scores, hits, recall_target=rt)
         return lambda scores: jax.lax.top_k(scores, hits)
+
+    def _streamed_topk(self, host, hits):
+        """Host-streaming exact search for corpora larger than hbmbudget: the
+        embedding matrix stays in host RAM; per query batch, fixed-shape chunks
+        are uploaded (async dispatch pipelines upload i+1 under the scoring of
+        chunk i) and folded into a running on-device top-k. Equality vs the
+        resident engine is pinned in tests/test_dense.py; the sparse engine's
+        analogue is scoring.py _stream_working_set."""
+        import jax
+        import jax.numpy as jnp
+
+        budget_bytes = float(self.config.get("hbmbudget", 12000.0) or 12000.0) * 1e6
+        row_bytes = host.emb.shape[1] * host.emb.dtype.itemsize + (4 if host.scale is not None else 0)
+        # two in-flight buffers (double buffering) must fit the budget
+        chunk = int(max(1, min(host.n, budget_bytes // 2 // row_bytes)))
+        if chunk >= 8:
+            chunk -= chunk % 8
+        local_k = min(hits, chunk)
+        if self.config.get("topkmode", "exact") == "approx":
+            rt = float(self.config.get("recalltarget", 0.95))
+            local_select = lambda s: jax.lax.approx_max_k(s, local_k, recall_target=rt)
+        else:
+            local_select = lambda s: jax.lax.top_k(s, local_k)
+        n = host.n
+
+        @jax.jit
+        def merge_step(q_emb, chunk_docs, base, run_s, run_o):
+            s, o = local_select(_dense_scores(q_emb, chunk_docs))
+            o = o + base
+            s = jnp.where(o < n, s.astype(jnp.float32), -jnp.inf)  # zero-pad rows never win
+            cs = jnp.concatenate([run_s, s], axis=1)
+            co = jnp.concatenate([run_o, o], axis=1)
+            ms, idx = jax.lax.top_k(cs, hits)
+            return ms, jnp.take_along_axis(co, idx, axis=1)
+
+        def topk(q_emb, _docs):
+            nq = q_emb.shape[0]
+            run_s = jnp.full((nq, hits), -jnp.inf, jnp.float32)
+            run_o = jnp.zeros((nq, hits), jnp.int32)
+            for start in range(0, n, chunk):
+                sl = host.emb[start : start + chunk]
+                if sl.shape[0] < chunk:  # fixed executable shape: one compile
+                    sl = np.concatenate([sl, np.zeros((chunk - sl.shape[0], sl.shape[1]), sl.dtype)])
+                cd = jnp.asarray(sl)
+                if host.scale is not None:
+                    sc = host.scale[start : start + chunk]
+                    if sc.shape[0] < chunk:
+                        sc = np.concatenate([sc, np.ones((chunk - sc.shape[0],), sc.dtype)])
+                    cd = {"emb": cd, "scale": jnp.asarray(sc)}
+                run_s, run_o = merge_step(q_emb, cd, np.int32(start), run_s, run_o)
+            return run_s, run_o
+
+        logger.info("streaming dense search: %d-doc chunks (%.0f MB each), %d chunks/query-batch",
+                    chunk, chunk * row_bytes / 1e6, -(-n // chunk))
+        return topk
 
     def _sharded_topk(self, docs, hits, shards):
         """Doc-partitioned dense search over a 'shard' mesh: each chip scores its

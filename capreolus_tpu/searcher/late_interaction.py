@@ -64,8 +64,13 @@ class LateInteractionSearcher(Searcher):
                      "(per-doc symmetric scales, int8 MXU MaxSim at double rate, half the HBM "
                      "per corpus; the per-doc scale factors out of MaxSim's max/sum exactly — "
                      "ops/quantization.py, overlap referee'd in tests/test_colbert.py)"),
+        ConfigOption("hbmbudget", 12000.0, "HBM budget (MB) for the resident token-embedding "
+                     "tensor; corpora above it stream host-resident chunks through the device "
+                     "with a running on-device top-k merge (the late-interaction analogue of the "
+                     "sparse engine's host-streaming postings; composes with quantize=int8)"),
     ]
-    config_keys_not_in_path = ["batch", "chunk", "shards"]  # none change results
+    config_keys_not_in_path = ["batch", "chunk", "shards", "hbmbudget"]  # none change results
+    # (hbmbudget: streamed-vs-resident equality pinned in tests/test_colbert.py)
 
     def build(self):
         from capreolus_tpu.core import ConfigError
@@ -189,11 +194,28 @@ class LateInteractionSearcher(Searcher):
                     np.savez(f, emb=emb, mask=mask)
             except TargetFileExists:
                 pass
-        if self.config.get("quantize", "none") == "int8":
+        quantized = self.config.get("quantize", "none") == "int8"
+        n_docs = emb.shape[0]
+        dev_bytes = emb.shape[0] * emb.shape[1] * emb.shape[2] * (1 if quantized else 2) \
+            + mask.size + (4 * n_docs if quantized else 0)
+        budget_bytes = float(self.config.get("hbmbudget", 12000.0) or 12000.0) * 1e6
+        host_mode = dev_bytes > budget_bytes
+        if host_mode:
+            logger.info("colbert corpus (%d docs, %.0f MB device bytes) exceeds hbmbudget=%.0f MB: "
+                        "host-streaming mode (chunked uploads + running top-k merge)",
+                        n_docs, dev_bytes / 1e6, budget_bytes / 1e6)
+        if quantized:
             from capreolus_tpu.ops.quantization import quantize_rows
 
             q, scale = quantize_rows(emb)
-            self._docs_emb = (jnp.asarray(q), jnp.asarray(mask, dtype=jnp.int8), jnp.asarray(scale))
+            if host_mode:  # numpy stays host-resident; chunks upload per batch
+                self._docs_emb = (q, np.asarray(mask, np.int8), np.asarray(scale, np.float32))
+            else:
+                self._docs_emb = (jnp.asarray(q), jnp.asarray(mask, dtype=jnp.int8), jnp.asarray(scale))
+        elif host_mode:
+            import ml_dtypes
+
+            self._docs_emb = (np.asarray(emb, dtype=ml_dtypes.bfloat16), np.asarray(mask, np.int8), None)
         else:
             self._docs_emb = (jnp.asarray(emb, dtype=jnp.bfloat16), jnp.asarray(mask, dtype=jnp.int8), None)
         return self._docs_emb
@@ -224,13 +246,17 @@ class LateInteractionSearcher(Searcher):
         topics = _load_topics_tsv(topicsfn)
 
         shards = int(self.config.get("shards", 1))
-        pad = (-n) % (chunk * shards)
-        if pad:  # fully-masked pad docs can never win (masked max -> -inf)
-            docs = jnp.concatenate([docs, jnp.zeros((pad, *docs.shape[1:]), docs.dtype)])
-            dmask = jnp.concatenate([dmask, jnp.zeros((pad, dmask.shape[1]), dmask.dtype)])
-            if quantized:
-                dscale = jnp.concatenate([dscale, jnp.ones((pad,), dscale.dtype)])
-        corpus = (docs, dmask, dscale) if quantized else (docs, dmask)
+        host_mode = isinstance(docs, np.ndarray)  # corpus > hbmbudget: host-resident
+        if host_mode:
+            corpus = ()  # streamed topk closes over the host arrays
+        else:
+            pad = (-n) % (chunk * shards)
+            if pad:  # fully-masked pad docs can never win (masked max -> -inf)
+                docs = jnp.concatenate([docs, jnp.zeros((pad, *docs.shape[1:]), docs.dtype)])
+                dmask = jnp.concatenate([dmask, jnp.zeros((pad, dmask.shape[1]), dmask.dtype)])
+                if quantized:
+                    dscale = jnp.concatenate([dscale, jnp.ones((pad,), dscale.dtype)])
+            corpus = (docs, dmask, dscale) if quantized else (docs, dmask)
 
         def chunked_scores(q_emb, docs_l, dmask_l, dscale_l=None):
             # q_emb [Q, Lq, dim]; per chunk: one [Q*Lq, dim] x [dim, C*Ld] MXU
@@ -274,7 +300,15 @@ class LateInteractionSearcher(Searcher):
             return jnp.moveaxis(scores, 0, 1).reshape(q_emb.shape[0], -1)
 
         prefilter = int(self.config.get("prefilter", 0))
-        if shards > 1:
+        if host_mode:
+            from capreolus_tpu.core import ConfigError
+
+            if shards > 1 or prefilter > 0:
+                raise ConfigError("colbert streaming (corpus > hbmbudget) runs the exact "
+                                  "single-chip path: set shards=1 and prefilter=0, or raise "
+                                  "hbmbudget (shards already partition the corpus across chips)")
+            topk = self._streamed_topk(docs, dmask, dscale, n, hits, chunk, chunked_scores)
+        elif shards > 1:
             topk, corpus = self._sharded_topk(corpus, n, hits, shards, chunked_scores)
         elif prefilter > 0:
             topk = self._prefilter_topk(corpus, n, hits, min(prefilter, n), chunk)
@@ -378,6 +412,59 @@ class LateInteractionSearcher(Searcher):
             ms, idx = jax.lax.top_k(s2, hits)
             return ms, jnp.take_along_axis(cand, idx, axis=1)
 
+        return topk
+
+    def _streamed_topk(self, emb, mask, scale, n, hits, chunk, chunked_scores):
+        """Host-streaming exact MaxSim for corpora larger than hbmbudget: the
+        token-embedding tensor stays in host RAM; per query batch, fixed-shape
+        upload slices (a multiple of the scoring chunk) are folded into a
+        running on-device top-k. Async dispatch pipelines upload i+1 under the
+        scoring of slice i. Equality vs the resident engine is pinned in
+        tests/test_colbert.py; the sparse analogue is scoring.py
+        _stream_working_set, the dense analogue dense.py _streamed_topk."""
+        import jax
+        import jax.numpy as jnp
+
+        budget_bytes = float(self.config.get("hbmbudget", 12000.0) or 12000.0) * 1e6
+        row_bytes = emb.shape[1] * emb.shape[2] * emb.dtype.itemsize + mask.shape[1] \
+            + (4 if scale is not None else 0)
+        per_upload = int(max(1, budget_bytes // 2 // row_bytes))  # double buffering
+        upload = max(chunk, per_upload - per_upload % chunk)  # multiple of the scoring chunk
+        local_k = min(hits, upload)
+
+        @jax.jit
+        def merge_step(q_emb, d, m, sc, base, run_s, run_o):
+            s, o = jax.lax.top_k(chunked_scores(q_emb, d, m, sc), local_k)
+            o = o + base
+            s = jnp.where(o < n, s, -jnp.inf)  # pad docs (zero mask) never win
+            cs = jnp.concatenate([run_s, s], axis=1)
+            co = jnp.concatenate([run_o, o], axis=1)
+            ms, idx = jax.lax.top_k(cs, hits)
+            return ms, jnp.take_along_axis(co, idx, axis=1)
+
+        def topk(q_emb, *_):
+            nq = q_emb.shape[0]
+            run_s = jnp.full((nq, hits), -jnp.inf, jnp.float32)
+            run_o = jnp.zeros((nq, hits), jnp.int32)
+            for start in range(0, n, upload):
+                e = emb[start : start + upload]
+                mm = mask[start : start + upload]
+                if e.shape[0] < upload:  # fixed executable shape: one compile
+                    pu = upload - e.shape[0]
+                    e = np.concatenate([e, np.zeros((pu, *e.shape[1:]), e.dtype)])
+                    mm = np.concatenate([mm, np.zeros((pu, mm.shape[1]), mm.dtype)])
+                sc = None
+                if scale is not None:
+                    sc = scale[start : start + upload]
+                    if sc.shape[0] < upload:
+                        sc = np.concatenate([sc, np.ones((upload - sc.shape[0],), sc.dtype)])
+                    sc = jnp.asarray(sc)
+                run_s, run_o = merge_step(q_emb, jnp.asarray(e), jnp.asarray(mm), sc,
+                                          np.int32(start), run_s, run_o)
+            return run_s, run_o
+
+        logger.info("streaming colbert search: %d-doc upload slices (%.0f MB each), %d/query-batch",
+                    upload, upload * row_bytes / 1e6, -(-n // upload))
         return topk
 
     def _sharded_topk(self, corpus, n, hits, shards, chunked_scores):

@@ -318,3 +318,41 @@ def test_colbert_int8_quantized_search(tmpdir_as_cache, tmp_path):
     from capreolus_tpu.core import ConfigError
     with pytest.raises(ConfigError):
         Searcher.create("colbert", {**base, "quantize": "fp4"})
+
+
+def test_colbert_streaming_matches_resident(tmpdir_as_cache, tmp_path):
+    """Token-embedding corpus over hbmbudget streams host slices through a
+    running on-device top-k merge; equality vs the resident engine in bf16 and
+    int8 modes; streaming rejects shards/prefilter combos."""
+    from capreolus_tpu.core import ConfigError
+    from capreolus_tpu.searcher import Searcher
+
+    base = {"dim": 8, "maxdoclen": 32, "maxqlen": 8, "batch": 4, "chunk": 2,
+            "allowrandominit": True, "index": {"collection": {"name": "dummy"}}}
+    resident = Searcher.create("colbert", dict(base))
+    resident.index.create_index()
+    run_r = resident.query("telescope galaxies")
+
+    streamed = Searcher.create("colbert", {**base, "hbmbudget": 1e-4})  # ~100 B: 1-slice chunks
+    streamed.index.create_index()
+    emb, _, _ = streamed._doc_tensors()
+    assert isinstance(emb, np.ndarray)  # actually host-resident
+    run_s = streamed.query("telescope galaxies")
+    assert list(run_s) == list(run_r)
+    for d in run_r:
+        assert run_s[d] == pytest.approx(run_r[d], abs=1e-4)
+
+    r8 = Searcher.create("colbert", {**base, "quantize": "int8"})
+    r8.index.create_index()
+    run_r8 = r8.query("telescope galaxies")
+    s8 = Searcher.create("colbert", {**base, "quantize": "int8", "hbmbudget": 1e-4})
+    s8.index.create_index()
+    run_s8 = s8.query("telescope galaxies")
+    assert list(run_s8) == list(run_r8)
+    for d in run_r8:
+        assert run_s8[d] == pytest.approx(run_r8[d], abs=1e-4)
+
+    bad = Searcher.create("colbert", {**base, "hbmbudget": 1e-4, "prefilter": 2})
+    bad.index.create_index()
+    with pytest.raises(ConfigError):
+        bad.query("telescope galaxies")

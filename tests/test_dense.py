@@ -280,3 +280,43 @@ def test_dense_quantize_validation(tmpdir_as_cache):
 
     with pytest.raises(ConfigError):
         _make({"quantize": "int4"})
+
+
+def test_dense_streaming_matches_resident(tmpdir_as_cache, tmp_path):
+    """A corpus over hbmbudget streams host chunks through a running on-device
+    top-k merge; results must equal the HBM-resident engine (exact mode), in
+    bf16 and in int8 mode; streaming rejects shards (already partitioned)."""
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n302\twhales ocean\n")
+
+    resident = _make()
+    run_r = Searcher.load_trec_run(next(p for p in resident.query_from_file(topicsfn, tmp_path / "r").iterdir()
+                                        if p.name != "done"))
+    streamed = _make({"hbmbudget": 1e-4})  # ~100 bytes: forces 1-doc chunks
+    run_s = Searcher.load_trec_run(next(p for p in streamed.query_from_file(topicsfn, tmp_path / "s").iterdir()
+                                        if p.name != "done"))
+    from capreolus_tpu.searcher.dense import _HostCorpus
+
+    assert isinstance(streamed._doc_matrix(), _HostCorpus)
+    assert set(run_s) == set(run_r)
+    for qid in run_r:
+        assert list(run_s[qid]) == list(run_r[qid])  # same ranking
+        for d in run_r[qid]:
+            assert run_s[qid][d] == pytest.approx(run_r[qid][d], abs=1e-4)
+
+    r8 = _make({"quantize": "int8"})
+    run_r8 = Searcher.load_trec_run(next(p for p in r8.query_from_file(topicsfn, tmp_path / "r8").iterdir()
+                                         if p.name != "done"))
+    s8 = _make({"quantize": "int8", "hbmbudget": 1e-4})
+    run_s8 = Searcher.load_trec_run(next(p for p in s8.query_from_file(topicsfn, tmp_path / "s8").iterdir()
+                                         if p.name != "done"))
+    for qid in run_r8:
+        assert list(run_s8[qid]) == list(run_r8[qid])
+        for d in run_r8[qid]:
+            assert run_s8[qid][d] == pytest.approx(run_r8[qid][d], abs=1e-4)
+
+    from capreolus_tpu.core import ConfigError
+
+    both = _make({"hbmbudget": 1e-4, "shards": 2})
+    with pytest.raises(ConfigError):
+        both.query_from_file(topicsfn, tmp_path / "b")
