@@ -272,15 +272,27 @@ class LateInteractionSearcher(Searcher):
                 from capreolus_tpu.ops.quantization import quantize_rows_jnp
 
                 q_i8, qscale = quantize_rows_jnp(q_emb)
+                nq, lq = q_emb.shape[0], q_emb.shape[1]
+                q2d = q_i8.reshape(nq * lq, q_emb.shape[2])
                 scr = dscale_l.reshape(nchunks, chunk)
 
                 def chunk_scores_q(args):
+                    # measured (PERF.md): the 4D int8 einsum misses the MXU int8
+                    # path (1.7x slower than bf16); a flat 2D dot_general with
+                    # bf16 sims (exact int32 MXU accumulate, converted in the
+                    # epilogue so the [Q*Lq, C*Ld] intermediate is half-width)
+                    # restores parity. bf16 sim rounding (~0.4%) is on par with
+                    # the int8 input rounding itself.
                     d, m, sc = args  # [C, Ld, dim] int8, [C, Ld], [C]
-                    sim = jnp.einsum("qle,cke->qclk", q_i8, d,
-                                     preferred_element_type=jnp.int32)
-                    sim = jnp.where(m[None, :, None, :] > 0, sim, jnp.int32(-(2 ** 30)))
-                    per_q_token = sim.max(axis=-1).astype(jnp.float32)   # [Q, C, Lq]
-                    scores = per_q_token.sum(axis=-1) * qscale[:, None] * sc[None, :]
+                    ld = d.shape[1]
+                    sim = jax.lax.dot_general(
+                        q2d, d.reshape(chunk * ld, d.shape[2]),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.bfloat16)             # [Q*Lq, C*Ld]
+                    sim = sim.reshape(nq, lq, chunk, ld)
+                    sim = jnp.where(m[None, None, :, :] > 0, sim, jnp.bfloat16(-1e9))
+                    per_q_token = sim.max(axis=-1).astype(jnp.float32)   # [Q, Lq, C]
+                    scores = per_q_token.sum(axis=1) * qscale[:, None] * sc[None, :]
                     valid = m.any(axis=-1)[None, :]                      # [Q, C]
                     return jnp.where(valid, scores, -jnp.inf)
 

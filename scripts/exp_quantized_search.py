@@ -134,16 +134,22 @@ def maxsim_experiment():
 
     @jax.jit
     def exact_int8(q_emb, docs_t, dmask_t, sc):
+        # production layout (late_interaction.py chunk_scores_q): flat 2D int8
+        # dot_general (MXU int8 path) with bf16 sims written in the epilogue
         q_i8, qscale = quantize_rows_jnp(q_emb)
+        q2d = q_i8.reshape(Q * LQ, DIM)
         dr = docs_t.reshape(nchunks, CHUNK, LD, DIM)
         mr = dmask_t.reshape(nchunks, CHUNK, LD)
         scr = sc.reshape(nchunks, CHUNK)
 
         def chunk_scores(args):
             d, m, s_ = args
-            sim = jnp.einsum("qle,cke->qclk", q_i8, d, preferred_element_type=jnp.int32)
-            sim = jnp.where(m[None, :, None, :] > 0, sim, jnp.int32(-(2 ** 30)))
-            return sim.max(axis=-1).astype(jnp.float32).sum(axis=-1) \
+            sim = jax.lax.dot_general(q2d, d.reshape(CHUNK * LD, DIM),
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.bfloat16)
+            sim = sim.reshape(Q, LQ, CHUNK, LD)
+            sim = jnp.where(m[None, None, :, :] > 0, sim, jnp.bfloat16(-1e9))
+            return sim.max(axis=-1).astype(jnp.float32).sum(axis=1) \
                 * qscale[:, None] * s_[None, :]
 
         scores = jax.lax.map(chunk_scores, (dr, mr, scr))

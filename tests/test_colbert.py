@@ -313,7 +313,9 @@ def test_colbert_int8_quantized_search(tmpdir_as_cache, tmp_path):
     run_pre = pre.query("telescope galaxies")
     assert list(run_pre) == list(run_q8)
     for d in run_q8:
-        assert run_pre[d] == pytest.approx(run_q8[d], abs=1e-3)
+        # stage-2 keeps int32 sims while the main path uses bf16 sims (the
+        # measured-faster layout): scores agree to bf16 rounding, not exactly
+        assert run_pre[d] == pytest.approx(run_q8[d], rel=2e-2, abs=1e-2)
 
     from capreolus_tpu.core import ConfigError
     with pytest.raises(ConfigError):

@@ -104,3 +104,32 @@ def test_int8_mips_scores_referee():
         top_q = set(np.argsort(scores[qi])[-10:])
         top_e = set(np.argsort(exact[qi])[-10:])
         assert len(top_q & top_e) >= 8, f"query {qi}: overlap {len(top_q & top_e)}"
+
+
+# ------------------------------------------------------------------ fused MaxSim kernel
+def test_maxsim_pallas_matches_xla_reference():
+    """The fused Pallas MaxSim (token-major docs, running-max over Ld matmuls,
+    in-VMEM Lq reduction) must equal the searcher's XLA chunk math — including
+    masked tokens, fully-masked pad docs (-inf), and non-tile-aligned shapes."""
+    import jax.numpy as jnp
+
+    from capreolus_tpu.ops.maxsim import maxsim_scores, maxsim_scores_ref
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n_q, lq, ld, c, dim = 3, 5, 7, 11, 24  # deliberately unaligned everywhere
+    q = rng.standard_normal((n_q, lq, dim)).astype(np.float32)
+    docs = rng.standard_normal((c, ld, dim)).astype(np.float32)
+    mask = (rng.random((c, ld)) > 0.3).astype(np.int8)
+    mask[4] = 0  # one fully-masked doc -> -inf
+
+    ref = np.asarray(maxsim_scores_ref(jnp.asarray(q), jnp.asarray(docs), jnp.asarray(mask)))
+
+    docs_t = jnp.moveaxis(jnp.asarray(docs, jnp.float32), 0, 1)  # [Ld, C, dim]
+    bias_t = jnp.where(jnp.asarray(mask).T > 0, 0.0, -1e9)
+    valid = jnp.asarray(mask.any(axis=1))
+    out = np.asarray(maxsim_scores(jnp.asarray(q), docs_t, bias_t, valid,
+                                   interpret=True, block_docs=8))
+    assert out.shape == ref.shape
+    assert np.isneginf(out[:, 4]).all() and np.isneginf(ref[:, 4]).all()
+    finite = np.isfinite(ref)
+    np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-2, atol=2e-2)
