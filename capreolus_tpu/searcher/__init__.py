@@ -16,6 +16,14 @@ from capreolus_tpu.utils.trec import load_trec_run, write_trec_run
 logger = get_logger(__name__)
 
 
+def _hbm_budget_mb(config):
+    """hbmbudget in MB; only a MISSING/None key falls back to the default —
+    an explicit 0 is honored (it forces host-streaming mode), which a falsy
+    `or`-guard would silently turn back into the default (round-3 review)."""
+    v = config.get("hbmbudget", 12000.0)
+    return 12000.0 if v is None else float(v)
+
+
 @register_module_type
 class Searcher(ModuleBase):
     """Base class for Searcher modules."""

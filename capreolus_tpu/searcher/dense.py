@@ -22,7 +22,7 @@ from collections import OrderedDict
 import numpy as np
 
 from capreolus_tpu.core import ConfigOption, Dependency
-from capreolus_tpu.searcher import Searcher
+from capreolus_tpu.searcher import Searcher, _hbm_budget_mb
 from capreolus_tpu.utils.caching import done_file
 from capreolus_tpu.utils.loginit import get_logger
 
@@ -226,7 +226,7 @@ class DenseSearcher(Searcher):
         quantized = self.config.get("quantize", "none") == "int8"
         n, d = emb.shape
         dev_bytes = n * d * (1 if quantized else 2) + (4 * n if quantized else 0)
-        budget_bytes = float(self.config.get("hbmbudget", 12000.0) or 12000.0) * 1e6
+        budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
         if quantized:
             # quantization is a search-time representation: the disk cache keeps
             # full-precision embeddings (shared with quantize=none runs) and the
@@ -303,10 +303,12 @@ class DenseSearcher(Searcher):
             scores, ords = np.asarray(scores), np.asarray(ords)
             n_docs = len(docid_strings)
             for qi, (qid, _) in enumerate(chunk):
-                # defensively drop out-of-range ordinals: sharded padding rows
-                # carry ordinal >= n with score -inf and must never be looked up
+                # defensively drop out-of-range ordinals AND -inf placeholders
+                # (a streamed merge that found fewer than `hits` finite docs
+                # leaves -inf slots carrying ordinal 0 — never emit those)
                 run[qid] = {docid_strings[int(o)]: float(s)
-                            for s, o in zip(scores[qi], ords[qi]) if int(o) < n_docs}
+                            for s, o in zip(scores[qi], ords[qi])
+                            if int(o) < n_docs and np.isfinite(s)}
 
         outfn = output_path / f"searcher_dense_pooling-{self.config['pooling']}"
         with open(outfn, "wt", encoding="utf-8") as f:
@@ -337,7 +339,7 @@ class DenseSearcher(Searcher):
         import jax
         import jax.numpy as jnp
 
-        budget_bytes = float(self.config.get("hbmbudget", 12000.0) or 12000.0) * 1e6
+        budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
         row_bytes = host.emb.shape[1] * host.emb.dtype.itemsize + (4 if host.scale is not None else 0)
         # two in-flight buffers (double buffering) must fit the budget
         chunk = int(max(1, min(host.n, budget_bytes // 2 // row_bytes)))
@@ -353,9 +355,15 @@ class DenseSearcher(Searcher):
 
         @jax.jit
         def merge_step(q_emb, chunk_docs, base, run_s, run_o):
-            s, o = local_select(_dense_scores(q_emb, chunk_docs))
+            scores = _dense_scores(q_emb, chunk_docs).astype(jnp.float32)
+            # mask zero-pad rows BEFORE the local top-k: a pad's score of 0
+            # beats real negative cosines and would otherwise evict real docs
+            # from the final partial chunk (round-3 review finding, regression
+            # test test_dense_streamed_pad_rows_never_win)
+            cols = jnp.arange(scores.shape[1])[None, :]
+            scores = jnp.where(cols + base < n, scores, -jnp.inf)
+            s, o = local_select(scores)
             o = o + base
-            s = jnp.where(o < n, s.astype(jnp.float32), -jnp.inf)  # zero-pad rows never win
             cs = jnp.concatenate([run_s, s], axis=1)
             co = jnp.concatenate([run_o, o], axis=1)
             ms, idx = jax.lax.top_k(cs, hits)
@@ -419,14 +427,17 @@ class DenseSearcher(Searcher):
             local_select = lambda scores: jax.lax.top_k(scores, local_k)
 
         def shard_fn(q_emb, docs_local):
-            scores = _dense_scores(q_emb, docs_local)
-            s, o = local_select(scores)
+            scores = _dense_scores(q_emb, docs_local).astype(jnp.float32)
             shard_id = jax.lax.axis_index("shard")
-            o = o + shard_id * per_shard  # local ordinal -> global
             # zero-padded rows (corpus not divisible by shards) must never win:
-            # their dot is 0, which beats real negative cosines (the sparse
-            # engine's equivalent guard: sharded_search.py pad masking)
-            s = jnp.where(o < n, s, -jnp.inf)
+            # their dot is 0, which beats real negative cosines — and the mask
+            # must run BEFORE the local top-k or pads evict real docs from the
+            # last shard when local_k < per_shard (round-3 review finding;
+            # regression test test_dense_sharded_pad_rows_never_win)
+            global_ord = jnp.arange(per_shard)[None, :] + shard_id * per_shard
+            scores = jnp.where(global_ord < n, scores, -jnp.inf)
+            s, o = local_select(scores)
+            o = o + shard_id * per_shard  # local ordinal -> global
             # allgather candidates from every shard over ICI, merge on each chip
             s_all = jax.lax.all_gather(s, "shard", axis=1, tiled=True)
             o_all = jax.lax.all_gather(o, "shard", axis=1, tiled=True)

@@ -23,7 +23,7 @@ from collections import OrderedDict
 import numpy as np
 
 from capreolus_tpu.core import ConfigOption, Dependency
-from capreolus_tpu.searcher import Searcher
+from capreolus_tpu.searcher import Searcher, _hbm_budget_mb
 from capreolus_tpu.utils.caching import done_file
 from capreolus_tpu.utils.loginit import get_logger
 
@@ -198,7 +198,7 @@ class LateInteractionSearcher(Searcher):
         n_docs = emb.shape[0]
         dev_bytes = emb.shape[0] * emb.shape[1] * emb.shape[2] * (1 if quantized else 2) \
             + mask.size + (4 * n_docs if quantized else 0)
-        budget_bytes = float(self.config.get("hbmbudget", 12000.0) or 12000.0) * 1e6
+        budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
         host_mode = dev_bytes > budget_bytes
         if host_mode:
             logger.info("colbert corpus (%d docs, %.0f MB device bytes) exceeds hbmbudget=%.0f MB: "
@@ -437,7 +437,7 @@ class LateInteractionSearcher(Searcher):
         import jax
         import jax.numpy as jnp
 
-        budget_bytes = float(self.config.get("hbmbudget", 12000.0) or 12000.0) * 1e6
+        budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
         row_bytes = emb.shape[1] * emb.shape[2] * emb.dtype.itemsize + mask.shape[1] \
             + (4 if scale is not None else 0)
         per_upload = int(max(1, budget_bytes // 2 // row_bytes))  # double buffering

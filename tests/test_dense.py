@@ -320,3 +320,51 @@ def test_dense_streaming_matches_resident(tmpdir_as_cache, tmp_path):
     both = _make({"hbmbudget": 1e-4, "shards": 2})
     with pytest.raises(ConfigError):
         both.query_from_file(topicsfn, tmp_path / "b")
+
+
+def test_dense_streamed_pad_rows_never_win(tmpdir_as_cache):
+    """Round-3 review repro: with a partial final chunk and all-negative real
+    scores, zero-pad rows must NOT evict real docs from the local top-k (the
+    mask must run before selection). 12 docs, 8-doc chunks, best docs 8-11."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from capreolus_tpu.searcher.dense import _HostCorpus
+
+    # row i has every entry v_i/16 so q=ones gives score v_i exactly
+    v = np.full(12, -1.0, np.float32)
+    v[8:] = -0.1  # the true top-4 live in the padded final chunk
+    emb = (np.repeat(v[:, None], 16, axis=1) / 16.0).astype(ml_dtypes.bfloat16)
+
+    # budget sized for 8-doc chunks: row_bytes = 16*2 = 32 -> 512 bytes / 2 / 32 = 8
+    searcher = _make({"hbmbudget": 512 / 1e6})
+    topk = searcher._streamed_topk(_HostCorpus(emb), hits=4)
+    scores, ords = topk(jnp.ones((1, 16), jnp.float32), None)
+    assert set(np.asarray(ords)[0].tolist()) == {8, 9, 10, 11}, np.asarray(ords)
+    np.testing.assert_allclose(np.asarray(scores)[0], -0.1, atol=2e-3)
+
+
+def test_dense_sharded_pad_rows_never_win(tmpdir_as_cache):
+    """Same invariant for the sharded path: n=6 over shards=4 pads the last
+    shard; with hits=1 < per_shard the pad's 0 score must not displace the
+    globally-best (least negative) real doc living next to it."""
+    import jax.numpy as jnp
+
+    v = np.full(6, -1.0, np.float32)
+    v[5] = -0.1  # global best sits in the shard that also holds a pad row
+    emb = jnp.asarray(np.repeat(v[:, None], 16, axis=1) / 16.0, jnp.bfloat16)
+
+    searcher = _make({"shards": 4})
+    topk, docs_sharded = searcher._sharded_topk(emb, hits=1, shards=4)
+    scores, ords = topk(jnp.ones((1, 16), jnp.float32), docs_sharded)
+    assert int(np.asarray(ords)[0][0]) == 5, np.asarray(ords)
+    np.testing.assert_allclose(float(np.asarray(scores)[0][0]), -0.1, atol=2e-3)
+
+
+def test_dense_hbmbudget_zero_forces_streaming(tmpdir_as_cache, tmp_path):
+    """An explicit hbmbudget=0 must force host-streaming (a falsy `or`-guard
+    would silently restore the 12000 MB default; round-3 review finding)."""
+    from capreolus_tpu.searcher.dense import _HostCorpus
+
+    searcher = _make({"hbmbudget": 0})
+    assert isinstance(searcher._doc_matrix(), _HostCorpus)
