@@ -339,56 +339,29 @@ class DenseSearcher(Searcher):
         import jax
         import jax.numpy as jnp
 
+        from capreolus_tpu.searcher.streamed import pad_rows, streamed_topk
+
         budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
         row_bytes = host.emb.shape[1] * host.emb.dtype.itemsize + (4 if host.scale is not None else 0)
         # two in-flight buffers (double buffering) must fit the budget
         chunk = int(max(1, min(host.n, budget_bytes // 2 // row_bytes)))
         if chunk >= 8:
             chunk -= chunk % 8
-        local_k = min(hits, chunk)
+        local_select = None
         if self.config.get("topkmode", "exact") == "approx":
             rt = float(self.config.get("recalltarget", 0.95))
-            local_select = lambda s: jax.lax.approx_max_k(s, local_k, recall_target=rt)
-        else:
-            local_select = lambda s: jax.lax.top_k(s, local_k)
-        n = host.n
+            local_select = lambda s, k: jax.lax.approx_max_k(s, k, recall_target=rt)
 
-        @jax.jit
-        def merge_step(q_emb, chunk_docs, base, run_s, run_o):
-            scores = _dense_scores(q_emb, chunk_docs).astype(jnp.float32)
-            # mask zero-pad rows BEFORE the local top-k: a pad's score of 0
-            # beats real negative cosines and would otherwise evict real docs
-            # from the final partial chunk (round-3 review finding, regression
-            # test test_dense_streamed_pad_rows_never_win)
-            cols = jnp.arange(scores.shape[1])[None, :]
-            scores = jnp.where(cols + base < n, scores, -jnp.inf)
-            s, o = local_select(scores)
-            o = o + base
-            cs = jnp.concatenate([run_s, s], axis=1)
-            co = jnp.concatenate([run_o, o], axis=1)
-            ms, idx = jax.lax.top_k(cs, hits)
-            return ms, jnp.take_along_axis(co, idx, axis=1)
-
-        def topk(q_emb, _docs):
-            nq = q_emb.shape[0]
-            run_s = jnp.full((nq, hits), -jnp.inf, jnp.float32)
-            run_o = jnp.zeros((nq, hits), jnp.int32)
-            for start in range(0, n, chunk):
-                sl = host.emb[start : start + chunk]
-                if sl.shape[0] < chunk:  # fixed executable shape: one compile
-                    sl = np.concatenate([sl, np.zeros((chunk - sl.shape[0], sl.shape[1]), sl.dtype)])
-                cd = jnp.asarray(sl)
-                if host.scale is not None:
-                    sc = host.scale[start : start + chunk]
-                    if sc.shape[0] < chunk:
-                        sc = np.concatenate([sc, np.ones((chunk - sc.shape[0],), sc.dtype)])
-                    cd = {"emb": cd, "scale": jnp.asarray(sc)}
-                run_s, run_o = merge_step(q_emb, cd, np.int32(start), run_s, run_o)
-            return run_s, run_o
+        def make_chunk(start):
+            cd = jnp.asarray(pad_rows(host.emb[start : start + chunk], chunk))
+            if host.scale is not None:
+                cd = {"emb": cd,
+                      "scale": jnp.asarray(pad_rows(host.scale[start : start + chunk], chunk, fill=1))}
+            return cd
 
         logger.info("streaming dense search: %d-doc chunks (%.0f MB each), %d chunks/query-batch",
-                    chunk, chunk * row_bytes / 1e6, -(-n // chunk))
-        return topk
+                    chunk, chunk * row_bytes / 1e6, -(-host.n // chunk))
+        return streamed_topk(make_chunk, _dense_scores, host.n, chunk, hits, local_select)
 
     def _sharded_topk(self, docs, hits, shards):
         """Doc-partitioned dense search over a 'shard' mesh: each chip scores its

@@ -437,47 +437,25 @@ class LateInteractionSearcher(Searcher):
         import jax
         import jax.numpy as jnp
 
+        from capreolus_tpu.searcher.streamed import pad_rows, streamed_topk
+
         budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
         row_bytes = emb.shape[1] * emb.shape[2] * emb.dtype.itemsize + mask.shape[1] \
             + (4 if scale is not None else 0)
         per_upload = int(max(1, budget_bytes // 2 // row_bytes))  # double buffering
         upload = max(chunk, per_upload - per_upload % chunk)  # multiple of the scoring chunk
-        local_k = min(hits, upload)
 
-        @jax.jit
-        def merge_step(q_emb, d, m, sc, base, run_s, run_o):
-            s, o = jax.lax.top_k(chunked_scores(q_emb, d, m, sc), local_k)
-            o = o + base
-            s = jnp.where(o < n, s, -jnp.inf)  # pad docs (zero mask) never win
-            cs = jnp.concatenate([run_s, s], axis=1)
-            co = jnp.concatenate([run_o, o], axis=1)
-            ms, idx = jax.lax.top_k(cs, hits)
-            return ms, jnp.take_along_axis(co, idx, axis=1)
-
-        def topk(q_emb, *_):
-            nq = q_emb.shape[0]
-            run_s = jnp.full((nq, hits), -jnp.inf, jnp.float32)
-            run_o = jnp.zeros((nq, hits), jnp.int32)
-            for start in range(0, n, upload):
-                e = emb[start : start + upload]
-                mm = mask[start : start + upload]
-                if e.shape[0] < upload:  # fixed executable shape: one compile
-                    pu = upload - e.shape[0]
-                    e = np.concatenate([e, np.zeros((pu, *e.shape[1:]), e.dtype)])
-                    mm = np.concatenate([mm, np.zeros((pu, mm.shape[1]), mm.dtype)])
-                sc = None
-                if scale is not None:
-                    sc = scale[start : start + upload]
-                    if sc.shape[0] < upload:
-                        sc = np.concatenate([sc, np.ones((upload - sc.shape[0],), sc.dtype)])
-                    sc = jnp.asarray(sc)
-                run_s, run_o = merge_step(q_emb, jnp.asarray(e), jnp.asarray(mm), sc,
-                                          np.int32(start), run_s, run_o)
-            return run_s, run_o
+        def make_chunk(start):
+            parts = [jnp.asarray(pad_rows(emb[start : start + upload], upload)),
+                     jnp.asarray(pad_rows(mask[start : start + upload], upload))]
+            if scale is not None:
+                parts.append(jnp.asarray(pad_rows(scale[start : start + upload], upload, fill=1)))
+            return tuple(parts)
 
         logger.info("streaming colbert search: %d-doc upload slices (%.0f MB each), %d/query-batch",
                     upload, upload * row_bytes / 1e6, -(-n // upload))
-        return topk
+        return streamed_topk(make_chunk, lambda q_emb, c: chunked_scores(q_emb, *c),
+                             n, upload, hits)
 
     def _sharded_topk(self, corpus, n, hits, shards, chunked_scores):
         """Doc-partitioned MaxSim over a 'shard' mesh: each chip scores its slice
