@@ -86,6 +86,12 @@ class DenseSearcher(Searcher):
                      "corpora above it stream host-resident chunks through the device with a "
                      "running on-device top-k merge (the dense analogue of the sparse engine's "
                      "host-streaming postings; composes with quantize=int8 = half the stream)"),
+        ConfigOption("clusters", 0, "IVF cells: 0 = exact brute force; K > 0 partitions the corpus "
+                     "with spherical k-means (Lloyd's on the MXU, searcher/ivf.py) and each query "
+                     "scores only the nprobe best cells — ~K/nprobe FLOP cut, recall referee'd in "
+                     "tests. nprobe=clusters is exactly brute force"),
+        ConfigOption("nprobe", 8, "IVF cells probed per query (clusters>0)"),
+        ConfigOption("kmeansiters", 10, "Lloyd iterations for IVF cell training"),
     ]
     config_keys_not_in_path = ["batch", "shards", "hbmbudget"]  # none changes results
     # (hbmbudget: streamed-vs-resident equality pinned in tests/test_dense.py)
@@ -278,6 +284,7 @@ class DenseSearcher(Searcher):
         # are embedded into the compile payload, which fails for multi-hundred-MB
         # arrays on remote-compilation backends (observed: tunnel HTTP 413)
         shards = int(self.config.get("shards", 1))
+        clusters = int(self.config.get("clusters", 0) or 0)
         select = self._topk_fn(hits)
         if isinstance(docs, _HostCorpus):
             from capreolus_tpu.core import ConfigError
@@ -285,7 +292,17 @@ class DenseSearcher(Searcher):
             if shards > 1:
                 raise ConfigError("searcher.shards>1 already partitions the corpus across chips; "
                                   "raise hbmbudget or use shards alone (streaming is single-chip)")
+            if clusters > 0:
+                raise ConfigError("searcher.clusters (IVF) needs the corpus HBM-resident; raise "
+                                  "hbmbudget or drop clusters (streaming is already FLOP-bounded "
+                                  "per chunk)")
             topk = self._streamed_topk(docs, hits)
+        elif clusters > 0:
+            from capreolus_tpu.core import ConfigError
+
+            if shards > 1:
+                raise ConfigError("searcher.clusters (IVF) cannot be combined with shards>1 yet")
+            topk, docs = self._ivf_topk(docs, n_corpus, hits)
         elif shards > 1:
             topk, docs = self._sharded_topk(docs, hits, shards)
         else:
@@ -362,6 +379,82 @@ class DenseSearcher(Searcher):
         logger.info("streaming dense search: %d-doc chunks (%.0f MB each), %d chunks/query-batch",
                     chunk, chunk * row_bytes / 1e6, -(-host.n // chunk))
         return streamed_topk(make_chunk, _dense_scores, host.n, chunk, hits, local_select)
+
+    def _ivf_topk(self, docs, n, hits):
+        """IVF probe-limited search (searcher/ivf.py): train spherical k-means
+        cells at load, permute the corpus cluster-major, and per query score
+        only the nprobe best cells — each probe is one dynamic-slice gather +
+        batched einsum, so FLOPs scale with nprobe/clusters instead of the
+        corpus. Returns (topk, meta) where meta is the jit ARGUMENT pytree
+        (sorted corpus + cell extents + centroids; never a closure capture —
+        remote-compile payload limit, CLAUDE.md)."""
+        import jax
+        import jax.numpy as jnp
+
+        from capreolus_tpu.searcher.ivf import build_cells, spherical_kmeans
+
+        k = max(1, min(int(self.config["clusters"]), n))
+        nprobe = max(1, min(int(self.config["nprobe"]), k))
+        quantized = isinstance(docs, dict)
+        docs_f = (docs["emb"].astype(jnp.bfloat16)
+                  * docs["scale"][:, None].astype(jnp.bfloat16)) if quantized else docs
+        centroids, assign = spherical_kmeans(docs_f, k, int(self.config["kmeansiters"]))
+        order, starts, sizes, max_size = build_cells(np.asarray(assign), k)
+        logger.info("IVF: %d cells over %d docs (max cell %d, mean %.1f), nprobe=%d "
+                    "(~%.0fx FLOP cut vs exact)", k, n, max_size, n / max(k, 1), nprobe,
+                    max(1.0, n / max(1, nprobe * max_size)))
+
+        order_d = jnp.asarray(order, jnp.int32)
+        if quantized:
+            sorted_docs = {"emb": docs["emb"][order_d], "scale": docs["scale"][order_d]}
+        else:
+            sorted_docs = docs[order_d]
+        meta = {"docs": sorted_docs, "order": order_d,
+                "starts": jnp.asarray(starts), "sizes": jnp.asarray(sizes),
+                "centroids": centroids}
+        msz = max_size
+
+        @jax.jit
+        def topk(q_emb, meta):
+            qf = q_emb.astype(jnp.bfloat16)
+            cs = jnp.einsum("qd,kd->qk", qf, meta["centroids"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            _, probes = jax.lax.top_k(cs, nprobe)                       # [Q, nprobe]
+            if quantized:
+                from capreolus_tpu.ops.quantization import quantize_rows_jnp
+
+                q_i8, qscale = quantize_rows_jnp(q_emb)
+
+            def probe_scores(p):                                        # p [Q]: one cell per query
+                base = meta["starts"][p]
+                idx = base[:, None] + jnp.arange(msz)[None, :]          # [Q, msz] sorted-ordinals
+                valid = jnp.arange(msz)[None, :] < meta["sizes"][p][:, None]
+                safe = jnp.clip(idx, 0, n - 1)
+                if quantized:
+                    d = meta["docs"]["emb"][safe]                       # [Q, msz, D] int8
+                    isc = jnp.einsum("qd,qmd->qm", q_i8, d, preferred_element_type=jnp.int32)
+                    s = isc.astype(jnp.float32) * qscale[:, None] * meta["docs"]["scale"][safe]
+                else:
+                    s = jnp.einsum("qd,qmd->qm", qf, meta["docs"][safe],
+                                   preferred_element_type=jnp.float32)
+                return jnp.where(valid, s, -jnp.inf), safe
+
+            # lax.map over probes bounds the gather to one cell at a time
+            ps, pidx = jax.lax.map(probe_scores, jnp.swapaxes(probes, 0, 1))
+            s_all = jnp.moveaxis(ps, 0, 1).reshape(q_emb.shape[0], -1)  # [Q, nprobe*msz]
+            i_all = jnp.moveaxis(pidx, 0, 1).reshape(q_emb.shape[0], -1)
+            k_out = min(hits, s_all.shape[-1])
+            ms, sel = jax.lax.top_k(s_all, k_out)
+            orig = meta["order"][jnp.take_along_axis(i_all, sel, axis=1)]
+            if k_out < hits:  # fewer candidates than hits: -inf placeholders
+                pad = hits - k_out
+                ms = jnp.concatenate([ms, jnp.full((ms.shape[0], pad), -jnp.inf)], axis=1)
+                orig = jnp.concatenate([orig, jnp.full((orig.shape[0], pad), n, orig.dtype)], axis=1)
+            # invalid (-inf) slots must never surface a real docid
+            orig = jnp.where(jnp.isfinite(ms), orig, n)
+            return ms, orig
+
+        return topk, meta
 
     def _sharded_topk(self, docs, hits, shards):
         """Doc-partitioned dense search over a 'shard' mesh: each chip scores its

@@ -368,3 +368,69 @@ def test_dense_hbmbudget_zero_forces_streaming(tmpdir_as_cache, tmp_path):
 
     searcher = _make({"hbmbudget": 0})
     assert isinstance(searcher._doc_matrix(), _HostCorpus)
+
+
+# ------------------------------------------------------------------ IVF
+def test_dense_ivf_full_probe_equals_exact(tmpdir_as_cache, tmp_path):
+    """nprobe=clusters probes every cell: results must match exact brute force
+    (same docids, scores to bf16 tolerance)."""
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n302\twhales ocean\n")
+    exact = _make()
+    run_e = Searcher.load_trec_run(next(p for p in exact.query_from_file(topicsfn, tmp_path / "e").iterdir()
+                                        if p.name != "done"))
+    ivf = _make({"clusters": 2, "nprobe": 2})
+    run_i = Searcher.load_trec_run(next(p for p in ivf.query_from_file(topicsfn, tmp_path / "i").iterdir()
+                                        if p.name != "done"))
+    assert set(run_i) == set(run_e)
+    for qid in run_e:
+        assert set(run_i[qid]) == set(run_e[qid])
+        for d in run_e[qid]:
+            assert run_i[qid][d] == pytest.approx(run_e[qid][d], abs=2e-2)
+
+
+def test_dense_ivf_recall_referee():
+    """On a topically-clustered corpus, IVF with nprobe << clusters must keep
+    recall@10 >= 0.9 of the exact top-10 (the whole point of cell probing),
+    and the int8 variant must hold the same bar."""
+    import jax.numpy as jnp
+
+    from capreolus_tpu.ops.quantization import quantize_rows
+    from capreolus_tpu.searcher.ivf import build_cells, spherical_kmeans
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n, dim, topics = 4000, 32, 40
+    centers = rng.standard_normal((topics, dim)).astype(np.float32)
+    docs = centers[rng.integers(0, topics, n)] + 0.25 * rng.standard_normal((n, dim)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries = centers[rng.integers(0, topics, 16)] + 0.25 * rng.standard_normal((16, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    exact_top10 = np.argsort(queries @ docs.T, axis=1)[:, -10:]
+
+    def run_ivf(corpus, quantize):
+        s = _make({"clusters": 32, "nprobe": 4})
+        topk, meta = s._ivf_topk(corpus, n, hits=50)
+        scores, ords = topk(jnp.asarray(queries), meta)
+        return np.asarray(scores), np.asarray(ords)
+
+    sc, od = run_ivf(jnp.asarray(docs, jnp.bfloat16), False)
+    recall = np.mean([len(set(exact_top10[i]) & set(od[i][np.isfinite(sc[i])])) / 10.0
+                      for i in range(len(queries))])
+    assert recall >= 0.9, recall
+
+    qv, qs = quantize_rows(docs)
+    sc8, od8 = run_ivf({"emb": jnp.asarray(qv), "scale": jnp.asarray(qs)}, True)
+    recall8 = np.mean([len(set(exact_top10[i]) & set(od8[i][np.isfinite(sc8[i])])) / 10.0
+                       for i in range(len(queries))])
+    assert recall8 >= 0.9, recall8
+
+
+def test_dense_ivf_invalid_combos(tmpdir_as_cache, tmp_path):
+    from capreolus_tpu.core import ConfigError
+
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tgalaxies\n")
+    with pytest.raises(ConfigError):
+        _make({"clusters": 2, "shards": 2}).query_from_file(topicsfn, tmp_path / "a")
+    with pytest.raises(ConfigError):
+        _make({"clusters": 2, "hbmbudget": 0}).query_from_file(topicsfn, tmp_path / "b")
