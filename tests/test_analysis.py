@@ -97,3 +97,64 @@ def test_kstem_inflectional():
 def test_krovetz_analyzer():
     a = get_analyzer(stemmer="krovetz")
     assert a.analyze("The dogs were running through cities") == ["dogs"[:3], "were", "run", "through", "city"]
+
+
+# ------------------------------------------------------- content-span chunker
+def test_content_spans_question_frames():
+    """The chunker drops question frames and keeps topical spans — the offline
+    approximation of scispacy entity extraction in the udel expander
+    (reference utils/common.py:582-589)."""
+    from capreolus_tpu.analysis.chunker import content_spans, content_terms
+
+    # (standard_tokenize splits on the hyphen, like the Lucene analyzer would)
+    assert content_spans("what is known about the origin of COVID-19") == \
+        [["origin"], ["COVID", "19"]]
+    assert content_spans("seeking information about coronavirus transmission "
+                         "in health care settings") == \
+        [["information"], ["coronavirus", "transmission"],
+         ["health", "care", "settings"]]
+    # multi-token biomedical spans survive intact, frame verbs split them
+    assert content_spans("how does the coronavirus respond to changes in the weather") == \
+        [["coronavirus", "respond"], ["changes"], ["weather"]]
+    assert content_terms("what drugs have been tried") == ["drugs", "tried"]
+
+
+def test_content_spans_preserves_deverbal_nouns():
+    """Ambiguous verb/noun forms that carry retrieval content are NOT removed
+    (the FRAME_VERBS list is conservative by design)."""
+    from capreolus_tpu.analysis.chunker import content_terms
+
+    terms = content_terms("studies of the spread and effects of quarantine use")
+    for keep in ("studies", "spread", "effects", "quarantine", "use"):
+        assert keep in terms, terms
+
+
+def test_udel_expand_uses_chunker_offline():
+    """udel_expand folds the question's content spans into the title offline
+    (reference covid.py:170-173 semantics without the scispacy download)."""
+    from capreolus_tpu.utils import udel
+    from capreolus_tpu.utils.udel import udel_expand
+
+    if udel._scispacy_nlp() is not None:  # pragma: no cover - env-dependent
+        pytest.skip("scispacy installed: fallback path not taken")
+    out = udel_expand("coronavirus origin", "what is known about the origin of COVID-19")
+    assert out == "coronavirus origin covid 19"  # 'origin' deduped, frame dropped
+
+
+def test_content_spans_scispacy_parity():
+    """Referee vs real scispacy when its model is installed (skip otherwise),
+    mirroring the WordPiece-vs-transformers referee pattern."""
+    try:
+        import spacy
+
+        nlp = spacy.load("en_core_sci_sm")
+    except Exception:
+        pytest.skip("scispacy model not installed")
+    from capreolus_tpu.analysis.chunker import content_terms
+
+    for q in ["what is known about the origin of COVID-19",
+              "seeking information about coronavirus transmission"]:
+        ents = {t.lower() for ent in nlp(q).ents for t in ent.text.split()}
+        ours = {t.lower() for t in content_terms(q)}
+        # chunker must cover every scispacy entity token (it may keep extras)
+        assert ents <= ours, (ents, ours)
