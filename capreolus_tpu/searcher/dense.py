@@ -266,23 +266,23 @@ class DenseSearcher(Searcher):
                 self._search_all(Path(topicsfn), output_path)
         return output_path
 
-    def _search_all(self, topicsfn, output_path):
+    def build_topk(self, hits):
+        """Dispatch to one of the four dense engines and return
+        ``(topk(q_emb, docs) -> (scores, ordinals), docs_arg, n_corpus)``.
+
+        Shared by the batch pipeline (_search_all) and the serving layer
+        (serving.DenseRetrievalService), which keeps the engine warm across
+        calls. The doc matrix is an ARGUMENT, not a closure capture: captured
+        constants are embedded into the compile payload, which fails for
+        multi-hundred-MB arrays on remote-compilation backends (observed:
+        tunnel HTTP 413)."""
         import jax
-        import jax.numpy as jnp
 
         docs = self._doc_matrix()
-        docid_strings = self.index.data.docid_strings
         n_corpus = docs.n if isinstance(docs, _HostCorpus) else \
             (docs["emb"].shape[0] if isinstance(docs, dict) else docs.shape[0])
-        hits = min(int(self.config["hits"]), n_corpus)
+        hits = min(int(hits), n_corpus)
 
-        from capreolus_tpu.searcher.tpu import _load_topics_tsv
-
-        topics = _load_topics_tsv(topicsfn)
-
-        # the doc matrix is an ARGUMENT, not a closure capture: captured constants
-        # are embedded into the compile payload, which fails for multi-hundred-MB
-        # arrays on remote-compilation backends (observed: tunnel HTTP 413)
         shards = int(self.config.get("shards", 1))
         clusters = int(self.config.get("clusters", 0) or 0)
         select = self._topk_fn(hits)
@@ -309,6 +309,17 @@ class DenseSearcher(Searcher):
             @jax.jit
             def topk(q_emb, docs):
                 return select(_dense_scores(q_emb, docs))
+
+        return topk, docs, n_corpus
+
+    def _search_all(self, topicsfn, output_path):
+        import jax.numpy as jnp
+
+        from capreolus_tpu.searcher.tpu import _load_topics_tsv
+
+        topics = _load_topics_tsv(topicsfn)
+        topk, docs, _ = self.build_topk(int(self.config["hits"]))
+        docid_strings = self.index.data.docid_strings
 
         self._embed_maxlen = int(self.config["maxqlen"])
         run = OrderedDict()

@@ -84,6 +84,77 @@ class RetrievalService:
         return self.index.get_doc(docid)
 
 
+class DenseRetrievalService:
+    """Low-latency dense (bi-encoder MIPS) serving over an embedded corpus.
+
+    Wraps searcher/dense.py's engine dispatch (resident brute force, IVF cells,
+    doc-sharded, or host-streamed — whichever the searcher config selects) and
+    keeps everything warm across calls: corpus embeddings stay in HBM (or
+    pinned host RAM in streaming mode), the query encoder stays jitted, and the
+    top-k executable is compiled once at a fixed query-batch shape so serving
+    traffic never retraces. Queries are padded to that shape per call.
+
+        svc = DenseRetrievalService.from_config(collection="nf", pretrained="tiny")
+        hits = svc.search(["dietary supplements cancer prevention"], k=10)
+    """
+
+    def __init__(self, searcher, max_k: int = 100):
+        import numpy as np
+
+        self.searcher = searcher
+        self._np = np
+        self._topk, self._docs, self._n = searcher.build_topk(max_k)
+        self.max_k = min(int(max_k), self._n)
+        self._docids = searcher.index.data.docid_strings
+        self.batch_size = int(searcher.config["batch"])
+        searcher._embed_maxlen = int(searcher.config["maxqlen"])
+
+    @classmethod
+    def from_config(cls, collection: str = "dummy", collection_path: Optional[str] = None,
+                    max_k: int = 100, **searcher_config):
+        import capreolus_tpu
+
+        capreolus_tpu.load_all_modules()
+        from capreolus_tpu.searcher import Searcher
+
+        coll_cfg = {"name": collection}
+        if collection_path:
+            coll_cfg["path"] = collection_path
+        index_cfg = searcher_config.pop("index", {})
+        searcher = Searcher.create("dense", {**searcher_config,
+                                             "index": {**index_cfg, "collection": coll_cfg}})
+        return cls(searcher, max_k=max_k)
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        """Returns, per query, the top-k (docid, score) pairs."""
+        import jax.numpy as jnp
+
+        np = self._np
+        k = min(int(k), self.max_k)
+        results: List[List[Tuple[str, float]]] = []
+        for start in range(0, len(queries), self.batch_size):
+            chunk = list(queries[start : start + self.batch_size])
+            # pad to the compiled batch shape (the encoder already pads rows;
+            # this keeps the TOP-K executable at one shape too)
+            padded = chunk + [""] * (self.batch_size - len(chunk))
+            q_emb = self.searcher._embed_texts(padded)
+            scores, ords = self._topk(jnp.asarray(q_emb), self._docs)
+            scores, ords = np.asarray(scores), np.asarray(ords)
+            for qi in range(len(chunk)):
+                hits = []
+                for s, o in zip(scores[qi][:k], ords[qi][:k]):
+                    # -inf slots (fewer finite candidates than k) carry
+                    # sentinel/padded ordinals — never surface them
+                    if int(o) >= self._n or not np.isfinite(s):
+                        continue
+                    hits.append((self._docids[int(o)], float(s)))
+                results.append(hits)
+        return results
+
+    def get_document(self, docid: str) -> Optional[str]:
+        return self.searcher.index.get_doc(docid)
+
+
 class RerankingService(RetrievalService):
     """Retrieve-then-rerank serving: first-stage engine + a trained reranker."""
 

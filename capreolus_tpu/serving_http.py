@@ -1,0 +1,197 @@
+"""HTTP serving frontend: a JSON API + cross-request micro-batching over any
+retrieval service (sparse RetrievalService, DenseRetrievalService, or
+retrieve-then-rerank RerankingService).
+
+The reference stops at experiment pipelines; this framework also targets
+production serving. The device engines want BATCHES (one [Q, ...] executable
+per call amortizes the host->device hop and fills the MXU), while serving
+traffic arrives one query at a time — the MicroBatcher bridges the two:
+requests park for up to ``window_ms`` while a batch accumulates, then one
+engine call serves the whole batch. The HTTP layer is stdlib-only
+(ThreadingHTTPServer), so it runs anywhere the framework does:
+
+    python -m capreolus_tpu.serving_http --collection nf --port 8080
+    curl -XPOST localhost:8080/search -d '{"queries": ["covid vaccine"], "k": 10}'
+
+Endpoints:
+    POST /search     {"queries": [str, ...], "k": int}  -> {"results": [[[docid, score], ...], ...]}
+    GET  /health     -> {"ok": true, "corpus_size": N}
+    GET  /document?docid=X -> {"docid": ..., "text": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+
+class MicroBatcher:
+    """Cross-request batcher: single-query submissions coalesce into one
+    engine call. A request parks for at most ``window_ms`` (the batching
+    window) or until ``max_batch`` requests are waiting, whichever is first;
+    the worker thread then drains the queue and runs ONE ``service.search``
+    over the union. The engine executes under the worker thread only, so
+    services with per-call instance state need no extra locking."""
+
+    def __init__(self, service, window_ms: float = 2.0, max_batch: Optional[int] = None):
+        self.service = service
+        self.window_s = float(window_ms) / 1000.0
+        self.max_batch = int(max_batch or getattr(service, "batch_size", 64))
+        self._pending = deque()  # (query, k, slot) triples
+        self._lock = threading.Lock()
+        self._wakeup = threading.Condition(self._lock)
+        self._closed = False
+        self.batches_run = 0  # observability: how often the engine actually ran
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="capreolus-microbatcher")
+        self._worker.start()
+
+    def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
+        """Blocking single-query API; coalesces with concurrent callers."""
+        slot = {"event": threading.Event(), "result": None, "error": None}
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._pending.append((query, int(k), slot))
+            self._wakeup.notify()
+        slot["event"].wait()
+        if slot["error"] is not None:
+            raise slot["error"]
+        return slot["result"]
+
+    def close(self):
+        with self._lock:
+            self._closed = True
+            self._wakeup.notify()
+        self._worker.join(timeout=5)
+
+    def _run(self):
+        while True:
+            with self._lock:
+                while not self._pending and not self._closed:
+                    self._wakeup.wait()
+                if self._closed and not self._pending:
+                    return
+                # batching window: wait out the window (or until full) so
+                # near-simultaneous requests ride the same executable
+                deadline = time.monotonic() + self.window_s
+                while len(self._pending) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._closed:
+                        break
+                    self._wakeup.wait(timeout=remaining)
+                batch = [self._pending.popleft()
+                         for _ in range(min(len(self._pending), self.max_batch))]
+            queries = [q for q, _, _ in batch]
+            k_max = max(k for _, k, _ in batch)
+            try:
+                results = self.service.search(queries, k=k_max)
+                self.batches_run += 1
+                for (_, k, slot), hits in zip(batch, results):
+                    slot["result"] = hits[:k]
+                    slot["event"].set()
+            except Exception as e:  # deliver the failure to every waiter
+                logger.exception("micro-batched search failed")
+                for _, _, slot in batch:
+                    slot["error"] = e
+                    slot["event"].set()
+
+
+def make_server(service, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (without starting) the HTTP server; ``port=0`` picks a free port
+    (``server.server_address[1]`` reports it). Engine calls are serialized
+    through one lock — concurrency comes from batch size, not from racing
+    the device."""
+    engine_lock = threading.Lock()
+    corpus_size = len(getattr(service, "_docids", []) or [])
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through the framework logger
+            logger.debug("http: " + fmt, *args)
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/health":
+                self._reply(200, {"ok": True, "corpus_size": corpus_size})
+            elif url.path == "/document":
+                docid = parse_qs(url.query).get("docid", [None])[0]
+                if not docid:
+                    self._reply(400, {"error": "missing docid"})
+                    return
+                text = service.get_document(docid)
+                if text is None:
+                    self._reply(404, {"error": f"unknown docid {docid!r}"})
+                else:
+                    self._reply(200, {"docid": docid, "text": text})
+            else:
+                self._reply(404, {"error": f"unknown path {url.path!r}"})
+
+        def do_POST(self):
+            if urlparse(self.path).path != "/search":
+                self._reply(404, {"error": "POST /search only"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                queries = req["queries"]
+                k = int(req.get("k", 10))
+                if not isinstance(queries, list) or not all(isinstance(q, str) for q in queries):
+                    raise ValueError("'queries' must be a list of strings")
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            with engine_lock:
+                results = service.search(queries, k=k)
+            self._reply(200, {"results": [[[d, s] for d, s in hits] for hits in results]})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server
+
+
+def main(argv: Optional[List[str]] = None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="capreolus_tpu retrieval HTTP server")
+    p.add_argument("--collection", default="dummy")
+    p.add_argument("--collection-path", default=None)
+    p.add_argument("--backend", choices=["sparse", "dense"], default="sparse")
+    p.add_argument("--model", default="bm25", help="sparse scoring model")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    args = p.parse_args(argv)
+
+    from capreolus_tpu.serving import DenseRetrievalService, RetrievalService
+
+    if args.backend == "dense":
+        service = DenseRetrievalService.from_config(
+            collection=args.collection, collection_path=args.collection_path)
+    else:
+        service = RetrievalService.from_config(
+            collection=args.collection, collection_path=args.collection_path, model=args.model)
+    server = make_server(service, host=args.host, port=args.port)
+    logger.info("serving %s retrieval on http://%s:%d", args.backend, *server.server_address)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

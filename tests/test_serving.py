@@ -73,3 +73,117 @@ def test_reranking_service_int8(tmpdir_as_cache, tmp_path):
     results = svc.search(["distant galaxies telescope"], k=3)
     assert len(results) == 1 and len(results[0]) >= 1
     assert reranker._quant_stats is not None, "serving must calibrate the int8 scales"
+
+
+def test_dense_retrieval_service(tmpdir_as_cache):
+    """Dense serving reuses the searcher's engine dispatch warm across calls
+    and must agree with the batch searcher's results."""
+    from capreolus_tpu.serving import DenseRetrievalService
+
+    svc = DenseRetrievalService.from_config(collection="dummy", pretrained="tiny",
+                                            maxdoclen=32, maxqlen=8, batch=4)
+    results = svc.search(["distant galaxies collide", "whales ocean"], k=2)
+    assert len(results) == 2
+    assert all(len(hits) == 2 for hits in results)
+    assert all(s1 >= s2 for (_, s1), (_, s2) in
+               (hits for hits in results))  # descending
+    # second call reuses the compiled engine (no rebuild) and stays consistent
+    again = svc.search(["distant galaxies collide"], k=2)
+    assert again[0] == results[0]
+    assert svc.get_document(results[0][0][0])
+
+
+def test_dense_retrieval_service_ivf(tmpdir_as_cache):
+    """The serving layer composes with the IVF engine (clusters config)."""
+    from capreolus_tpu.serving import DenseRetrievalService
+
+    exact = DenseRetrievalService.from_config(collection="dummy", pretrained="tiny",
+                                              maxdoclen=32, maxqlen=8, batch=4)
+    ivf = DenseRetrievalService.from_config(collection="dummy", pretrained="tiny",
+                                            maxdoclen=32, maxqlen=8, batch=4,
+                                            clusters=2, nprobe=2)  # full probe == exact
+    q = ["distant galaxies collide"]
+    assert [d for d, _ in ivf.search(q, k=3)[0]] == [d for d, _ in exact.search(q, k=3)[0]]
+
+
+def test_micro_batcher_coalesces(tmpdir_as_cache):
+    """Concurrent single-query requests ride one engine call: results match
+    direct search and the engine runs fewer times than the request count."""
+    import threading
+
+    from capreolus_tpu.serving import RetrievalService
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    svc = RetrievalService.from_config(collection="dummy")
+    direct = svc.search(["galaxies collide", "whales in the ocean", "telescope orbit"], k=2)
+
+    batcher = MicroBatcher(svc, window_ms=50.0)
+    out = [None] * 3
+    queries = ["galaxies collide", "whales in the ocean", "telescope orbit"]
+
+    def call(i):
+        out[i] = batcher.search(queries[i], k=2)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batcher.close()
+    assert out == direct
+    assert batcher.batches_run < 3, "requests must coalesce into fewer engine calls"
+
+
+def test_micro_batcher_propagates_errors(tmpdir_as_cache):
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    class Boom:
+        batch_size = 4
+
+        def search(self, queries, k=10):
+            raise RuntimeError("engine down")
+
+    batcher = MicroBatcher(Boom(), window_ms=1.0)
+    with pytest.raises(RuntimeError, match="engine down"):
+        batcher.search("q", k=1)
+    batcher.close()
+
+
+def test_http_server_roundtrip(tmpdir_as_cache):
+    """Full HTTP round trip on a loopback ephemeral port: /health, /search,
+    /document, and error paths."""
+    import json
+    import threading
+    import urllib.request
+
+    from capreolus_tpu.serving import RetrievalService
+    from capreolus_tpu.serving_http import make_server
+
+    svc = RetrievalService.from_config(collection="dummy")
+    server = make_server(svc, port=0)
+    host, port = server.server_address
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{host}:{port}"
+    try:
+        health = json.load(urllib.request.urlopen(f"{base}/health"))
+        assert health["ok"] and health["corpus_size"] > 0
+
+        req = urllib.request.Request(
+            f"{base}/search", method="POST",
+            data=json.dumps({"queries": ["galaxies collide"], "k": 2}).encode())
+        resp = json.load(urllib.request.urlopen(req))
+        assert resp["results"][0][0][0] == "D003"
+
+        doc = json.load(urllib.request.urlopen(f"{base}/document?docid=D003"))
+        assert doc["text"].startswith("Galaxies collide")
+
+        bad = urllib.request.Request(f"{base}/search", method="POST", data=b"{}")
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "missing 'queries' must be a 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
