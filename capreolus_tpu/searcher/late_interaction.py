@@ -230,20 +230,22 @@ class LateInteractionSearcher(Searcher):
                 self._search_all(Path(topicsfn), output_path)
         return output_path
 
-    def _search_all(self, topicsfn, output_path):
+    def build_topk(self, hits):
+        """Dispatch to one of the four MaxSim engines and return
+        ``(topk(q_emb, *corpus) -> (scores, ordinals), corpus, n_corpus)``.
+
+        Shared by the batch pipeline (_search_all) and the serving layer
+        (serving.ColbertRetrievalService); the corpus tensors are ARGUMENTS
+        (not closure captures — remote-compile payload limit), except in
+        host-streaming mode where the host arrays live outside the jit."""
         import jax
         import jax.numpy as jnp
 
         docs, dmask, dscale = self._doc_tensors()
-        docid_strings = self.index.data.docid_strings
         n = docs.shape[0]
-        hits = min(int(self.config["hits"]), n)
+        hits = min(int(hits), n)
         chunk = min(int(self.config["chunk"]), max(n, 1))
         quantized = dscale is not None
-
-        from capreolus_tpu.searcher.tpu import _load_topics_tsv
-
-        topics = _load_topics_tsv(topicsfn)
 
         shards = int(self.config.get("shards", 1))
         host_mode = isinstance(docs, np.ndarray)  # corpus > hbmbudget: host-resident
@@ -328,6 +330,15 @@ class LateInteractionSearcher(Searcher):
             @jax.jit
             def topk(q_emb, *corpus):
                 return jax.lax.top_k(chunked_scores(q_emb, *corpus), hits)
+
+        return topk, corpus, n
+
+    def _search_all(self, topicsfn, output_path):
+        from capreolus_tpu.searcher.tpu import _load_topics_tsv
+
+        topics = _load_topics_tsv(topicsfn)
+        topk, corpus, n = self.build_topk(int(self.config["hits"]))
+        docid_strings = self.index.data.docid_strings
 
         model, variables = self._encoder()
         run = OrderedDict()

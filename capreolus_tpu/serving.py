@@ -155,6 +155,70 @@ class DenseRetrievalService:
         return self.searcher.index.get_doc(docid)
 
 
+class ColbertRetrievalService:
+    """Low-latency late-interaction (ColBERT MaxSim) serving.
+
+    Same contract as DenseRetrievalService, over searcher/late_interaction.py's
+    engine dispatch (exact chunked MaxSim, two-stage prefilter, doc-sharded, or
+    host-streamed per the searcher config): corpus token embeddings stay
+    resident, the query encoder stays jitted, the top-k executable is compiled
+    once at a fixed query-batch shape.
+    """
+
+    def __init__(self, searcher, max_k: int = 100):
+        import numpy as np
+
+        self.searcher = searcher
+        self._np = np
+        self._topk, self._corpus, self._n = searcher.build_topk(max_k)
+        self.max_k = min(int(max_k), self._n)
+        self._docids = searcher.index.data.docid_strings
+        self.batch_size = int(searcher.config["batch"])
+        self.maxqlen = int(searcher.config["maxqlen"])
+        _, self._variables = searcher._encoder()
+
+    @classmethod
+    def from_config(cls, collection: str = "dummy", collection_path: Optional[str] = None,
+                    max_k: int = 100, **searcher_config):
+        import capreolus_tpu
+
+        capreolus_tpu.load_all_modules()
+        from capreolus_tpu.searcher import Searcher
+
+        coll_cfg = {"name": collection}
+        if collection_path:
+            coll_cfg["path"] = collection_path
+        index_cfg = searcher_config.pop("index", {})
+        searcher = Searcher.create("colbert", {**searcher_config,
+                                               "index": {**index_cfg, "collection": coll_cfg}})
+        return cls(searcher, max_k=max_k)
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        np = self._np
+        k = min(int(k), self.max_k)
+        results: List[List[Tuple[str, float]]] = []
+        for start in range(0, len(queries), self.batch_size):
+            chunk = list(queries[start : start + self.batch_size])
+            toks = self.searcher._tokenize(chunk, self.maxqlen)
+            if len(toks) < self.batch_size:  # fixed compiled batch shape
+                toks = np.concatenate(
+                    [toks, np.zeros((self.batch_size - len(toks), self.maxqlen), np.int32)])
+            q_emb, _ = self.searcher._encode_query_jit(self._variables, toks)
+            scores, ords = self._topk(q_emb, *self._corpus)
+            scores, ords = np.asarray(scores), np.asarray(ords)
+            for qi in range(len(chunk)):
+                hits = []
+                for s, o in zip(scores[qi][:k], ords[qi][:k]):
+                    if int(o) >= self._n or not np.isfinite(s):
+                        continue
+                    hits.append((self._docids[int(o)], float(s)))
+                results.append(hits)
+        return results
+
+    def get_document(self, docid: str) -> Optional[str]:
+        return self.searcher.index.get_doc(docid)
+
+
 class RerankingService(RetrievalService):
     """Retrieve-then-rerank serving: first-stage engine + a trained reranker."""
 

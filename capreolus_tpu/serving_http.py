@@ -171,16 +171,20 @@ def main(argv: Optional[List[str]] = None):
     p = argparse.ArgumentParser(description="capreolus_tpu retrieval HTTP server")
     p.add_argument("--collection", default="dummy")
     p.add_argument("--collection-path", default=None)
-    p.add_argument("--backend", choices=["sparse", "dense"], default="sparse")
+    p.add_argument("--backend", choices=["sparse", "dense", "colbert"], default="sparse")
     p.add_argument("--model", default="bm25", help="sparse scoring model")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
 
-    from capreolus_tpu.serving import DenseRetrievalService, RetrievalService
+    from capreolus_tpu.serving import (ColbertRetrievalService, DenseRetrievalService,
+                                       RetrievalService)
 
     if args.backend == "dense":
         service = DenseRetrievalService.from_config(
+            collection=args.collection, collection_path=args.collection_path)
+    elif args.backend == "colbert":
+        service = ColbertRetrievalService.from_config(
             collection=args.collection, collection_path=args.collection_path)
     else:
         service = RetrievalService.from_config(

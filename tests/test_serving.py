@@ -187,3 +187,22 @@ def test_http_server_roundtrip(tmpdir_as_cache):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_colbert_retrieval_service(tmpdir_as_cache):
+    """ColBERT MaxSim serving agrees with itself across calls and composes with
+    the two-stage prefilter engine."""
+    from capreolus_tpu.serving import ColbertRetrievalService
+
+    svc = ColbertRetrievalService.from_config(
+        collection="dummy", allowrandominit=True, dim=8,
+        maxdoclen=32, maxqlen=8, batch=4, chunk=2)
+    results = svc.search(["distant galaxies collide", "whales ocean"], k=2)
+    assert len(results) == 2 and all(len(hits) == 2 for hits in results)
+    assert svc.search(["distant galaxies collide"], k=2)[0] == results[0]
+
+    two_stage = ColbertRetrievalService.from_config(
+        collection="dummy", allowrandominit=True, dim=8,
+        maxdoclen=32, maxqlen=8, batch=4, chunk=2, prefilter=3)  # all docs pass
+    assert [d for d, _ in two_stage.search(["distant galaxies collide"], k=2)[0]] == \
+        [d for d, _ in results[0]]
