@@ -278,6 +278,16 @@ class DenseSearcher(Searcher):
         tunnel HTTP 413)."""
         import jax
 
+        # IVF engines are memoized per requested hits: the build permutes the
+        # corpus and drops the unsorted original (1x HBM steady state), so a
+        # rebuild would otherwise re-load embeddings from disk every call
+        requested_hits = int(hits)
+        cached = getattr(self, "_ivf_engine", None)
+        if cached is not None and cached[0] == requested_hits and \
+                int(self.config.get("clusters", 0) or 0) > 0:
+            _, topk, meta, n_corpus = cached
+            return topk, meta, n_corpus
+
         docs = self._doc_matrix()
         n_corpus = docs.n if isinstance(docs, _HostCorpus) else \
             (docs["emb"].shape[0] if isinstance(docs, dict) else docs.shape[0])
@@ -303,6 +313,7 @@ class DenseSearcher(Searcher):
             if shards > 1:
                 raise ConfigError("searcher.clusters (IVF) cannot be combined with shards>1 yet")
             topk, docs = self._ivf_topk(docs, n_corpus, hits)
+            self._ivf_engine = (requested_hits, topk, docs, n_corpus)
         elif shards > 1:
             topk, docs = self._sharded_topk(docs, hits, shards)
         else:
@@ -407,10 +418,10 @@ class DenseSearcher(Searcher):
         k = max(1, min(int(self.config["clusters"]), n))
         nprobe = max(1, min(int(self.config["nprobe"]), k))
         quantized = isinstance(docs, dict)
-        docs_f = (docs["emb"].astype(jnp.bfloat16)
-                  * docs["scale"][:, None].astype(jnp.bfloat16)) if quantized else docs
-        centroids, assign = spherical_kmeans(docs_f, k, int(self.config["kmeansiters"]))
-        order, starts, sizes, max_size = build_cells(np.asarray(assign), k)
+        # k-means consumes the corpus as-is (int8 corpora are dequantized
+        # sample/slab-wise inside spherical_kmeans, never wholesale)
+        centroids, assign = spherical_kmeans(docs, k, int(self.config["kmeansiters"]))
+        order, starts, sizes, max_size = build_cells(assign, k)
         logger.info("IVF: %d cells over %d docs (max cell %d, mean %.1f), nprobe=%d "
                     "(~%.0fx FLOP cut vs exact)", k, n, max_size, n / max(k, 1), nprobe,
                     max(1.0, n / max(1, nprobe * max_size)))
@@ -420,6 +431,12 @@ class DenseSearcher(Searcher):
             sorted_docs = {"emb": docs["emb"][order_d], "scale": docs["scale"][order_d]}
         else:
             sorted_docs = docs[order_d]
+        # steady state holds ONE (cluster-major) corpus copy: drop the cached
+        # unsorted original so the searcher never keeps 2x the corpus in HBM
+        # for its lifetime (the permute gather is transiently 2x; a later
+        # non-IVF build_topk re-loads from the disk embedding cache)
+        self._docs_emb = None
+        del docs
         meta = {"docs": sorted_docs, "order": order_d,
                 "starts": jnp.asarray(starts), "sizes": jnp.asarray(sizes),
                 "centroids": centroids}

@@ -12,6 +12,12 @@ exact scoring over just those cells' documents. With nprobe/K ~ 1/32 that is a
 (tests/test_dense.py::test_dense_ivf_*). nprobe=K degenerates to exact search
 (every cell probed), which the equality test pins.
 
+Training follows the FAISS recipe: Lloyd's runs on a SAMPLE (``sample_cap``
+rows) so the int8 corpus is never dequantized wholesale, then ONE full
+assignment pass with the FINAL centroids partitions the corpus in fixed-size
+slabs (bounded device memory; and the assignment is never stale with respect
+to the centroids the query-time probe ranking uses).
+
 The reference has no dense retrieval at all (its nearest analogue is a static
 TCT-ColBERT run file, reference capreolus/searcher/special.py:170-212); this
 is the TPU-native scalability tier above the exact searcher, the same role
@@ -30,45 +36,84 @@ from capreolus_tpu.utils.loginit import get_logger
 
 logger = get_logger(__name__)
 
+_ASSIGN_SLAB = 131072  # rows per assignment slab (bf16 768-dim slab = 192 MB)
 
-def spherical_kmeans(docs_f, k, iters=10, seed=0):
-    """Spherical k-means over [N, D] embeddings (device array, any float dtype).
+
+def _slab_f32(docs, start, stop):
+    """Rows [start, stop) of a corpus (bf16 array or int8 {emb, scale} dict)
+    as a dequantized device slab."""
+    import jax.numpy as jnp
+
+    if isinstance(docs, dict):
+        return (docs["emb"][start:stop].astype(jnp.bfloat16)
+                * docs["scale"][start:stop, None].astype(jnp.bfloat16))
+    return docs[start:stop]
+
+
+def spherical_kmeans(docs, k, iters=10, seed=0, sample_cap=None, slab=_ASSIGN_SLAB):
+    """Spherical k-means over [N, D] embeddings.
+
+    ``docs`` is a device bf16 [N, D] array or an int8 corpus dict
+    ``{"emb": [N, D] int8, "scale": [N] f32}`` (dequantized lazily, slab by
+    slab — the full-precision corpus is never materialized at once).
 
     Returns (centroids [K, D] f32 L2-normalized, assign [N] int32). Lloyd's
-    with cosine assignment: both the assignment (argmax of [N, D] x [D, K])
-    and the update (segment-sum + renormalize) run on device. Empty clusters
+    with cosine assignment runs on ``min(N, sample_cap)`` sampled rows; the
+    returned assignment is ONE full pass with the final centroids (never stale
+    — query-time probes rank cells by these same centroids). Empty clusters
     keep their previous centroid (they can re-acquire docs later).
     """
     import jax
     import jax.numpy as jnp
 
-    n = docs_f.shape[0]
+    n = docs["emb"].shape[0] if isinstance(docs, dict) else docs.shape[0]
     k = int(min(k, n))
+    if sample_cap is None:
+        sample_cap = max(10_000, 64 * k)
     key = jax.random.PRNGKey(seed)
-    init_idx = jax.random.permutation(key, n)[:k]
+    n_sample = int(min(n, sample_cap))
+    sample_idx = jax.random.permutation(key, n)[:n_sample]
+    if isinstance(docs, dict):
+        sample = _slab_f32({"emb": docs["emb"][sample_idx],
+                            "scale": docs["scale"][sample_idx]}, 0, n_sample)
+    else:
+        sample = docs[sample_idx]
 
     @jax.jit
-    def init_centroids(docs):
-        c = docs[init_idx].astype(jnp.float32)
+    def init_centroids(rows):
+        c = rows[:k].astype(jnp.float32)
         return c / jnp.maximum(jnp.linalg.norm(c, axis=1, keepdims=True), 1e-9)
 
     @jax.jit
-    def lloyd_step(docs, centroids):
-        sims = jnp.einsum("nd,kd->nk", docs.astype(jnp.bfloat16),
+    def lloyd_step(rows, centroids):
+        sims = jnp.einsum("nd,kd->nk", rows.astype(jnp.bfloat16),
                           centroids.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
-        assign = jnp.argmax(sims, axis=1).astype(jnp.int32)
-        sums = jax.ops.segment_sum(docs.astype(jnp.float32), assign, num_segments=k)
-        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign, num_segments=k)
+        a = jnp.argmax(sims, axis=1).astype(jnp.int32)
+        sums = jax.ops.segment_sum(rows.astype(jnp.float32), a, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones((rows.shape[0],), jnp.float32), a, num_segments=k)
         new = sums / jnp.maximum(counts[:, None], 1.0)
         new = new / jnp.maximum(jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9)
-        centroids = jnp.where((counts > 0)[:, None], new, centroids)
-        return centroids, assign
+        return jnp.where((counts > 0)[:, None], new, centroids)
 
-    centroids = init_centroids(docs_f)
-    assign = None
+    @jax.jit
+    def assign_slab(rows, centroids):
+        sims = jnp.einsum("nd,kd->nk", rows.astype(jnp.bfloat16),
+                          centroids.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        return jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+    centroids = init_centroids(sample)
     for _ in range(max(1, int(iters))):
-        centroids, assign = lloyd_step(docs_f, centroids)
+        centroids = lloyd_step(sample, centroids)
+    del sample
+
+    # final full assignment with the FINAL centroids, slab by slab
+    parts = []
+    for start in range(0, n, slab):
+        rows = _slab_f32(docs, start, min(n, start + slab))
+        parts.append(np.asarray(assign_slab(rows, centroids)))
+    assign = np.concatenate(parts) if parts else np.zeros((0,), np.int32)
     return centroids, assign
 
 

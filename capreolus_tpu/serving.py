@@ -84,30 +84,46 @@ class RetrievalService:
         return self.index.get_doc(docid)
 
 
-class DenseRetrievalService:
-    """Low-latency dense (bi-encoder MIPS) serving over an embedded corpus.
+class _EmbeddingRetrievalService:
+    """Shared serving core for the embedding searchers (dense bi-encoder MIPS
+    and ColBERT late-interaction MaxSim).
 
-    Wraps searcher/dense.py's engine dispatch (resident brute force, IVF cells,
-    doc-sharded, or host-streamed — whichever the searcher config selects) and
-    keeps everything warm across calls: corpus embeddings stay in HBM (or
-    pinned host RAM in streaming mode), the query encoder stays jitted, and the
-    top-k executable is compiled once at a fixed query-batch shape so serving
-    traffic never retraces. Queries are padded to that shape per call.
-
-        svc = DenseRetrievalService.from_config(collection="nf", pretrained="tiny")
-        hits = svc.search(["dietary supplements cancer prevention"], k=10)
+    Wraps the searcher's ``build_topk`` engine dispatch (resident brute force,
+    IVF cells, two-stage prefilter, doc-sharded, or host-streamed — whichever
+    the searcher config selects) and keeps everything warm across calls:
+    corpus embeddings stay in HBM (or pinned host RAM in streaming mode), the
+    query encoder stays jitted, and the top-k executable is compiled once at a
+    fixed query-batch shape so serving traffic never retraces. Queries are
+    padded to that shape per call. Subclasses provide the searcher module name
+    and the query-embedding hook; result filtering (the -inf/pad-sentinel
+    invariant) lives HERE, once.
     """
+
+    _searcher_name: str = ""  # registry name ("dense" / "colbert")
 
     def __init__(self, searcher, max_k: int = 100):
         import numpy as np
 
         self.searcher = searcher
         self._np = np
-        self._topk, self._docs, self._n = searcher.build_topk(max_k)
-        self.max_k = min(int(max_k), self._n)
+        topk, corpus, n = searcher.build_topk(max_k)
+        self._topk = topk
+        # normalize to an argument tuple: dense passes one corpus pytree,
+        # colbert a (docs, mask[, scale]) tuple, streaming an empty tuple
+        self._corpus = corpus if isinstance(corpus, tuple) else (corpus,)
+        self._n = n
+        self.max_k = min(int(max_k), n)
         self._docids = searcher.index.data.docid_strings
         self.batch_size = int(searcher.config["batch"])
-        searcher._embed_maxlen = int(searcher.config["maxqlen"])
+        self._prepare()
+
+    def _prepare(self):
+        """Subclass hook: warm the query encoder."""
+
+    def _embed_batch(self, chunk: List[str]):
+        """Subclass hook: encode <= batch_size queries, padded to batch_size
+        rows (keeps the compiled top-k executable at one shape)."""
+        raise NotImplementedError
 
     @classmethod
     def from_config(cls, collection: str = "dummy", collection_path: Optional[str] = None,
@@ -121,24 +137,20 @@ class DenseRetrievalService:
         if collection_path:
             coll_cfg["path"] = collection_path
         index_cfg = searcher_config.pop("index", {})
-        searcher = Searcher.create("dense", {**searcher_config,
-                                             "index": {**index_cfg, "collection": coll_cfg}})
+        searcher = Searcher.create(cls._searcher_name,
+                                   {**searcher_config,
+                                    "index": {**index_cfg, "collection": coll_cfg}})
         return cls(searcher, max_k=max_k)
 
     def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
         """Returns, per query, the top-k (docid, score) pairs."""
-        import jax.numpy as jnp
-
         np = self._np
         k = min(int(k), self.max_k)
         results: List[List[Tuple[str, float]]] = []
         for start in range(0, len(queries), self.batch_size):
             chunk = list(queries[start : start + self.batch_size])
-            # pad to the compiled batch shape (the encoder already pads rows;
-            # this keeps the TOP-K executable at one shape too)
-            padded = chunk + [""] * (self.batch_size - len(chunk))
-            q_emb = self.searcher._embed_texts(padded)
-            scores, ords = self._topk(jnp.asarray(q_emb), self._docs)
+            q_emb = self._embed_batch(chunk)
+            scores, ords = self._topk(q_emb, *self._corpus)
             scores, ords = np.asarray(scores), np.asarray(ords)
             for qi in range(len(chunk)):
                 hits = []
@@ -155,68 +167,43 @@ class DenseRetrievalService:
         return self.searcher.index.get_doc(docid)
 
 
-class ColbertRetrievalService:
-    """Low-latency late-interaction (ColBERT MaxSim) serving.
+class DenseRetrievalService(_EmbeddingRetrievalService):
+    """Low-latency dense (bi-encoder MIPS) serving over an embedded corpus.
 
-    Same contract as DenseRetrievalService, over searcher/late_interaction.py's
-    engine dispatch (exact chunked MaxSim, two-stage prefilter, doc-sharded, or
-    host-streamed per the searcher config): corpus token embeddings stay
-    resident, the query encoder stays jitted, the top-k executable is compiled
-    once at a fixed query-batch shape.
+        svc = DenseRetrievalService.from_config(collection="nf", pretrained="tiny")
+        hits = svc.search(["dietary supplements cancer prevention"], k=10)
     """
 
-    def __init__(self, searcher, max_k: int = 100):
-        import numpy as np
+    _searcher_name = "dense"
 
-        self.searcher = searcher
-        self._np = np
-        self._topk, self._corpus, self._n = searcher.build_topk(max_k)
-        self.max_k = min(int(max_k), self._n)
-        self._docids = searcher.index.data.docid_strings
-        self.batch_size = int(searcher.config["batch"])
-        self.maxqlen = int(searcher.config["maxqlen"])
-        _, self._variables = searcher._encoder()
+    def _prepare(self):
+        self.searcher._embed_maxlen = int(self.searcher.config["maxqlen"])
 
-    @classmethod
-    def from_config(cls, collection: str = "dummy", collection_path: Optional[str] = None,
-                    max_k: int = 100, **searcher_config):
-        import capreolus_tpu
+    def _embed_batch(self, chunk):
+        import jax.numpy as jnp
 
-        capreolus_tpu.load_all_modules()
-        from capreolus_tpu.searcher import Searcher
+        padded = chunk + [""] * (self.batch_size - len(chunk))
+        return jnp.asarray(self.searcher._embed_texts(padded))
 
-        coll_cfg = {"name": collection}
-        if collection_path:
-            coll_cfg["path"] = collection_path
-        index_cfg = searcher_config.pop("index", {})
-        searcher = Searcher.create("colbert", {**searcher_config,
-                                               "index": {**index_cfg, "collection": coll_cfg}})
-        return cls(searcher, max_k=max_k)
 
-    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+class ColbertRetrievalService(_EmbeddingRetrievalService):
+    """Low-latency late-interaction (ColBERT MaxSim) serving — same contract
+    as DenseRetrievalService over searcher/late_interaction.py's engines."""
+
+    _searcher_name = "colbert"
+
+    def _prepare(self):
+        self.maxqlen = int(self.searcher.config["maxqlen"])
+        _, self._variables = self.searcher._encoder()
+
+    def _embed_batch(self, chunk):
         np = self._np
-        k = min(int(k), self.max_k)
-        results: List[List[Tuple[str, float]]] = []
-        for start in range(0, len(queries), self.batch_size):
-            chunk = list(queries[start : start + self.batch_size])
-            toks = self.searcher._tokenize(chunk, self.maxqlen)
-            if len(toks) < self.batch_size:  # fixed compiled batch shape
-                toks = np.concatenate(
-                    [toks, np.zeros((self.batch_size - len(toks), self.maxqlen), np.int32)])
-            q_emb, _ = self.searcher._encode_query_jit(self._variables, toks)
-            scores, ords = self._topk(q_emb, *self._corpus)
-            scores, ords = np.asarray(scores), np.asarray(ords)
-            for qi in range(len(chunk)):
-                hits = []
-                for s, o in zip(scores[qi][:k], ords[qi][:k]):
-                    if int(o) >= self._n or not np.isfinite(s):
-                        continue
-                    hits.append((self._docids[int(o)], float(s)))
-                results.append(hits)
-        return results
-
-    def get_document(self, docid: str) -> Optional[str]:
-        return self.searcher.index.get_doc(docid)
+        toks = self.searcher._tokenize(chunk, self.maxqlen)
+        if len(toks) < self.batch_size:
+            toks = np.concatenate(
+                [toks, np.zeros((self.batch_size - len(toks), self.maxqlen), np.int32)])
+        q_emb, _ = self.searcher._encode_query_jit(self._variables, toks)
+        return q_emb
 
 
 class RerankingService(RetrievalService):

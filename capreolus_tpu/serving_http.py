@@ -55,18 +55,27 @@ class MicroBatcher:
                                         name="capreolus-microbatcher")
         self._worker.start()
 
-    def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
-        """Blocking single-query API; coalesces with concurrent callers."""
+    def submit(self, query: str, k: int = 10) -> dict:
+        """Enqueue one query; returns a slot to pass to ``result``. Submitting
+        several queries before collecting lets one caller's batch coalesce
+        internally as well as with concurrent callers."""
         slot = {"event": threading.Event(), "result": None, "error": None}
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
             self._pending.append((query, int(k), slot))
             self._wakeup.notify()
+        return slot
+
+    def result(self, slot: dict) -> List[Tuple[str, float]]:
         slot["event"].wait()
         if slot["error"] is not None:
             raise slot["error"]
         return slot["result"]
+
+    def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
+        """Blocking single-query API; coalesces with concurrent callers."""
+        return self.result(self.submit(query, k))
 
     def close(self):
         with self._lock:
@@ -95,6 +104,9 @@ class MicroBatcher:
             k_max = max(k for _, k, _ in batch)
             try:
                 results = self.service.search(queries, k=k_max)
+                if len(results) != len(batch):  # fail loudly, never hang waiters
+                    raise RuntimeError(f"service returned {len(results)} result lists "
+                                       f"for {len(batch)} queries")
                 self.batches_run += 1
                 for (_, k, slot), hits in zip(batch, results):
                     slot["result"] = hits[:k]
@@ -106,12 +118,15 @@ class MicroBatcher:
                     slot["event"].set()
 
 
-def make_server(service, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(service, host: str = "127.0.0.1", port: int = 0,
+                window_ms: float = 2.0) -> ThreadingHTTPServer:
     """Build (without starting) the HTTP server; ``port=0`` picks a free port
-    (``server.server_address[1]`` reports it). Engine calls are serialized
-    through one lock — concurrency comes from batch size, not from racing
-    the device."""
-    engine_lock = threading.Lock()
+    (``server.server_address[1]`` reports it). Every query — across requests
+    AND within multi-query requests — is routed through one MicroBatcher, so
+    concurrent handler threads coalesce into shared engine calls (the batcher's
+    worker thread is the only one that touches the device). ``window_ms=0``
+    still batches whatever is already queued, just without waiting."""
+    batcher = MicroBatcher(service, window_ms=window_ms)
     corpus_size = len(getattr(service, "_docids", []) or [])
 
     class Handler(BaseHTTPRequestHandler):
@@ -150,18 +165,28 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTT
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 queries = req["queries"]
-                k = int(req.get("k", 10))
+                k = int(req.get("k") or 10)
                 if not isinstance(queries, list) or not all(isinstance(q, str) for q in queries):
                     raise ValueError("'queries' must be a list of strings")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
-                self._reply(400, {"error": str(e)})
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"bad request: {e}"})
                 return
-            with engine_lock:
-                results = service.search(queries, k=k)
+            try:
+                # submit every query before collecting: a multi-query request
+                # coalesces internally and with concurrent requests
+                slots = [batcher.submit(q, k) for q in queries]
+                results = [batcher.result(s) for s in slots]
+            except Exception as e:
+                logger.exception("search failed")
+                self._reply(500, {"error": f"search failed: {e}"})
+                return
             self._reply(200, {"results": [[[d, s] for d, s in hits] for hits in results]})
 
     server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher  # exposed so callers can close() it on shutdown
     return server
 
 

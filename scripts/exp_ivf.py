@@ -84,8 +84,10 @@ def main():
 
     t0 = time.perf_counter()
     ivf_topk, meta = searcher._ivf_topk(d_bf16, N, HITS)
-    jax.block_until_ready(meta["docs"])
-    np.asarray(meta["starts"])
+    # honest sync (CLAUDE.md: block_until_ready can no-op on the tunneled
+    # backend): pull a scalar that depends on the permuted corpus itself
+    emb = meta["docs"]["emb"] if isinstance(meta["docs"], dict) else meta["docs"]
+    np.asarray(emb[0, 0])
     build_s = time.perf_counter() - t0
     print(f"IVF build  : {build_s:.1f} s (K={K}, 10 Lloyd iterations + permute)",
           flush=True)

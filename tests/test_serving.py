@@ -107,31 +107,39 @@ def test_dense_retrieval_service_ivf(tmpdir_as_cache):
 
 
 def test_micro_batcher_coalesces(tmpdir_as_cache):
-    """Concurrent single-query requests ride one engine call: results match
-    direct search and the engine runs fewer times than the request count."""
-    import threading
-
+    """Submitted single-query requests ride ONE engine call: results match
+    direct search. Deterministic setup: max_batch equals the submission count
+    and the window is generous, so the worker drains all three together."""
     from capreolus_tpu.serving import RetrievalService
     from capreolus_tpu.serving_http import MicroBatcher
 
     svc = RetrievalService.from_config(collection="dummy")
-    direct = svc.search(["galaxies collide", "whales in the ocean", "telescope orbit"], k=2)
-
-    batcher = MicroBatcher(svc, window_ms=50.0)
-    out = [None] * 3
     queries = ["galaxies collide", "whales in the ocean", "telescope orbit"]
+    direct = svc.search(queries, k=2)
 
-    def call(i):
-        out[i] = batcher.search(queries[i], k=2)
-
-    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    batcher = MicroBatcher(svc, window_ms=5000.0, max_batch=3)
+    slots = [batcher.submit(q, k=2) for q in queries]
+    out = [batcher.result(s) for s in slots]
     batcher.close()
     assert out == direct
-    assert batcher.batches_run < 3, "requests must coalesce into fewer engine calls"
+    assert batcher.batches_run == 1, "requests must coalesce into one engine call"
+
+
+def test_micro_batcher_length_mismatch_fails_loudly(tmpdir_as_cache):
+    """A service returning the wrong number of result lists must error every
+    waiter, never leave one hanging."""
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    class Short:
+        batch_size = 4
+
+        def search(self, queries, k=10):
+            return [[("D1", 1.0)]][: max(0, len(queries) - 1)]  # always one short
+
+    batcher = MicroBatcher(Short(), window_ms=1.0)
+    with pytest.raises(RuntimeError, match="result lists"):
+        batcher.search("q", k=1)
+    batcher.close()
 
 
 def test_micro_batcher_propagates_errors(tmpdir_as_cache):
@@ -178,15 +186,25 @@ def test_http_server_roundtrip(tmpdir_as_cache):
         doc = json.load(urllib.request.urlopen(f"{base}/document?docid=D003"))
         assert doc["text"].startswith("Galaxies collide")
 
-        bad = urllib.request.Request(f"{base}/search", method="POST", data=b"{}")
-        try:
-            urllib.request.urlopen(bad)
-            assert False, "missing 'queries' must be a 400"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # null k falls back to the default rather than crashing the handler
+        nullk = urllib.request.Request(
+            f"{base}/search", method="POST",
+            data=b'{"queries": ["galaxies collide"], "k": null}')
+        assert json.load(urllib.request.urlopen(nullk))["results"][0]
+
+        for body in (b"{}",          # missing 'queries'
+                     b"[1]",         # valid JSON, not an object (TypeError path)
+                     b'{"queries": "x"}'):              # wrong type
+            bad = urllib.request.Request(f"{base}/search", method="POST", data=body)
+            try:
+                urllib.request.urlopen(bad)
+                assert False, f"body {body!r} must be a 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, body
     finally:
         server.shutdown()
         server.server_close()
+        server.batcher.close()
 
 
 def test_colbert_retrieval_service(tmpdir_as_cache):
