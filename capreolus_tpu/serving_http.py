@@ -16,6 +16,7 @@ engine call serves the whole batch. The HTTP layer is stdlib-only
 Endpoints:
     POST /search     {"queries": [str, ...], "k": int}  -> {"results": [[[docid, score], ...], ...]}
     GET  /health     -> {"ok": true, "corpus_size": N}
+    GET  /stats      -> query/batch counters + latency percentiles (observability)
     GET  /document?docid=X -> {"docid": ..., "text": ...}
 """
 
@@ -32,6 +33,42 @@ from urllib.parse import parse_qs, urlparse
 from capreolus_tpu.utils.loginit import get_logger
 
 logger = get_logger(__name__)
+
+
+class ServingStats:
+    """Thread-safe serving counters + a bounded latency reservoir.
+
+    Latencies are kept in a ring (last ``maxlen`` observations) so the /stats
+    endpoint reports RECENT percentiles at O(1) memory regardless of uptime.
+    """
+
+    def __init__(self, maxlen: int = 4096):
+        self._lock = threading.Lock()
+        self._lat = deque(maxlen=maxlen)
+        self.queries = 0
+        self.batches = 0
+        self.errors = 0
+
+    def record_batch(self, n_queries: int, seconds: float):
+        with self._lock:
+            self.queries += n_queries
+            self.batches += 1
+            self._lat.append(seconds)
+
+    def record_error(self):
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            out = {"queries": self.queries, "batches": self.batches, "errors": self.errors,
+                   "mean_batch_size": round(self.queries / self.batches, 2) if self.batches else 0.0}
+        if lat:
+            pct = lambda p: round(1e3 * lat[min(len(lat) - 1, int(p * len(lat)))], 3)
+            out["batch_latency_ms"] = {"p50": pct(0.50), "p90": pct(0.90),
+                                       "p99": pct(0.99), "max": round(1e3 * lat[-1], 3)}
+        return out
 
 
 class MicroBatcher:
@@ -51,6 +88,7 @@ class MicroBatcher:
         self._wakeup = threading.Condition(self._lock)
         self._closed = False
         self.batches_run = 0  # observability: how often the engine actually ran
+        self.stats = ServingStats()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="capreolus-microbatcher")
         self._worker.start()
@@ -103,16 +141,19 @@ class MicroBatcher:
             queries = [q for q, _, _ in batch]
             k_max = max(k for _, k, _ in batch)
             try:
+                t0 = time.monotonic()
                 results = self.service.search(queries, k=k_max)
                 if len(results) != len(batch):  # fail loudly, never hang waiters
                     raise RuntimeError(f"service returned {len(results)} result lists "
                                        f"for {len(batch)} queries")
                 self.batches_run += 1
+                self.stats.record_batch(len(batch), time.monotonic() - t0)
                 for (_, k, slot), hits in zip(batch, results):
                     slot["result"] = hits[:k]
                     slot["event"].set()
             except Exception as e:  # deliver the failure to every waiter
                 logger.exception("micro-batched search failed")
+                self.stats.record_error()
                 for _, _, slot in batch:
                     slot["error"] = e
                     slot["event"].set()
@@ -145,6 +186,8 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0,
             url = urlparse(self.path)
             if url.path == "/health":
                 self._reply(200, {"ok": True, "corpus_size": corpus_size})
+            elif url.path == "/stats":
+                self._reply(200, batcher.stats.snapshot())
             elif url.path == "/document":
                 docid = parse_qs(url.query).get("docid", [None])[0]
                 if not docid:

@@ -224,3 +224,34 @@ def test_colbert_retrieval_service(tmpdir_as_cache):
         maxdoclen=32, maxqlen=8, batch=4, chunk=2, prefilter=3)  # all docs pass
     assert [d for d, _ in two_stage.search(["distant galaxies collide"], k=2)[0]] == \
         [d for d, _ in results[0]]
+
+
+def test_http_stats_endpoint(tmpdir_as_cache):
+    """/stats reports query/batch counters and recent latency percentiles."""
+    import json
+    import threading
+    import urllib.request
+
+    from capreolus_tpu.serving import RetrievalService
+    from capreolus_tpu.serving_http import make_server
+
+    svc = RetrievalService.from_config(collection="dummy")
+    server = make_server(svc, port=0)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://{host}:{port}"
+    try:
+        for _ in range(3):
+            req = urllib.request.Request(
+                f"{base}/search", method="POST",
+                data=json.dumps({"queries": ["galaxies collide"], "k": 1}).encode())
+            urllib.request.urlopen(req)
+        stats = json.load(urllib.request.urlopen(f"{base}/stats"))
+        assert stats["queries"] >= 3 and stats["batches"] >= 1
+        assert stats["errors"] == 0
+        assert stats["batch_latency_ms"]["p50"] > 0
+        assert stats["batch_latency_ms"]["p99"] >= stats["batch_latency_ms"]["p50"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        server.batcher.close()
