@@ -312,7 +312,8 @@ class DenseSearcher(Searcher):
 
             if shards > 1:
                 raise ConfigError("searcher.clusters (IVF) cannot be combined with shards>1 yet")
-            topk, docs = self._ivf_topk(docs, n_corpus, hits)
+            topk, docs = self._ivf_topk(docs, n_corpus, hits,
+                                        cache_file=self._ivf_cache_file())
             self._ivf_engine = (requested_hits, topk, docs, n_corpus)
         elif shards > 1:
             topk, docs = self._sharded_topk(docs, hits, shards)
@@ -402,7 +403,17 @@ class DenseSearcher(Searcher):
                     chunk, chunk * row_bytes / 1e6, -(-host.n // chunk))
         return streamed_topk(make_chunk, _dense_scores, host.n, chunk, hits, local_select)
 
-    def _ivf_topk(self, docs, n, hits):
+    def _ivf_cache_file(self):
+        """Trained-IVF layout cache path: keyed by the doc-embedding cache key
+        (encoder/tokenizer/checkpoint/pooling identity) plus everything that
+        changes the cells — clusters, kmeansiters, and the search-time corpus
+        representation (int8 quantization rounds the rows k-means sees)."""
+        emb_fn = self._doc_cache_file()
+        tag = (f"{int(self.config['clusters'])}_{int(self.config['kmeansiters'])}_"
+               f"{self.config.get('quantize') or 'none'}")
+        return emb_fn.parent / f"{emb_fn.stem}_ivf_{tag}.npz"
+
+    def _ivf_topk(self, docs, n, hits, cache_file=None):
         """IVF probe-limited search (searcher/ivf.py): train spherical k-means
         cells at load, permute the corpus cluster-major, and per query score
         only the nprobe best cells — each probe is one dynamic-slice gather +
@@ -418,9 +429,23 @@ class DenseSearcher(Searcher):
         k = max(1, min(int(self.config["clusters"]), n))
         nprobe = max(1, min(int(self.config["nprobe"]), k))
         quantized = isinstance(docs, dict)
-        # k-means consumes the corpus as-is (int8 corpora are dequantized
-        # sample/slab-wise inside spherical_kmeans, never wholesale)
-        centroids, assign = spherical_kmeans(docs, k, int(self.config["kmeansiters"]))
+        if cache_file is not None and cache_file.exists():
+            # trained layout restored from disk: serving restarts skip k-means
+            z = np.load(cache_file)
+            centroids, assign = jnp.asarray(z["centroids"]), z["assign"]
+            logger.info("IVF layout restored from %s", cache_file)
+        else:
+            # k-means consumes the corpus as-is (int8 corpora are dequantized
+            # sample/slab-wise inside spherical_kmeans, never wholesale)
+            centroids, assign = spherical_kmeans(docs, k, int(self.config["kmeansiters"]))
+            if cache_file is not None:
+                from capreolus_tpu.utils.caching import TargetFileExists, cached_file
+
+                try:
+                    with cached_file(cache_file, "wb") as f:
+                        np.savez(f, centroids=np.asarray(centroids), assign=assign)
+                except TargetFileExists:
+                    pass  # concurrent builder won the race with identical content
         order, starts, sizes, max_size = build_cells(assign, k)
         logger.info("IVF: %d cells over %d docs (max cell %d, mean %.1f), nprobe=%d "
                     "(~%.0fx FLOP cut vs exact)", k, n, max_size, n / max(k, 1), nprobe,

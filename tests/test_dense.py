@@ -434,3 +434,35 @@ def test_dense_ivf_invalid_combos(tmpdir_as_cache, tmp_path):
         _make({"clusters": 2, "shards": 2}).query_from_file(topicsfn, tmp_path / "a")
     with pytest.raises(ConfigError):
         _make({"clusters": 2, "hbmbudget": 0}).query_from_file(topicsfn, tmp_path / "b")
+
+
+def test_dense_ivf_layout_disk_cache(tmpdir_as_cache, tmp_path, monkeypatch):
+    """The trained IVF layout (centroids + assignment) is disk-cached: a fresh
+    searcher with the same config restores it without retraining k-means
+    (serving restarts skip Lloyd's), and the restored engine gives identical
+    results."""
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n")
+
+    first = _make({"clusters": 2, "nprobe": 1})
+    run_a = Searcher.load_trec_run(next(p for p in first.query_from_file(topicsfn, tmp_path / "a").iterdir()
+                                        if p.name != "done"))
+    cache_fn = first._ivf_cache_file()
+    assert cache_fn.exists()
+
+    import capreolus_tpu.searcher.dense as dense_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("k-means must not retrain when the layout cache exists")
+
+    monkeypatch.setattr(dense_mod, "spherical_kmeans", boom, raising=False)
+    # spherical_kmeans is imported inside _ivf_topk; patch the source module
+    import capreolus_tpu.searcher.ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "spherical_kmeans", boom)
+    second = _make({"clusters": 2, "nprobe": 1})
+    run_b = Searcher.load_trec_run(next(p for p in second.query_from_file(topicsfn, tmp_path / "b").iterdir()
+                                        if p.name != "done"))
+    assert run_b == run_a
+    # different clusters config -> different cache key
+    assert _make({"clusters": 3, "nprobe": 1})._ivf_cache_file() != cache_fn
