@@ -219,6 +219,12 @@ class RerankingService(RetrievalService):
         self.topn = topn
         self._collate = collate
         self._keys = ARRAY_KEYS
+        # a fresh serving process has never run a training pipeline: build the
+        # extractor state (vocab/embeddings, doc token cache) over the corpus
+        # BEFORE the model (embedding-based models size their tables from it).
+        # Live-query terms absent from the corpus vocabulary map to the OOV id.
+        if not getattr(reranker.extractor, "_preprocessed", False):
+            reranker.extractor.preprocess([], list(index.data.docid_strings), {})
         reranker.build_model()
         # template params + restore trained weights
         self._params = None

@@ -239,24 +239,56 @@ def main(argv: Optional[List[str]] = None):
     p = argparse.ArgumentParser(description="capreolus_tpu retrieval HTTP server")
     p.add_argument("--collection", default="dummy")
     p.add_argument("--collection-path", default=None)
-    p.add_argument("--backend", choices=["sparse", "dense", "colbert"], default="sparse")
+    p.add_argument("--backend", choices=["sparse", "dense", "colbert", "rerank"],
+                   default="sparse")
     p.add_argument("--model", default="bm25", help="sparse scoring model")
+    p.add_argument("--config", default="", help="dotted k=v searcher/reranker config "
+                   "string, e.g. 'clusters=1024 nprobe=16' (dense/colbert) or "
+                   "'reranker.name=KNRM reranker.extractor.embeddings=glove6b' (rerank)")
+    p.add_argument("--checkpoint", default=None,
+                   help="trained reranker checkpoint (required for --backend rerank)")
+    p.add_argument("--topn", type=int, default=100,
+                   help="first-stage candidates fed to the reranker (rerank backend)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
 
+    from capreolus_tpu.core.config import config_string_to_dict
     from capreolus_tpu.serving import (ColbertRetrievalService, DenseRetrievalService,
-                                       RetrievalService)
+                                       RerankingService, RetrievalService)
 
+    cfg = config_string_to_dict(args.config) if args.config else {}
     if args.backend == "dense":
         service = DenseRetrievalService.from_config(
-            collection=args.collection, collection_path=args.collection_path)
+            collection=args.collection, collection_path=args.collection_path, **cfg)
     elif args.backend == "colbert":
         service = ColbertRetrievalService.from_config(
-            collection=args.collection, collection_path=args.collection_path)
+            collection=args.collection, collection_path=args.collection_path, **cfg)
+    elif args.backend == "rerank":
+        if not args.checkpoint:
+            p.error("--backend rerank requires --checkpoint")
+        import capreolus_tpu
+
+        capreolus_tpu.load_all_modules()
+        from capreolus_tpu.reranker import Reranker
+
+        rcfg = dict(cfg.get("reranker", {}))
+        name = rcfg.pop("name", "KNRM")
+        ext = dict(rcfg.pop("extractor", {}))
+        idx = dict(ext.pop("index", {}))
+        coll = dict(idx.pop("collection", {}))
+        coll.setdefault("name", args.collection)
+        if args.collection_path:
+            coll.setdefault("path", args.collection_path)
+        ext["index"] = {**idx, "collection": coll}
+        rcfg["extractor"] = ext
+        reranker = Reranker.create(name, rcfg)
+        service = RerankingService(reranker.extractor.index, reranker,
+                                   args.checkpoint, topn=args.topn, model=args.model)
     else:
         service = RetrievalService.from_config(
-            collection=args.collection, collection_path=args.collection_path, model=args.model)
+            collection=args.collection, collection_path=args.collection_path,
+            model=args.model, **cfg)
     server = make_server(service, host=args.host, port=args.port)
     logger.info("serving %s retrieval on http://%s:%d", args.backend, *server.server_address)
     try:

@@ -255,3 +255,36 @@ def test_http_stats_endpoint(tmpdir_as_cache):
         server.shutdown()
         server.server_close()
         server.batcher.close()
+
+
+def test_reranking_service_fresh_process(tmpdir_as_cache, tmp_path):
+    """Serving from a FRESH process (no training pipeline ran): the service
+    preprocesses the extractor over the corpus itself, restores the trained
+    checkpoint, and serves retrieve-then-rerank."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.reranker import Reranker
+    from capreolus_tpu.sampler import Sampler
+    from capreolus_tpu.serving import RerankingService
+
+    cfg = {"extractor": {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 16,
+                         "index": {"collection": {"name": "dummy"}}},
+           "trainer": {"niters": 1, "itersize": 8, "batch": 4}}
+    reranker = Reranker.create("KNRM", cfg)
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}, "302": {"D002": 2.0, "D001": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                           benchmark.qrels, metric="map")
+
+    # a brand-new reranker instance = new-process simulation (no preprocess ran)
+    fresh = Reranker.create("KNRM", cfg)
+    assert not getattr(fresh.extractor, "_preprocessed", False)
+    svc = RerankingService(fresh.extractor.index, fresh, tmp_path / "t" / "dev.best", topn=3)
+    results = svc.search(["distant galaxies telescope"], k=3)
+    assert len(results) == 1 and len(results[0]) >= 1
+    assert {d for d, _ in results[0]} <= {"D001", "D002", "D003"}
