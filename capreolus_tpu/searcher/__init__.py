@@ -51,7 +51,9 @@ class Searcher(ModuleBase):
         import tempfile
         from pathlib import Path
 
-        self.index.create_index()
+        index = getattr(self, "index", None)
+        if index is not None:  # composite searchers (fusion) own no index
+            index.create_index()
         with tempfile.TemporaryDirectory() as tmpdir:
             topicsfn = Path(tmpdir) / "topic.tsv"
             topicsfn.write_text(f"q1\t{query_string}\n")
@@ -60,7 +62,9 @@ class Searcher(ModuleBase):
 
             runs = {}
             for fn in sorted(os.listdir(results_dir)):
-                if fn == "done":
+                # skip the done marker and any sub-searcher output directories
+                # (composite searchers like fusion nest their children's runs)
+                if fn == "done" or not (results_dir / fn).is_file():
                     continue
                 run = load_trec_run(results_dir / fn)
                 runs[fn] = run.get("q1", {})

@@ -32,6 +32,9 @@ CONFIG_OVERRIDES = {
     "BM25PRF": {"fbDocs": [2], "fbTerms": [3]},
     "axiomatic": {"r": [2], "n": [2]},
     "SDM": {"index": {"storepositions": True, "collection": {"name": "dummy"}}},
+    "fusion": {"searcher1": {"index": {"collection": {"name": "dummy"}}},
+               "searcher2": {"maxdoclen": 32, "maxqlen": 8, "batch": 4,
+                             "index": {"collection": {"name": "dummy"}}}},
 }
 
 STATIC = {"bm25staticcds", "bm25staticgenomics", "rm3staticcore18title",
@@ -55,7 +58,8 @@ def test_searcher_end_to_end(tmpdir_as_cache, tmp_path, name):
         searcher.index.create_index()
     searcher.query_from_file(topicsfn, outdir)
 
-    runs = [fn for fn in sorted(outdir.iterdir()) if fn.name != "done"]
+    # composite searchers (fusion) nest their sub-searchers' output dirs
+    runs = [fn for fn in sorted(outdir.iterdir()) if fn.name != "done" and fn.is_file()]
     assert runs, f"{name} produced no run files"
     run = Searcher.load_trec_run(runs[0])
     assert len(run) >= 1
