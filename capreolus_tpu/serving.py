@@ -206,6 +206,47 @@ class ColbertRetrievalService(_EmbeddingRetrievalService):
         return q_emb
 
 
+class HybridRetrievalService:
+    """Serving-level hybrid retrieval: fuse two warm services' rankings per
+    query (reciprocal rank fusion by default — searcher/fusion.py math over
+    live hit lists instead of run files). The canonical pairing is a sparse
+    RetrievalService + a DenseRetrievalService; any two services with the
+    ``search(queries, k) -> [[(docid, score)]]`` contract compose."""
+
+    def __init__(self, service1, service2, method: str = "rrf", k_rrf: int = 60,
+                 alpha: float = 0.5, depth: int = 100):
+        from capreolus_tpu.core import ConfigError
+
+        if method not in ("rrf", "interp"):
+            raise ConfigError(f"hybrid method must be 'rrf' or 'interp', got {method!r}")
+        self.services = (service1, service2)
+        self.method = method
+        self.k_rrf = int(k_rrf)
+        self.alpha = float(alpha)
+        self.depth = int(depth)  # per-service candidate depth before fusion
+        self.batch_size = min(getattr(service1, "batch_size", 64),
+                              getattr(service2, "batch_size", 64))
+        self._docids = getattr(service1, "_docids", [])  # /health corpus_size
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        from capreolus_tpu.searcher.fusion import interp_fuse, rrf_fuse
+
+        depth = max(self.depth, k)
+        runs = []
+        for svc in self.services:
+            hits = svc.search(queries, k=depth)
+            runs.append({str(i): dict(h) for i, h in enumerate(hits)})
+        if self.method == "rrf":
+            fused = rrf_fuse(runs, k=self.k_rrf, hits=k)
+        else:
+            fused = interp_fuse(runs[0], runs[1], alpha=self.alpha, hits=k)
+        return [sorted(fused.get(str(i), {}).items(), key=lambda kv: (-kv[1], kv[0]))
+                for i in range(len(queries))]
+
+    def get_document(self, docid: str) -> Optional[str]:
+        return self.services[0].get_document(docid)
+
+
 class RerankingService(RetrievalService):
     """Retrieve-then-rerank serving: first-stage engine + a trained reranker."""
 

@@ -239,7 +239,7 @@ def main(argv: Optional[List[str]] = None):
     p = argparse.ArgumentParser(description="capreolus_tpu retrieval HTTP server")
     p.add_argument("--collection", default="dummy")
     p.add_argument("--collection-path", default=None)
-    p.add_argument("--backend", choices=["sparse", "dense", "colbert", "rerank"],
+    p.add_argument("--backend", choices=["sparse", "dense", "colbert", "rerank", "hybrid"],
                    default="sparse")
     p.add_argument("--model", default="bm25", help="sparse scoring model")
     p.add_argument("--config", default="", help="dotted k=v searcher/reranker config "
@@ -258,7 +258,19 @@ def main(argv: Optional[List[str]] = None):
                                        RerankingService, RetrievalService)
 
     cfg = config_string_to_dict(args.config) if args.config else {}
-    if args.backend == "dense":
+    if args.backend == "hybrid":
+        # sparse + dense fused per query (RRF); --config keys address the
+        # dense leg (e.g. "clusters=1024 nprobe=16 method=interp alpha=0.7")
+        from capreolus_tpu.serving import HybridRetrievalService
+
+        method = cfg.pop("method", "rrf")
+        alpha = float(cfg.pop("alpha", 0.5))
+        sparse = RetrievalService.from_config(
+            collection=args.collection, collection_path=args.collection_path, model=args.model)
+        dense = DenseRetrievalService.from_config(
+            collection=args.collection, collection_path=args.collection_path, **cfg)
+        service = HybridRetrievalService(sparse, dense, method=method, alpha=alpha)
+    elif args.backend == "dense":
         service = DenseRetrievalService.from_config(
             collection=args.collection, collection_path=args.collection_path, **cfg)
     elif args.backend == "colbert":

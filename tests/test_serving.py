@@ -288,3 +288,30 @@ def test_reranking_service_fresh_process(tmpdir_as_cache, tmp_path):
     results = svc.search(["distant galaxies telescope"], k=3)
     assert len(results) == 1 and len(results[0]) >= 1
     assert {d for d, _ in results[0]} <= {"D001", "D002", "D003"}
+
+
+def test_hybrid_retrieval_service(tmpdir_as_cache):
+    """Serving-level sparse+dense fusion matches the fusion searcher's math on
+    the same hit lists."""
+    from capreolus_tpu.searcher.fusion import rrf_fuse
+    from capreolus_tpu.serving import (DenseRetrievalService, HybridRetrievalService,
+                                       RetrievalService)
+
+    sparse = RetrievalService.from_config(collection="dummy")
+    dense = DenseRetrievalService.from_config(collection="dummy", pretrained="tiny",
+                                              maxdoclen=32, maxqlen=8, batch=4)
+    hybrid = HybridRetrievalService(sparse, dense, depth=3)
+    queries = ["galaxies collide", "whales ocean"]
+    fused = hybrid.search(queries, k=3)
+
+    r1 = {str(i): dict(h) for i, h in enumerate(sparse.search(queries, k=3))}
+    r2 = {str(i): dict(h) for i, h in enumerate(dense.search(queries, k=3))}
+    expected = rrf_fuse([r1, r2], k=60, hits=3)
+    for i in range(2):
+        assert dict(fused[i]) == pytest.approx(expected[str(i)])
+    assert hybrid.get_document(fused[0][0][0])
+
+    from capreolus_tpu.core import ConfigError
+
+    with pytest.raises(ConfigError):
+        HybridRetrievalService(sparse, dense, method="zzz")
