@@ -11,7 +11,10 @@ from-scratch build path designed for TPU consumption (BASELINE.json north star):
 Artifacts written to the cache path:
   index/vocab.txt        one term per line (line number = term id)
   index/docids.txt       external docid per internal doc ordinal
-  index/postings.npz     CSR postings + stats (see _save_artifacts)
+  index/postings.npz     CSR offsets + stats + prune tables (see _save_artifacts)
+  index/postings_*.npy   the O(postings) arrays (doc_ids, tfs, fwd_*) as raw .npy,
+                         memory-mapped at load (index.mmap, default True): the
+                         index is DISK-resident like Lucene's
   index/docs.bin         concatenated utf-8 contents
   index/doc_spans.npy    int64 [N, 2] byte spans into docs.bin per internal ordinal
 """
@@ -34,7 +37,7 @@ logger = get_logger(__name__)
 # postings layout version: bump when the canonical on-disk sort order or the
 # pruning side-tables change; loaders rebuild stale caches automatically
 # (v3: doc_spans.npy replaces cumulative doc_offsets; optional docid reordering)
-LAYOUT_VERSION = 3
+LAYOUT_VERSION = 4  # v4: postings-sized arrays moved to raw .npy for mmap (disk-resident index)
 
 
 def reorder_doc_ids(term_ids, doc_ords, num_docs, num_terms):
@@ -238,7 +241,11 @@ class TpuIndex(Index):
                      "bisection, Dhulipala et al. 2016 — restores block-max prunability on "
                      "shuffled corpora, index/reorder.py). External docids and scores are "
                      "unchanged; score-tie ORDER follows internal ids, like Lucene's"),
+        ConfigOption("mmap", True, "memory-map the postings arrays (disk-resident index like "
+                     "Lucene's: host RAM stops being a corpus-size bound; the OS page cache "
+                     "keeps hot terms resident). False loads them into RAM"),
     ]
+    config_keys_not_in_path = ["mmap"]  # identical artifacts either way
 
     def _analyzer(self):
         return get_analyzer(stemmer=self.config["stemmer"], keep_stopwords=self.config["indexstops"])
@@ -401,17 +408,21 @@ class TpuIndex(Index):
         terms_by_id = sorted(vocab, key=vocab.get)
         (index_path / "vocab.txt").write_text("\n".join(terms_by_id), encoding="utf-8")
         (index_path / "docids.txt").write_text("\n".join(docid_strings), encoding="utf-8")
+        # the O(postings) arrays live OUTSIDE the npz as raw .npy so they can
+        # be memory-mapped at load (np.load cannot mmap npz members): the index
+        # is then DISK-resident like Lucene's, with the OS page cache keeping
+        # hot terms in RAM — host RAM stops being a corpus-size bound
+        np.save(index_path / "postings_doc_ids.npy", doc_ids)
+        np.save(index_path / "postings_tfs.npy", tfs)
+        np.save(index_path / "postings_fwd_term_ids.npy", fwd_term_ids)
+        np.save(index_path / "postings_fwd_tfs.npy", fwd_tfs)
         np.savez(
             index_path / "postings.npz",
             layout_version=np.int64(LAYOUT_VERSION),
             term_offsets=term_offsets,
-            doc_ids=doc_ids,
-            tfs=tfs,
             doclens=doclens,
             norm_doclens=norm_doclens,
             fwd_offsets=fwd_offsets,
-            fwd_term_ids=fwd_term_ids,
-            fwd_tfs=fwd_tfs,
             **{f"pt_{k}": v for k, v in prune_tables.items()},
         )
 
@@ -436,17 +447,21 @@ class TpuIndex(Index):
             npz = np.load(index_path / "postings.npz")
         vocab_list = (index_path / "vocab.txt").read_text(encoding="utf-8").splitlines()
         docid_strings = (index_path / "docids.txt").read_text(encoding="utf-8").splitlines()
+        # the postings-sized arrays are memory-mapped (read-only): the index is
+        # disk-resident like Lucene's; every consumer copies slices, never
+        # mutates (scoring tile builders, sharded partitioner, RM3 feedback)
+        mmap_mode = "r" if bool(self.config.get("mmap", True)) else None
         self._data = IndexData(
             term_offsets=npz["term_offsets"],
-            doc_ids=npz["doc_ids"],
-            tfs=npz["tfs"],
+            doc_ids=np.load(index_path / "postings_doc_ids.npy", mmap_mode=mmap_mode),
+            tfs=np.load(index_path / "postings_tfs.npy", mmap_mode=mmap_mode),
             doclens=npz["doclens"],
             norm_doclens=npz["norm_doclens"],
             docid_strings=docid_strings,
             vocab={t: i for i, t in enumerate(vocab_list)},
             fwd_offsets=npz["fwd_offsets"],
-            fwd_term_ids=npz["fwd_term_ids"],
-            fwd_tfs=npz["fwd_tfs"],
+            fwd_term_ids=np.load(index_path / "postings_fwd_term_ids.npy", mmap_mode=mmap_mode),
+            fwd_tfs=np.load(index_path / "postings_fwd_tfs.npy", mmap_mode=mmap_mode),
             prune_tables={k[3:]: npz[k] for k in npz.files if k.startswith("pt_")} or None,
         )
         self._docid_to_ord = {d: i for i, d in enumerate(docid_strings)}

@@ -217,3 +217,23 @@ def test_sdm_bm25_window_semantics(tmpdir_as_cache, tmp_path):
                                   "index": {"storepositions": True, "collection": {"name": "dummy"}}})
     runs_qld = _search(qld, [("1", "distant galaxies")], tmp_path / "qld")
     assert any("mu-" in tag for tag in runs_qld)
+
+
+def test_postings_mmap_disk_resident(tmpdir_as_cache):
+    """Postings arrays are memory-mapped by default (disk-resident index like
+    Lucene's); mmap=False loads them to RAM with identical content, and the
+    option does not change the cache path (results-invariant)."""
+    import numpy as np
+
+    from capreolus_tpu.index import Index
+
+    idx = Index.create("tpu", {"collection": {"name": "dummy"}})
+    idx.create_index()
+    assert isinstance(idx.data.doc_ids, np.memmap)
+    assert isinstance(idx.data.tfs, np.memmap)
+
+    ram = Index.create("tpu", {"mmap": False, "collection": {"name": "dummy"}})
+    assert not isinstance(ram.data.doc_ids, np.memmap)
+    np.testing.assert_array_equal(np.asarray(idx.data.doc_ids), ram.data.doc_ids)
+    np.testing.assert_array_equal(np.asarray(idx.data.tfs), ram.data.tfs)
+    assert idx.get_index_path() == ram.get_index_path()
