@@ -58,6 +58,84 @@ def quantize_rows_jnp(emb):
     return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
 
+def quantize_rows_int4(emb: np.ndarray, slab_rows: int = 65536):
+    """[N, D] float -> (uint8 [N, ceil(D/2)] packed nibble pairs, f32 [N] scales).
+
+    Symmetric to [-7, 7]: scale = amax(|row|)/7. Two's-complement nibbles, low
+    nibble = even dims, high nibble = odd dims; odd D is zero-padded (zero dims
+    contribute nothing to the dot product, so scores are unaffected). A packed
+    corpus is HALF the int8 bytes — 4x the rows per HBM byte vs bf16, and half
+    the host->device stream on the transfer-bound hbmbudget path.
+    """
+    emb = np.asarray(emb)
+    n, d = emb.shape[0], emb.shape[-1]
+    d_pad = d + (d % 2)
+    out = np.empty((n, d_pad // 2), np.uint8)
+    scale = np.empty((n,), np.float32)
+    for s0 in range(0, max(n, 1), slab_rows):
+        slab = np.asarray(emb[s0 : s0 + slab_rows], dtype=np.float32)
+        amax = np.max(np.abs(slab), axis=1) if slab.size else np.zeros((0,))
+        sc = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(slab / sc[:, None]), -7, 7).astype(np.int8)
+        if d % 2:
+            q = np.concatenate([q, np.zeros((len(q), 1), np.int8)], axis=1)
+        lo = (q[:, 0::2].astype(np.uint8)) & 0xF
+        hi = (q[:, 1::2].astype(np.uint8)) & 0xF
+        out[s0 : s0 + slab_rows] = lo | (hi << 4)
+        scale[s0 : s0 + slab_rows] = sc
+    return out, scale
+
+
+def unpack_int4_jnp(packed):
+    """uint8 [..., P] packed nibbles -> int8 [..., 2P] (device, inside jit)."""
+    import jax.numpy as jnp
+
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def int4_mips_scores(q_emb, docs_p4, dscale, row_chunk: int = 131072):
+    """[Q, D] float queries x ([N, P] packed int4, [N] f32) docs -> [Q, N] f32.
+
+    Queries quantize to int8 (activations keep 8 bits; only the STORED corpus
+    is 4-bit), documents unpack to int8 chunk-by-chunk inside a lax.map so the
+    transient int8 corpus never materializes wholesale (peak device memory =
+    packed corpus + one chunk + the score matrix). int8 x int8 contraction on
+    the MXU double-rate path, int32 accumulation, rank-1 dequantization — the
+    same exact-factoring scheme as int8_mips_scores.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    q_i8, qscale = quantize_rows_jnp(q_emb)
+    d_up = docs_p4.shape[-1] * 2
+    if q_i8.shape[-1] < d_up:  # odd-D corpora are zero-padded at pack time
+        q_i8 = jnp.pad(q_i8, ((0, 0), (0, d_up - q_i8.shape[-1])))
+    n = docs_p4.shape[0]
+    if n <= row_chunk:
+        iscores = jnp.einsum("qd,nd->qn", q_i8, unpack_int4_jnp(docs_p4),
+                             preferred_element_type=jnp.int32)
+        return iscores.astype(jnp.float32) * qscale[:, None] * dscale[None, :]
+    pad = (-n) % row_chunk
+    dp = jnp.pad(docs_p4, ((0, pad), (0, 0)))
+    sp = jnp.pad(dscale, (0, pad))
+    nch = (n + pad) // row_chunk
+
+    def score_chunk(args):
+        p, s = args
+        isc = jnp.einsum("qd,nd->qn", q_i8, unpack_int4_jnp(p),
+                         preferred_element_type=jnp.int32)
+        return isc.astype(jnp.float32) * s[None, :]
+
+    scores = jax.lax.map(score_chunk, (dp.reshape(nch, row_chunk, -1),
+                                       sp.reshape(nch, row_chunk)))
+    out = jnp.moveaxis(scores, 0, 1).reshape(q_emb.shape[0], -1)[:, :n]
+    return out * qscale[:, None]
+
+
 def int8_mips_scores(q_emb, docs_i8, dscale):
     """[Q, D] float queries x ([N, D] int8, [N] f32) docs -> [Q, N] f32 scores.
 

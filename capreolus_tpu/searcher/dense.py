@@ -34,18 +34,23 @@ class _HostCorpus:
     numpy arrays — bf16 via ml_dtypes, or int8 + f32 per-doc scales — uploaded
     chunk-by-chunk per query batch with a running on-device top-k merge."""
 
-    def __init__(self, emb, scale=None):
+    def __init__(self, emb, scale=None, packed4=False):
         self.emb, self.scale = emb, scale
+        self.packed4 = packed4  # emb is uint8 packed-int4 nibble pairs
         self.n = emb.shape[0]
 
 
 def _dense_scores(q_emb, docs):
-    """[Q, D] float queries x corpus -> [Q, N] f32 scores. The corpus is either
-    the bf16 [N, D] matrix or, with searcher.quantize=int8, the
-    {"emb": int8 [N, D], "scale": f32 [N]} pair (ops/quantization.py)."""
+    """[Q, D] float queries x corpus -> [Q, N] f32 scores. The corpus is the
+    bf16 [N, D] matrix, the int8 {"emb", "scale"} pair, or the packed-int4
+    {"emb4": uint8 [N, D/2], "scale": f32 [N]} pair (ops/quantization.py)."""
     import jax.numpy as jnp
 
     if isinstance(docs, dict):
+        if "emb4" in docs:
+            from capreolus_tpu.ops.quantization import int4_mips_scores
+
+            return int4_mips_scores(q_emb, docs["emb4"], docs["scale"])
         from capreolus_tpu.ops.quantization import int8_mips_scores
 
         return int8_mips_scores(q_emb, docs["emb"], docs["scale"])
@@ -79,9 +84,12 @@ class DenseSearcher(Searcher):
                      "TPU-accelerated partial reduction (measured 14x faster at recall@10 = 1.0, "
                      "recall@1000 = 0.98 on 200k docs - PERF.md)"),
         ConfigOption("recalltarget", 0.95, "approx_max_k per-operation recall target (topkmode=approx)"),
-        ConfigOption("quantize", "none", "corpus-embedding quantization: none (bf16) or int8 "
+        ConfigOption("quantize", "none", "corpus-embedding quantization: none (bf16), int8 "
                      "(per-doc symmetric scales; int8 MXU matmul at double rate, half the HBM "
-                     "per corpus — ops/quantization.py, top-k overlap referee'd in tests)"),
+                     "per corpus — ops/quantization.py, top-k overlap referee'd in tests), or "
+                     "int4 (packed nibble pairs: 4x the rows per HBM byte vs bf16 and half the "
+                     "host stream vs int8; docs unpack to int8 chunk-wise on device — the "
+                     "capacity tier, single-chip exact/streamed engines)"),
         ConfigOption("hbmbudget", 12000.0, "HBM budget (MB) for the resident embedding matrix; "
                      "corpora above it stream host-resident chunks through the device with a "
                      "running on-device top-k merge (the dense analogue of the sparse engine's "
@@ -92,6 +100,11 @@ class DenseSearcher(Searcher):
                      "tests. nprobe=clusters is exactly brute force"),
         ConfigOption("nprobe", 8, "IVF cells probed per query (clusters>0)"),
         ConfigOption("kmeansiters", 10, "Lloyd iterations for IVF cell training"),
+        ConfigOption("rescore", 200, "quantize=int4 two-stage depth: the packed engine "
+                     "retrieves this many candidates and a full-precision host rescore "
+                     "from the memory-mapped embedding cache restores the exact ranking "
+                     "(candidate recall 1.0 at depth 100 measured — tests). 0 = raw int4 "
+                     "scores (candidate-generation only)", value_type="int"),
     ]
     config_keys_not_in_path = ["batch", "shards", "hbmbudget"]  # none changes results
     # (hbmbudget: streamed-vs-resident equality pinned in tests/test_dense.py)
@@ -103,8 +116,9 @@ class DenseSearcher(Searcher):
             raise ConfigError(f"dense pooling must be 'mean' or 'cls', got {self.config['pooling']!r}")
         if self.config["topkmode"] not in ("exact", "approx"):
             raise ConfigError(f"dense topkmode must be 'exact' or 'approx', got {self.config['topkmode']!r}")
-        if self.config["quantize"] not in (None, "none", "int8"):  # "none" casts to None
-            raise ConfigError(f"dense quantize must be 'none' or 'int8', got {self.config['quantize']!r}")
+        if self.config["quantize"] not in (None, "none", "int8", "int4"):  # "none" casts to None
+            raise ConfigError(f"dense quantize must be 'none', 'int8', or 'int4', "
+                              f"got {self.config['quantize']!r}")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
@@ -229,21 +243,29 @@ class DenseSearcher(Searcher):
                 pass  # a concurrent process won the race with identical content
         import jax.numpy as jnp
 
-        quantized = self.config.get("quantize", "none") == "int8"
+        qmode = self.config.get("quantize", "none") or "none"
         n, d = emb.shape
-        dev_bytes = n * d * (1 if quantized else 2) + (4 * n if quantized else 0)
+        bytes_per_row = {"int8": d + 4, "int4": (d + d % 2) // 2 + 4}.get(qmode, 2 * d)
+        dev_bytes = n * bytes_per_row
         budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
-        if quantized:
+        if qmode in ("int8", "int4"):
             # quantization is a search-time representation: the disk cache keeps
             # full-precision embeddings (shared with quantize=none runs) and the
-            # int8 corpus + per-doc scales are derived at load
-            from capreolus_tpu.ops.quantization import quantize_rows
+            # int8/int4 corpus + per-doc scales are derived at load
+            from capreolus_tpu.ops.quantization import quantize_rows, quantize_rows_int4
 
-            q, scale = quantize_rows(emb)
-            if dev_bytes > budget_bytes:
-                self._docs_emb = _HostCorpus(q, scale)
+            if qmode == "int4":
+                q, scale = quantize_rows_int4(emb)
+                if dev_bytes > budget_bytes:
+                    self._docs_emb = _HostCorpus(q, scale, packed4=True)
+                else:
+                    self._docs_emb = {"emb4": jnp.asarray(q), "scale": jnp.asarray(scale)}
             else:
-                self._docs_emb = {"emb": jnp.asarray(q), "scale": jnp.asarray(scale)}
+                q, scale = quantize_rows(emb)
+                if dev_bytes > budget_bytes:
+                    self._docs_emb = _HostCorpus(q, scale)
+                else:
+                    self._docs_emb = {"emb": jnp.asarray(q), "scale": jnp.asarray(scale)}
         elif dev_bytes > budget_bytes:
             import ml_dtypes
 
@@ -289,13 +311,26 @@ class DenseSearcher(Searcher):
             return topk, meta, n_corpus
 
         docs = self._doc_matrix()
-        n_corpus = docs.n if isinstance(docs, _HostCorpus) else \
-            (docs["emb"].shape[0] if isinstance(docs, dict) else docs.shape[0])
+        if isinstance(docs, _HostCorpus):
+            n_corpus = docs.n
+        elif isinstance(docs, dict):
+            n_corpus = docs.get("emb", docs.get("emb4")).shape[0]
+        else:
+            n_corpus = docs.shape[0]
         hits = min(int(hits), n_corpus)
 
         shards = int(self.config.get("shards", 1))
         clusters = int(self.config.get("clusters", 0) or 0)
-        select = self._topk_fn(hits)
+        # int4 is a CANDIDATE-GENERATION tier: 4-bit rounding blurs the fine
+        # top-10 order but holds the true top-k inside a modest candidate pool
+        # (depth-100 recall 1.0 measured on clustered corpora) — so the engine
+        # retrieves `rescore` candidates and a host rescoring pass restores the
+        # exact full-precision ranking from the memory-mapped embedding cache
+        int4 = (isinstance(docs, dict) and "emb4" in docs) or \
+            (isinstance(docs, _HostCorpus) and docs.packed4)
+        rescore = int(self.config.get("rescore", 200) or 0) if int4 else 0
+        engine_hits = min(max(rescore, hits), n_corpus) if rescore else hits
+        select = self._topk_fn(engine_hits)
         if isinstance(docs, _HostCorpus):
             from capreolus_tpu.core import ConfigError
 
@@ -306,23 +341,58 @@ class DenseSearcher(Searcher):
                 raise ConfigError("searcher.clusters (IVF) needs the corpus HBM-resident; raise "
                                   "hbmbudget or drop clusters (streaming is already FLOP-bounded "
                                   "per chunk)")
-            topk = self._streamed_topk(docs, hits)
+            topk = self._streamed_topk(docs, engine_hits)
         elif clusters > 0:
             from capreolus_tpu.core import ConfigError
 
             if shards > 1:
                 raise ConfigError("searcher.clusters (IVF) cannot be combined with shards>1 yet")
+            if isinstance(docs, dict) and "emb4" in docs:
+                raise ConfigError("searcher.clusters (IVF) supports quantize=none/int8; "
+                                  "int4 is the capacity tier — use it with the exact or "
+                                  "streamed engines")
             topk, docs = self._ivf_topk(docs, n_corpus, hits,
                                         cache_file=self._ivf_cache_file())
             self._ivf_engine = (requested_hits, topk, docs, n_corpus)
         elif shards > 1:
+            if isinstance(docs, dict) and "emb4" in docs:
+                from capreolus_tpu.core import ConfigError
+
+                raise ConfigError("searcher.shards supports quantize=none/int8; int4 is the "
+                                  "single-chip capacity tier (exact or streamed engines)")
             topk, docs = self._sharded_topk(docs, hits, shards)
         else:
             @jax.jit
             def topk(q_emb, docs):
                 return select(_dense_scores(q_emb, docs))
 
+        if rescore:
+            topk = self._rescore_wrap(topk, n_corpus, hits)
         return topk, docs, n_corpus
+
+    def _rescore_wrap(self, base_topk, n, hits):
+        """Two-stage int4 search: the packed engine generates candidates; this
+        wrapper re-scores them at full precision from the memory-mapped disk
+        embedding cache (a tiny [Q, rescore]-row gather + host BLAS) and
+        returns the exact ranking whenever the true top-k is inside the
+        candidate pool (recall referee'd in tests/test_dense.py)."""
+        emb_mm = np.load(self._doc_cache_file(), mmap_mode="r")
+
+        def topk(q_emb, docs):
+            s, o = base_topk(q_emb, docs)
+            s, o = np.asarray(s), np.asarray(o)
+            qf = np.asarray(q_emb, np.float32)
+            valid = np.isfinite(s) & (o < n)
+            safe = np.where(valid, o, 0)
+            cand = np.asarray(emb_mm[safe.reshape(-1)], np.float32)
+            cand = cand.reshape(o.shape[0], o.shape[1], -1)
+            exact = np.einsum("qd,qrd->qr", qf, cand)
+            exact = np.where(valid, exact, -np.inf)
+            k = min(hits, exact.shape[1])
+            idx = np.argsort(-exact, kind="stable", axis=1)[:, :k]
+            return np.take_along_axis(exact, idx, 1), np.take_along_axis(o, idx, 1)
+
+        return topk
 
     def _search_all(self, topicsfn, output_path):
         import jax.numpy as jnp
@@ -395,7 +465,8 @@ class DenseSearcher(Searcher):
         def make_chunk(start):
             cd = jnp.asarray(pad_rows(host.emb[start : start + chunk], chunk))
             if host.scale is not None:
-                cd = {"emb": cd,
+                key = "emb4" if host.packed4 else "emb"
+                cd = {key: cd,
                       "scale": jnp.asarray(pad_rows(host.scale[start : start + chunk], chunk, fill=1))}
             return cd
 

@@ -279,7 +279,7 @@ def test_dense_quantize_validation(tmpdir_as_cache):
     from capreolus_tpu.core import ConfigError
 
     with pytest.raises(ConfigError):
-        _make({"quantize": "int4"})
+        _make({"quantize": "int2"})
 
 
 def test_dense_streaming_matches_resident(tmpdir_as_cache, tmp_path):
@@ -466,3 +466,75 @@ def test_dense_ivf_layout_disk_cache(tmpdir_as_cache, tmp_path, monkeypatch):
     assert run_b == run_a
     # different clusters config -> different cache key
     assert _make({"clusters": 3, "nprobe": 1})._ivf_cache_file() != cache_fn
+
+
+# ------------------------------------------------------------------ int4
+def test_dense_int4_end_to_end_and_streamed_equality(tmpdir_as_cache, tmp_path):
+    """quantize=int4 searches end-to-end; the streamed (hbmbudget=0) int4
+    engine returns exactly the resident int4 results (same rounding grid)."""
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n302\twhales ocean\n")
+
+    resident = _make({"quantize": "int4"})
+    run_r = Searcher.load_trec_run(next(p for p in resident.query_from_file(topicsfn, tmp_path / "r").iterdir()
+                                        if p.name != "done"))
+    assert set(run_r) == {"301", "302"} and all(run_r.values())
+
+    streamed = _make({"quantize": "int4", "hbmbudget": 0})
+    from capreolus_tpu.searcher.dense import _HostCorpus
+
+    host = streamed._doc_matrix()
+    assert isinstance(host, _HostCorpus) and host.packed4
+    run_s = Searcher.load_trec_run(next(p for p in streamed.query_from_file(topicsfn, tmp_path / "s").iterdir()
+                                        if p.name != "done"))
+    for qid in run_r:
+        assert set(run_s[qid]) == set(run_r[qid])
+        for d in run_r[qid]:
+            assert run_s[qid][d] == pytest.approx(run_r[qid][d], abs=1e-5)
+
+    # the default rescore depth covers the whole dummy corpus, so the
+    # two-stage ranking must match exact bf16 brute force (f32 rescoring
+    # vs the bf16 matmul: small score tolerance, same order)
+    exact = _make()
+    run_e = Searcher.load_trec_run(next(p for p in exact.query_from_file(topicsfn, tmp_path / "e").iterdir()
+                                        if p.name != "done"))
+    for qid in run_e:
+        assert list(run_r[qid]) == list(run_e[qid])  # same ranking order
+        for d in run_e[qid]:
+            assert run_r[qid][d] == pytest.approx(run_e[qid][d], abs=2e-2)
+
+
+def test_dense_int4_candidate_recall_referee():
+    """int4 is the CANDIDATE-GENERATION tier: 4-bit rounding blurs the fine
+    top-10 order, but the true top-10 must sit inside the default rescore
+    depth (the invariant the two-stage rescoring path relies on) — measured
+    1.0 at depth 100; the referee holds it at >= 0.95."""
+    import jax.numpy as jnp
+
+    from capreolus_tpu.ops.quantization import int4_mips_scores, quantize_rows_int4
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n, dim, topics = 4000, 64, 40
+    centers = rng.standard_normal((topics, dim)).astype(np.float32)
+    docs = centers[rng.integers(0, topics, n)] + 0.25 * rng.standard_normal((n, dim)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries = centers[rng.integers(0, topics, 16)] + 0.25 * rng.standard_normal((16, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    exact_top10 = np.argsort(queries @ docs.T, axis=1)[:, -10:]
+
+    packed, scale = quantize_rows_int4(docs)
+    scores = np.asarray(int4_mips_scores(jnp.asarray(queries), jnp.asarray(packed), jnp.asarray(scale)))
+    cand100 = np.argsort(scores, axis=1)[:, -100:]
+    recall = np.mean([len(set(exact_top10[i]) & set(cand100[i])) / 10.0 for i in range(len(queries))])
+    assert recall >= 0.95, recall
+
+
+def test_dense_int4_invalid_combos(tmpdir_as_cache, tmp_path):
+    from capreolus_tpu.core import ConfigError
+
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tgalaxies\n")
+    with pytest.raises(ConfigError):
+        _make({"quantize": "int4", "shards": 2}).query_from_file(topicsfn, tmp_path / "a")
+    with pytest.raises(ConfigError):
+        _make({"quantize": "int4", "clusters": 2}).query_from_file(topicsfn, tmp_path / "b")

@@ -133,3 +133,48 @@ def test_maxsim_pallas_matches_xla_reference():
     assert np.isneginf(out[:, 4]).all() and np.isneginf(ref[:, 4]).all()
     finite = np.isfinite(ref)
     np.testing.assert_allclose(out[finite], ref[finite], rtol=2e-2, atol=2e-2)
+
+
+# ------------------------------------------------------------------ int4 pack
+def test_int4_pack_unpack_roundtrip():
+    """Nibble packing is lossless for values in [-7, 7], including odd D
+    (zero-padded) and negative values (two's-complement nibbles)."""
+    import jax.numpy as jnp
+
+    from capreolus_tpu.ops.quantization import quantize_rows_int4, unpack_int4_jnp
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    for d in (8, 7, 64):
+        x = rng.standard_normal((50, d)).astype(np.float32)
+        packed, scale = quantize_rows_int4(x)
+        v = np.asarray(unpack_int4_jnp(jnp.asarray(packed)))
+        # referee: re-derive the int grid on the host
+        q = np.clip(np.round(x / scale[:, None]), -7, 7).astype(np.int8)
+        np.testing.assert_array_equal(v[:, :d], q)
+        if d % 2:
+            np.testing.assert_array_equal(v[:, d:], 0)
+        assert np.abs(x - v[:, :d] * scale[:, None]).max() <= scale.max() / 2 + 1e-6
+
+
+def test_int4_mips_scores_exact_factoring():
+    """int4 scores equal the host integer referee exactly (the rank-1 scale
+    factoring is exact; only input rounding approximates), in both the
+    single-shot and the chunked (row_chunk < N) paths."""
+    import jax.numpy as jnp
+
+    from capreolus_tpu.ops.quantization import (int4_mips_scores, quantize_rows_int4,
+                                                quantize_rows_jnp)
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    docs = rng.standard_normal((300, 32)).astype(np.float32)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    packed, dscale = quantize_rows_int4(docs)
+    qi8, qscale = map(np.asarray, quantize_rows_jnp(jnp.asarray(q)))
+    dq = np.clip(np.round(docs / dscale[:, None]), -7, 7)
+    ref = (qi8.astype(np.int64) @ dq.T.astype(np.int64)) * qscale[:, None] * dscale[None, :]
+
+    one = np.asarray(int4_mips_scores(jnp.asarray(q), jnp.asarray(packed), jnp.asarray(dscale)))
+    np.testing.assert_allclose(one, ref, rtol=1e-6)
+    chunked = np.asarray(int4_mips_scores(jnp.asarray(q), jnp.asarray(packed),
+                                          jnp.asarray(dscale), row_chunk=128))
+    np.testing.assert_allclose(chunked, ref, rtol=1e-6)
