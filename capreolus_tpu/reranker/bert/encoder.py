@@ -48,6 +48,13 @@ class BertConfig:
     # active only when the model is applied with train=True and a "dropout" rng
     hidden_dropout_prob: float = 0.1
     attention_dropout_prob: float = 0.1
+    # LoRA (beyond-reference): rank-r adapters on the attention query/value
+    # projections (Hu et al. 2021's standard targets). The BASE weights freeze
+    # (reranker.trainable) so checkpoints shrink to adapters + head, and the
+    # optimizer state is ~1% of full fine-tuning — the production recipe for
+    # fitting large-model fine-tuning in HBM alongside tp/pp/fsdp
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def head_dim(self):
@@ -170,6 +177,24 @@ class MoeFFN(nn.Module):
         return jnp.einsum("ble,bleo->blo", gates.astype(dtype), out)
 
 
+class LoRAAdapter(nn.Module):
+    """Rank-r low-rank delta: x -> (alpha/r) * (x @ A) @ B, A ~ N(0, 0.02),
+    B = 0 (Hu et al. 2021). Added to a frozen base projection's output."""
+
+    features: int
+    rank: int
+    alpha: float
+    dtype: "jnp.dtype" = None
+
+    @nn.compact
+    def __call__(self, x):
+        down = nn.Dense(self.rank, use_bias=False, name="down", dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.02))(x)
+        up = nn.Dense(self.features, use_bias=False, name="up", dtype=self.dtype,
+                      kernel_init=nn.initializers.zeros)(down)
+        return up * (self.alpha / self.rank)
+
+
 class BertSelfAttention(nn.Module):
     config: BertConfig
 
@@ -183,6 +208,13 @@ class BertSelfAttention(nn.Module):
         q = nn.Dense(c.hidden_size, name="query", dtype=dtype)(hidden)
         k = nn.Dense(c.hidden_size, name="key", dtype=dtype)(hidden)
         v = nn.Dense(c.hidden_size, name="value", dtype=dtype)(hidden)
+        if c.lora_rank > 0:
+            # standard LoRA placement (q and v); up-projection starts at zero,
+            # so step 0 is exactly the pretrained model
+            q = q + LoRAAdapter(c.hidden_size, c.lora_rank, c.lora_alpha,
+                                name="query_lora", dtype=dtype)(hidden)
+            v = v + LoRAAdapter(c.hidden_size, c.lora_rank, c.lora_alpha,
+                                name="value_lora", dtype=dtype)(hidden)
 
         def split(x):
             return x.reshape(b, l, c.num_heads, c.head_dim).transpose(0, 2, 1, 3)

@@ -40,6 +40,28 @@ _DROPOUT_OPT = ConfigOption(
     "hidden_dropout_prob", 0.1,
     "dropout probability of the encoder's hidden layers during training (parity: CEDRKNRM.py:199 / HF BertConfig)")
 
+_LORA_OPT = ConfigOption(
+    "lora", 0,
+    "LoRA rank: 0 = full fine-tuning; r > 0 adds rank-r adapters to the attention "
+    "query/value projections, FREEZES the base encoder (checkpoints and optimizer "
+    "state shrink to adapters + head), and starts exactly at the pretrained model "
+    "(zero-init up-projection). Composes with tp/pp/fsdp", value_type="int")
+
+_LORA_ALPHA_OPT = ConfigOption("loraalpha", 16.0, "LoRA scaling alpha (delta = alpha/r * BA x)")
+
+
+def _merge_params(init_tree, pretrained_tree):
+    """Overlay pretrained leaves onto an initialized param tree, KEEPING params
+    that exist only in the model (LoRA adapters; never dropping them the way a
+    wholesale subtree replacement would)."""
+    out = dict(init_tree)
+    for k, v in pretrained_tree.items():
+        if k in out and isinstance(v, dict) and isinstance(out[k], dict):
+            out[k] = _merge_params(out[k], v)
+        else:
+            out[k] = jnp.asarray(v)
+    return out
+
 
 def _fold_rngs(rngs, i):
     """Distinct dropout streams for the pos/neg (or LCE group) forward passes."""
@@ -111,6 +133,10 @@ class BertRerankerBase(Reranker):
             # one knob controls both dropout sites (the reference exposes only
             # hidden_dropout_prob, CEDRKNRM.py:199)
             cfg = _dc.replace(cfg, hidden_dropout_prob=float(hdp), attention_dropout_prob=float(hdp))
+        lora = int(self.config.get("lora", 0) or 0)
+        if lora:
+            cfg = _dc.replace(cfg, lora_rank=lora,
+                              lora_alpha=float(self.config.get("loraalpha", 16.0)))
         moe = int(self.config.get("moeexperts", 0) or 0)
         if moe:
             if self.config.get("quantize", "none") == "int8":
@@ -142,13 +168,24 @@ class BertRerankerBase(Reranker):
             params = jax.tree_util.tree_map(lambda x: x, params)  # copy structure
             flat = params["params"] if "params" in params else params
             if "bert" in flat:
-                flat["bert"] = jax.device_put(
-                    jax.tree_util.tree_map(jnp.asarray, pretrained)
-                )
+                # MERGE by key rather than replacing the subtree: params that
+                # exist only in this model (LoRA adapters) keep their init
+                flat["bert"] = jax.device_put(_merge_params(flat["bert"], pretrained))
                 logger.info("loaded pretrained weights into bert submodule")
         return params
 
     accepts_rngs = True  # the trainer passes a dropout rng during training
+
+    def trainable(self, path, value):
+        """With LoRA on, only the adapters and everything OUTSIDE the encoder
+        (classifier head, simmat layers, ...) train; the base BERT freezes —
+        frozen params get zero updates, no optimizer state, and are skipped in
+        checkpoints (trainer/jax_trainer.py)."""
+        if int(self.config.get("lora", 0) or 0) > 0:
+            name = "/".join(map(str, path))
+            if "bert" in name and "lora" not in name:
+                return False
+        return True
 
     def score(self, params, batch, rngs=None):
         pos = self._score_doc(params, batch["pos_bert_input"], batch["pos_mask"], batch["pos_seg"],
@@ -316,6 +353,8 @@ class BERTMaxP(BertRerankerBase):
         ConfigOption("moetopk", 2, "experts routed per token (top-k of the softmax gate)"),
         _QUANTIZE_OPT,
         _DROPOUT_OPT,
+        _LORA_OPT,
+        _LORA_ALPHA_OPT,
     ]
 
     def build_model(self):
