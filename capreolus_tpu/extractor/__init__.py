@@ -55,6 +55,24 @@ class Extractor(ModuleBase):
             logger.warning("failed loading extractor state cache %s: %s", path, e)
             return False
 
+    def save_state(self, path):
+        """Serialize the preprocessed state to an explicit file. Serving
+        handoff: a fresh process restores the TRAINING-TIME vocabulary/idf via
+        ``load_state`` so trained checkpoints deserialize against identical
+        embedding-table shapes (vocab-sized tables differ if the serving
+        process re-preprocesses over a different docid set)."""
+        from pathlib import Path
+
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(self.get_state(), f, protocol=-1)
+
+    def load_state(self, path):
+        """Restore state written by ``save_state`` (marks preprocessed)."""
+        with open(path, "rb") as f:
+            self.set_state(pickle.load(f))
+
     def get_state(self):
         raise NotImplementedError
 

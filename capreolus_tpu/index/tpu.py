@@ -173,7 +173,8 @@ class IndexData:
     placed in HBM by the search engine."""
 
     def __init__(self, term_offsets, doc_ids, tfs, doclens, norm_doclens, docid_strings, vocab,
-                 fwd_offsets=None, fwd_term_ids=None, fwd_tfs=None, prune_tables=None):
+                 fwd_offsets=None, fwd_term_ids=None, fwd_tfs=None, prune_tables=None,
+                 tile_dir=None):
         self.term_offsets = term_offsets  # int64 [V+1]
         self.doc_ids = doc_ids  # int32 [nnz], canonical (range, impact desc) within each term
         self.tfs = tfs  # int32 [nnz]
@@ -187,6 +188,9 @@ class IndexData:
         # block-max side tables for exact dynamic pruning (build_prune_tables);
         # None disables pruning (e.g. synthetic fixtures built in legacy order)
         self.prune_tables = prune_tables
+        # when set (disk-resident index), the scoring engine keeps its tile
+        # payloads on disk here too instead of padded host-RAM copies
+        self.tile_dir = tile_dir
 
     @property
     def num_docs(self):
@@ -463,6 +467,7 @@ class TpuIndex(Index):
             fwd_term_ids=np.load(index_path / "postings_fwd_term_ids.npy", mmap_mode=mmap_mode),
             fwd_tfs=np.load(index_path / "postings_fwd_tfs.npy", mmap_mode=mmap_mode),
             prune_tables={k[3:]: npz[k] for k in npz.files if k.startswith("pt_")} or None,
+            tile_dir=(index_path / "tiles") if mmap_mode else None,
         )
         self._docid_to_ord = {d: i for i, d in enumerate(docid_strings)}
         self._doc_spans = np.load(index_path / "doc_spans.npy")

@@ -119,20 +119,26 @@ def int4_mips_scores(q_emb, docs_p4, dscale, row_chunk: int = 131072):
         iscores = jnp.einsum("qd,nd->qn", q_i8, unpack_int4_jnp(docs_p4),
                              preferred_element_type=jnp.int32)
         return iscores.astype(jnp.float32) * qscale[:, None] * dscale[None, :]
-    pad = (-n) % row_chunk
-    dp = jnp.pad(docs_p4, ((0, pad), (0, 0)))
-    sp = jnp.pad(dscale, (0, pad))
-    nch = (n + pad) // row_chunk
+    # chunk by dynamic_slice from the ORIGINAL packed array — padding +
+    # reshaping it would materialize a full second copy of the packed corpus
+    # in HBM, doubling the footprint the hbmbudget accounting sized. The last
+    # chunk's start is clamped to n - row_chunk, so its leading rows overlap
+    # the previous chunk; dynamic_update_slice rewrites those score columns
+    # with identical values (same rows, same math) — exactness is unaffected.
+    nch = (n + row_chunk - 1) // row_chunk
+    p_cols = docs_p4.shape[-1]
 
-    def score_chunk(args):
-        p, s = args
+    def score_chunk(i, out):
+        start = jnp.minimum(i * row_chunk, n - row_chunk)
+        p = jax.lax.dynamic_slice(docs_p4, (start, 0), (row_chunk, p_cols))
+        s = jax.lax.dynamic_slice(dscale, (start,), (row_chunk,))
         isc = jnp.einsum("qd,nd->qn", q_i8, unpack_int4_jnp(p),
                          preferred_element_type=jnp.int32)
-        return isc.astype(jnp.float32) * s[None, :]
+        return jax.lax.dynamic_update_slice(
+            out, isc.astype(jnp.float32) * s[None, :], (0, start))
 
-    scores = jax.lax.map(score_chunk, (dp.reshape(nch, row_chunk, -1),
-                                       sp.reshape(nch, row_chunk)))
-    out = jnp.moveaxis(scores, 0, 1).reshape(q_emb.shape[0], -1)[:, :n]
+    out = jax.lax.fori_loop(
+        0, nch, score_chunk, jnp.zeros((q_emb.shape[0], n), jnp.float32))
     return out * qscale[:, None]
 
 

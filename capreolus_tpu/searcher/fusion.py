@@ -21,8 +21,10 @@ Fusion methods:
   first stage.
 
 Grid-searched sub-searchers (float-list parameters) emit one run file per
-parameter combination; fusion pairs them positionally and emits one fused run
-per pair (the common case is a single combination on each side).
+parameter combination; fusion takes the CROSS PRODUCT and emits one fused run
+per (run1, run2) combination, so a parameter sweep on either side is fully
+evaluated downstream by ``search_best_run`` (the common case is a single
+combination on each side, producing a single fused run).
 """
 
 from __future__ import annotations
@@ -114,20 +116,23 @@ class FusionSearcher(Searcher):
                 return output_path
             runs1 = self._sub_runs(self.searcher1, topicsfn, output_path / "searcher1")
             runs2 = self._sub_runs(self.searcher2, topicsfn, output_path / "searcher2")
-            if len(runs1) > 1 or len(runs2) > 1:
-                logger.info("fusing %d x %d sub-runs positionally (grid-searched "
-                            "sub-searchers pair by sorted filename)", len(runs1), len(runs2))
-            n_pairs = min(len(runs1), len(runs2))
-            if n_pairs == 0:
+            if not runs1 or not runs2:
                 raise ValueError("a sub-searcher produced no run files")
-            for i in range(n_pairs):
-                fused = self.fuse(self.load_trec_run(runs1[i]),
-                                  self.load_trec_run(runs2[i]))
-                ordered = OrderedDict(
-                    (qid, fused[qid]) for qid in sorted(fused, key=_qid_sort_key))
-                tag = f"_{i}" if n_pairs > 1 else ""
-                self.write_trec_run(
-                    ordered, output_path / f"searcher_fusion_method-{self.config['method']}{tag}")
+            if len(runs1) > 1 or len(runs2) > 1:
+                logger.info("fusing the %d x %d cross product of grid-searched "
+                            "sub-runs", len(runs1), len(runs2))
+            single = len(runs1) == 1 and len(runs2) == 1
+            loaded2 = [self.load_trec_run(p) for p in runs2]
+            for i, p1 in enumerate(runs1):
+                run1 = self.load_trec_run(p1)
+                for j, run2 in enumerate(loaded2):
+                    fused = self.fuse(run1, run2)
+                    ordered = OrderedDict(
+                        (qid, fused[qid]) for qid in sorted(fused, key=_qid_sort_key))
+                    tag = "" if single else f"_{i}x{j}"
+                    self.write_trec_run(
+                        ordered,
+                        output_path / f"searcher_fusion_method-{self.config['method']}{tag}")
         return output_path
 
     @staticmethod

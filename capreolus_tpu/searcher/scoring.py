@@ -26,6 +26,7 @@ internal doc ordinal, matching Lucene's docid tie-break.
 from __future__ import annotations
 
 import functools
+from pathlib import Path
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -146,6 +147,128 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ------------------------------------------------------------------ disk tile cache
+# When the index is disk-resident (index.mmap, layout v4), the tile-layout
+# payloads the engine consumes are ALSO kept on disk — built slab-wise from the
+# memory-mapped canonical postings (peak host RAM = one slab) and memory-mapped
+# back. Without this, DeviceIndex's padded tile arrays would re-materialize the
+# whole postings in host RAM and defeat the mmap index's disk residency.
+
+TILES_CACHE_VERSION = 1
+_TILE_SLAB = 1 << 22  # postings per build slab (~16 MB of int32)
+
+
+def _bf16_np(arr_f32: np.ndarray) -> np.ndarray:
+    """Host-side bf16 conversion (round-to-nearest-even, same as XLA convert);
+    never routes the array through the device."""
+    import ml_dtypes
+
+    return arr_f32.astype(ml_dtypes.bfloat16)
+
+
+def _bf16_payload_ok(arr_f32: np.ndarray) -> bool:
+    """True when the slab is exactly representable in bf16: integer values
+    <= 256 always are (8 mantissa bits), otherwise verify the round trip."""
+    if arr_f32.size == 0:
+        return True
+    return bool(arr_f32.max() <= 256) or bool(
+        (arr_f32 == _bf16_np(arr_f32).astype(np.float32)).all())
+
+
+def _load_or_build_tile_cache(index_data, tile_dir, n_tiles: int):
+    """Return memory-mapped (doc_tiles, tf_tiles, norm_dl_tiles), each
+    [n_tiles, TILE], building the on-disk cache on first use."""
+    import ml_dtypes
+
+    from capreolus_tpu.utils.caching import done_file
+
+    tile_dir = Path(tile_dir)
+
+    def _try_load():
+        meta_path = tile_dir / "meta.npz"
+        if not meta_path.exists():
+            return None
+        meta = np.load(meta_path)
+        if int(meta["version"]) != TILES_CACHE_VERSION or int(meta["n_tiles"]) != n_tiles \
+                or int(meta["tile"]) != TILE:
+            return None
+        doc = np.load(tile_dir / "doc_ids.npy", mmap_mode="r")
+        tf = np.load(tile_dir / "tf.npy", mmap_mode="r")
+        ndl = np.load(tile_dir / "norm_dl.npy", mmap_mode="r")
+        if str(meta["tf_dtype"]) == "bf16":
+            tf = tf.view(ml_dtypes.bfloat16)
+        if str(meta["ndl_dtype"]) == "bf16":
+            ndl = ndl.view(ml_dtypes.bfloat16)
+        return (doc.reshape(n_tiles, TILE), tf.reshape(n_tiles, TILE),
+                ndl.reshape(n_tiles, TILE))
+
+    if (tile_dir / "done").exists():
+        out = _try_load()
+        if out is not None:
+            return out
+        import shutil
+
+        logger.warning("stale tile cache at %s; rebuilding", tile_dir)
+        shutil.rmtree(tile_dir, ignore_errors=True)
+
+    with done_file(tile_dir) as already:
+        if not already:
+            _build_tile_cache(index_data, tile_dir, n_tiles)
+    out = _try_load()
+    assert out is not None, f"tile cache build at {tile_dir} produced no loadable cache"
+    return out
+
+
+def _build_tile_cache(index_data, tile_dir, n_tiles: int):
+    from numpy.lib.format import open_memmap
+
+    nnz = len(index_data.doc_ids)
+    padded = n_tiles * TILE
+    num_docs = index_data.num_docs
+    norm_dl_table = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
+
+    tf_bf16 = True
+    for s0 in range(0, nnz, _TILE_SLAB):
+        sl = np.asarray(index_data.tfs[s0 : s0 + _TILE_SLAB]).astype(np.float32)
+        if not _bf16_payload_ok(sl):
+            tf_bf16 = False
+            break
+    # norm doclens are SmallFloat-quantized (<= 4 significant bits) so the
+    # table check suffices — every tile value is a table entry
+    ndl_bf16 = _bf16_payload_ok(norm_dl_table)
+
+    def _as_payload(arr_f32, bf16):
+        return _bf16_np(arr_f32).view(np.uint16) if bf16 else arr_f32
+
+    doc_mm = open_memmap(tile_dir / "doc_ids.npy", mode="w+", dtype=np.int32, shape=(padded,))
+    tf_mm = open_memmap(tile_dir / "tf.npy", mode="w+",
+                        dtype=np.uint16 if tf_bf16 else np.float32, shape=(padded,))
+    ndl_mm = open_memmap(tile_dir / "norm_dl.npy", mode="w+",
+                         dtype=np.uint16 if ndl_bf16 else np.float32, shape=(padded,))
+    for s0 in range(0, nnz, _TILE_SLAB):
+        e = min(s0 + _TILE_SLAB, nnz)
+        d = np.asarray(index_data.doc_ids[s0:e])
+        t = np.asarray(index_data.tfs[s0:e]).astype(np.float32)
+        doc_mm[s0:e] = d
+        tf_mm[s0:e] = _as_payload(t, tf_bf16)
+        ndl_mm[s0:e] = _as_payload(norm_dl_table[d], ndl_bf16)
+    # padding matches the in-RAM builder: pad doc ordinal = num_docs (whose
+    # norm_dl table entry is 1.0), pad tf = 0
+    doc_mm[nnz:] = num_docs
+    tf_mm[nnz:] = _as_payload(np.zeros(padded - nnz, np.float32), tf_bf16)
+    ndl_mm[nnz:] = _as_payload(np.full(padded - nnz, norm_dl_table[num_docs], np.float32), ndl_bf16)
+    for mm in (doc_mm, tf_mm, ndl_mm):
+        mm.flush()
+    del doc_mm, tf_mm, ndl_mm
+    np.savez(tile_dir / "meta.npz", version=np.int64(TILES_CACHE_VERSION),
+             n_tiles=np.int64(n_tiles), tile=np.int64(TILE),
+             tf_dtype="bf16" if tf_bf16 else "f32",
+             ndl_dtype="bf16" if ndl_bf16 else "f32")
+    logger.info("built disk tile cache at %s (%d tiles, tf=%s, norm_dl=%s)",
+                tile_dir, n_tiles, "bf16" if tf_bf16 else "f32",
+                "bf16" if ndl_bf16 else "f32")
+
+
 def _bucket(n: int, minimum: int = 64) -> int:
     """Round n up to the next power of two (bounded below) to limit recompilation."""
     size = minimum
@@ -174,48 +297,61 @@ class DeviceIndex:
         padded = n_tiles * TILE
         self.n_tiles = n_tiles
 
-        doc_ids = np.full(padded, index_data.num_docs, dtype=np.int32)
-        doc_ids[:nnz] = index_data.doc_ids
-        tfs = np.zeros(padded, dtype=np.float32)
-        tfs[:nnz] = index_data.tfs
-
         put = functools.partial(jax.device_put, device=device)
+        norm_dl_table = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
+        exact_dl_table = np.append(index_data.doclens.astype(np.float32), 1.0)
+        self._tile_dir = getattr(index_data, "tile_dir", None)
 
         # bf16 posting payloads where exact: SmallFloat-quantized doc lengths keep
         # <= 4 significant bits (always bf16-exact); term freqs are bf16-exact up
         # to 256 (guarded per index). Halves the hot-path gather bandwidth.
-        def compact_np(arr):
-            if arr.max() <= 256 or (arr == arr.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)).all():
-                return np.asarray(jnp.asarray(arr, dtype=jnp.bfloat16))
-            return arr.astype(np.float32)
+        if self._tile_dir is not None:
+            # disk-resident index (index.mmap, layout v4): the tile payloads
+            # live on disk too, built slab-wise and memory-mapped — host RAM
+            # holds only the pages a query batch actually touches
+            doc_tiles_np, tf_np, norm_dl_np = _load_or_build_tile_cache(
+                index_data, self._tile_dir, n_tiles)
+        else:
+            doc_ids = np.full(padded, index_data.num_docs, dtype=np.int32)
+            doc_ids[:nnz] = index_data.doc_ids
+            tfs = np.zeros(padded, dtype=np.float32)
+            tfs[:nnz] = index_data.tfs
 
-        norm_dl_table = np.append(index_data.norm_doclens.astype(np.float32), 1.0)
-        exact_dl_table = np.append(index_data.doclens.astype(np.float32), 1.0)
+            def compact_np(arr):
+                # host-side bf16 (ml_dtypes, RNE — identical to XLA convert);
+                # routing through the device would upload O(postings) bytes
+                # over the remote tunnel at every engine construction
+                return _bf16_np(arr) if _bf16_payload_ok(arr) else arr.astype(np.float32)
 
-        tf_np = compact_np(tfs.reshape(n_tiles, TILE))
-        norm_dl_np = compact_np(norm_dl_table[doc_ids].reshape(n_tiles, TILE))
-        tile_bytes = doc_ids.nbytes + tf_np.nbytes + norm_dl_np.nbytes
+            doc_tiles_np = doc_ids.reshape(n_tiles, TILE)
+            tf_np = compact_np(tfs.reshape(n_tiles, TILE))
+            norm_dl_np = compact_np(norm_dl_table[doc_ids].reshape(n_tiles, TILE))
+        tile_bytes = doc_tiles_np.nbytes + tf_np.nbytes + norm_dl_np.nbytes
         self.tile_bytes = tile_bytes
+        self._exact_dl_tiles = None
+        self._exact_dl_tiles_np = None
         self.streaming = hbm_budget is not None and tile_bytes > hbm_budget
         if self.streaming:
             logger.info("postings tiles (%.1f MB) exceed the HBM budget (%.1f MB): "
                         "host-streaming mode (per-batch working-set uploads)",
                         tile_bytes / 1e6, hbm_budget / 1e6)
-            # pinned host arrays; the per-batch working set is gathered from these
-            self.doc_tiles_np = doc_ids.reshape(n_tiles, TILE)
+            # host (or disk-mmapped) arrays; the per-batch working set is
+            # gathered from these — fancy-indexing a memmap materializes only
+            # the touched rows
+            self.doc_tiles_np = doc_tiles_np
             self.tf_tiles_np = tf_np
             self.norm_dl_tiles_np = norm_dl_np
             self._exact_dl_tiles_np = None
             self._exact_dl_src = (exact_dl_table, self.doc_tiles_np, None)
         else:
-            self.doc_tiles = put(doc_ids.reshape(n_tiles, TILE))
+            self.doc_tiles = put(doc_tiles_np)
             self.tf_tiles = put(jnp.asarray(tf_np))
             self.norm_dl_tiles = put(jnp.asarray(norm_dl_np))
             # exact (unquantized) posting-aligned doc lengths are only needed by the
             # QL/DFR model family; materialize lazily so BM25-only deployments keep
             # 8 B/posting in HBM instead of 12 (PERF.md index-memory section)
             self._exact_dl_tiles = None
-            self._exact_dl_src = (exact_dl_table, doc_ids.reshape(n_tiles, TILE), put)
+            self._exact_dl_src = (exact_dl_table, doc_tiles_np, put)
         self.norm_dl = put(norm_dl_table)
         self.exact_dl = put(exact_dl_table)
 
@@ -237,18 +373,40 @@ class DeviceIndex:
             self.idf = np.log(1.0 + (n - self.df + 0.5) / (self.df + 0.5))
         self.stats = {"avgdl": self.avgdl, "num_docs": float(self.num_docs), "total_terms": self.total_terms}
 
+    def _gather_exact_dl_np(self):
+        """Posting-aligned exact doc lengths, disk-cached + memory-mapped when
+        the index is disk-resident (same O(postings) residency rule as the
+        main tile payloads)."""
+        exact_dl_table, doc_tile_ids, _ = self._exact_dl_src
+        if self._tile_dir is None:
+            return exact_dl_table[np.asarray(doc_tile_ids)].astype(np.float32)
+        import os
+
+        from numpy.lib.format import open_memmap
+
+        path = Path(self._tile_dir) / "exact_dl.npy"
+        if not path.exists():
+            tmp = path.with_name(path.name + f".tmp{os.getpid()}")
+            mm = open_memmap(tmp, mode="w+", dtype=np.float32, shape=doc_tile_ids.shape)
+            rows = max(1, _TILE_SLAB // TILE)
+            for r0 in range(0, doc_tile_ids.shape[0], rows):
+                mm[r0 : r0 + rows] = exact_dl_table[np.asarray(doc_tile_ids[r0 : r0 + rows])]
+            mm.flush()
+            del mm
+            os.replace(tmp, path)
+        return np.load(path, mmap_mode="r")
+
     @property
     def exact_dl_tiles(self):
         if self._exact_dl_tiles is None:
-            exact_dl_table, doc_tile_ids, put = self._exact_dl_src
-            self._exact_dl_tiles = put(exact_dl_table[doc_tile_ids].astype(np.float32))
+            put = self._exact_dl_src[2]
+            self._exact_dl_tiles = put(self._gather_exact_dl_np())
         return self._exact_dl_tiles
 
     @property
     def exact_dl_tiles_np(self):
         if self._exact_dl_tiles_np is None:
-            exact_dl_table, doc_tile_ids, _ = self._exact_dl_src
-            self._exact_dl_tiles_np = exact_dl_table[doc_tile_ids].astype(np.float32)
+            self._exact_dl_tiles_np = self._gather_exact_dl_np()
         return self._exact_dl_tiles_np
 
 

@@ -223,7 +223,20 @@ class HybridRetrievalService:
         self.method = method
         self.k_rrf = int(k_rrf)
         self.alpha = float(alpha)
-        self.depth = int(depth)  # per-service candidate depth before fusion
+        # per-service candidate depth before fusion; embedding services are
+        # compiled at a fixed max_k and silently clamp k internally, which
+        # would give the two legs ASYMMETRIC depths — clamp both legs to the
+        # tightest limit so fusion sees equal-depth runs
+        self._depth_limit = min((int(svc.max_k) for svc in self.services
+                                 if hasattr(svc, "max_k")), default=None)
+        self.depth = int(depth)
+        if self._depth_limit is not None and self.depth > self._depth_limit:
+            logger.warning(
+                "hybrid depth %d exceeds an embedding service's compiled max_k=%d; "
+                "clamping BOTH legs to %d (build the service with max_k>=%d for "
+                "deeper fusion)", self.depth, self._depth_limit, self._depth_limit,
+                self.depth)
+            self.depth = self._depth_limit
         self.batch_size = min(getattr(service1, "batch_size", 64),
                               getattr(service2, "batch_size", 64))
         self._docids = getattr(service1, "_docids", [])  # /health corpus_size
@@ -232,6 +245,8 @@ class HybridRetrievalService:
         from capreolus_tpu.searcher.fusion import interp_fuse, rrf_fuse
 
         depth = max(self.depth, k)
+        if self._depth_limit is not None:
+            depth = min(depth, self._depth_limit)
         runs = []
         for svc in self.services:
             hits = svc.search(queries, k=depth)
@@ -250,7 +265,8 @@ class HybridRetrievalService:
 class RerankingService(RetrievalService):
     """Retrieve-then-rerank serving: first-stage engine + a trained reranker."""
 
-    def __init__(self, index, reranker, checkpoint_path, topn: int = 100, **kwargs):
+    def __init__(self, index, reranker, checkpoint_path, topn: int = 100,
+                 extractor_state_path: Optional[str] = None, **kwargs):
         super().__init__(index, **kwargs)
         import jax
 
@@ -260,11 +276,20 @@ class RerankingService(RetrievalService):
         self.topn = topn
         self._collate = collate
         self._keys = ARRAY_KEYS
-        # a fresh serving process has never run a training pipeline: build the
-        # extractor state (vocab/embeddings, doc token cache) over the corpus
-        # BEFORE the model (embedding-based models size their tables from it).
-        # Live-query terms absent from the corpus vocabulary map to the OOV id.
-        if not getattr(reranker.extractor, "_preprocessed", False):
+        if extractor_state_path:
+            # restore the TRAINING-TIME extractor state (vocab/idf/doc tokens,
+            # written by extractor.save_state after training) so checkpoints
+            # with vocabulary-sized parameters deserialize against identical
+            # table shapes
+            reranker.extractor.load_state(extractor_state_path)
+        elif not getattr(reranker.extractor, "_preprocessed", False):
+            # a fresh serving process has never run a training pipeline: build
+            # the extractor state (vocab/embeddings, doc token cache) over the
+            # corpus BEFORE the model (embedding-based models size their tables
+            # from it). Live-query terms absent from the corpus vocabulary map
+            # to the OOV id. NOTE: models trained with finetune'd embedding
+            # tables need extractor_state_path (corpus-wide vocab differs from
+            # the training vocab, so those checkpoints cannot deserialize).
             reranker.extractor.preprocess([], list(index.data.docid_strings), {})
         reranker.build_model()
         # template params + restore trained weights
@@ -275,9 +300,26 @@ class RerankingService(RetrievalService):
         if self._params is None:
             import jax
 
-            params = self.reranker.init_params(jax.random.PRNGKey(0), example_batch)
-            params, _ = self.reranker.trainer.load_checkpoint(
-                self._checkpoint_path, params, reranker=self.reranker)
+            template = self.reranker.init_params(jax.random.PRNGKey(0), example_batch)
+            try:
+                params, _ = self.reranker.trainer.load_checkpoint(
+                    self._checkpoint_path, template, reranker=self.reranker)
+            except Exception as e:
+                raise RuntimeError(self._restore_help()) from e
+            # flax only surfaces a shape mismatch lazily at apply time; check
+            # eagerly so the failure is actionable (vocab-sized tables differ
+            # when the serving vocab != the training vocab)
+            flat_t = jax.tree_util.tree_leaves_with_path(template)
+            flat_p = dict(jax.tree_util.tree_leaves_with_path(params))
+            mismatched = [
+                jax.tree_util.keystr(path)
+                for path, leaf in flat_t
+                if getattr(flat_p.get(path), "shape", None) != getattr(leaf, "shape", None)
+            ]
+            if mismatched:
+                raise RuntimeError(
+                    f"restored checkpoint shapes do not match the serving model "
+                    f"({mismatched[:3]}...); " + self._restore_help())
             # one-time inference prep (int8 scale calibration) against the
             # restored weights, then bake the calibrated stats in as variables
             if hasattr(self.reranker, "prepare_inference"):
@@ -286,6 +328,14 @@ class RerankingService(RetrievalService):
                 params = self.reranker.inference_variables(params)
             self._params = params
         return self._params
+
+    @staticmethod
+    def _restore_help():
+        return ("failed to restore the reranker checkpoint; if the model has "
+                "vocabulary-sized trained parameters (e.g. finetune=True embedding "
+                "tables), the serving process must restore the training-time "
+                "extractor state — pass extractor_state_path= pointing at a file "
+                "written by extractor.save_state() after training")
 
     def search(self, queries: Sequence[str], k: int = 10):
         first_stage = super().search(queries, k=max(self.topn, k))
@@ -297,7 +347,16 @@ class RerankingService(RetrievalService):
                 results.append([])
                 continue
             qid = f"live{qi}"
-            extractor.qid2toks[qid] = extractor.tokenizer.tokenize(query)
+            q_toks = extractor.tokenizer.tokenize(query)
+            extractor.qid2toks[qid] = q_toks
+            # training-time preprocess computes idf only for its qids' terms;
+            # live queries were never seen, so fetch their idf from the warm
+            # index now (otherwise idf-gated models — DRMM/POSITDRMM/TK — see
+            # a silently-zeroed query_idf feature)
+            if hasattr(extractor, "idf") and extractor.config.get("calcidf", True):
+                for tok in q_toks:
+                    if tok not in extractor.idf:
+                        extractor.idf[tok] = self.index.get_idf(tok)
             samples = [extractor.id2vec(qid, docid, label=[1, 0], training=False) for docid, _ in hits]
             batch = self._collate(samples, self._keys)
             params = self._ensure_params(batch)

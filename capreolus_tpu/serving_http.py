@@ -87,11 +87,17 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._wakeup = threading.Condition(self._lock)
         self._closed = False
-        self.batches_run = 0  # observability: how often the engine actually ran
         self.stats = ServingStats()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="capreolus-microbatcher")
         self._worker.start()
+
+    @property
+    def batches_run(self) -> int:
+        """How often the engine actually ran (alias of stats.batches — one
+        counter, one lock; kept as the historical observability name)."""
+        with self.stats._lock:
+            return self.stats.batches
 
     def submit(self, query: str, k: int = 10) -> dict:
         """Enqueue one query; returns a slot to pass to ``result``. Submitting
@@ -146,7 +152,6 @@ class MicroBatcher:
                 if len(results) != len(batch):  # fail loudly, never hang waiters
                     raise RuntimeError(f"service returned {len(results)} result lists "
                                        f"for {len(batch)} queries")
-                self.batches_run += 1
                 self.stats.record_batch(len(batch), time.monotonic() - t0)
                 for (_, k, slot), hits in zip(batch, results):
                     slot["result"] = hits[:k]

@@ -55,9 +55,11 @@ class RankTask(Task):
 
         qrels = self.benchmark.qrels
         for fn in os.listdir(results_dir):
-            if fn == "done":
-                continue
             path = results_dir / fn
+            # skip the done marker and nested sub-run directories (the fusion
+            # searcher writes its legs to searcher1/ and searcher2/)
+            if fn == "done" or path.is_dir():
+                continue
             run = load_trec_run(path)
             filtered = {
                 qid: {d: s for d, s in docs.items() if d not in qrels.get(qid, {})}

@@ -96,6 +96,29 @@ def test_fusion_interp_mode(tmpdir_as_cache, tmp_path):
     assert all(0.0 <= s <= 1.0 for s in run["301"].values())
 
 
+def test_fusion_grid_cross_product(tmpdir_as_cache, tmp_path):
+    """A grid-searched sub-searcher fuses EVERY parameter combination (cross
+    product), not just min(len1, len2) positional pairs — a k1 sweep under
+    fusion must evaluate all grid points downstream."""
+    searcher = _make({"searcher1": {"k1": [0.9, 1.2, 1.5], "b": [0.4],
+                                    "index": {"collection": {"name": "dummy"}}}})
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n")
+    out = searcher.query_from_file(topicsfn, tmp_path / "out")
+    fused = sorted(p.name for p in out.iterdir() if p.name.startswith("searcher_fusion"))
+    assert len(fused) == 3  # 3 BM25 grid points x 1 dense run
+    assert all("_" in f.rsplit("-", 1)[-1] or "x" in f for f in fused)
+
+    # and the rank task's qrel filter must skip the nested sub-run dirs
+    from capreolus_tpu.task import Task
+
+    task = Task.create("rank", {"filter": True, "benchmark": {"name": "dummy"},
+                                "searcher": {"name": "fusion", "searcher2": {
+                                    "pretrained": "tiny", "maxdoclen": 32, "maxqlen": 8,
+                                    "batch": 4, "index": {"collection": {"name": "dummy"}}}}})
+    task.search()  # raises IsADirectoryError without the dir guard
+
+
 def test_fusion_config_validation():
     from capreolus_tpu.core import ConfigError
 

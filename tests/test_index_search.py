@@ -237,3 +237,46 @@ def test_postings_mmap_disk_resident(tmpdir_as_cache):
     np.testing.assert_array_equal(np.asarray(idx.data.doc_ids), ram.data.doc_ids)
     np.testing.assert_array_equal(np.asarray(idx.data.tfs), ram.data.tfs)
     assert idx.get_index_path() == ram.get_index_path()
+
+
+def test_disk_tile_cache(tmpdir_as_cache):
+    """With index.mmap (default), the scoring engine's tile payloads are ALSO
+    disk-resident: built once into <index>/tiles/, memory-mapped on every
+    DeviceIndex construction, and equal to the in-RAM (mmap=False) payloads —
+    otherwise the padded tile arrays would silently re-materialize O(postings)
+    in host RAM and defeat the disk-resident index."""
+    import numpy as np
+
+    from capreolus_tpu.index import Index
+    from capreolus_tpu.searcher.scoring import DeviceIndex
+
+    idx = Index.create("tpu", {"collection": {"name": "dummy"}})
+    idx.create_index()
+    assert idx.data.tile_dir is not None
+    d1 = DeviceIndex(idx.data)
+    tiles_dir = idx.get_index_path() / "tiles"
+    assert (tiles_dir / "done").exists()
+    assert (tiles_dir / "doc_ids.npy").exists()
+    meta_mtime = (tiles_dir / "meta.npz").stat().st_mtime_ns
+
+    # second construction reuses the cache (no rebuild)
+    d2 = DeviceIndex(idx.data)
+    assert (tiles_dir / "meta.npz").stat().st_mtime_ns == meta_mtime
+
+    ram = Index.create("tpu", {"mmap": False, "collection": {"name": "dummy"}})
+    assert ram.data.tile_dir is None
+    d3 = DeviceIndex(ram.data)
+    np.testing.assert_array_equal(np.asarray(d1.doc_tiles), np.asarray(d3.doc_tiles))
+    np.testing.assert_array_equal(
+        np.asarray(d1.tf_tiles, dtype=np.float32), np.asarray(d3.tf_tiles, dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(d1.norm_dl_tiles, dtype=np.float32),
+        np.asarray(d3.norm_dl_tiles, dtype=np.float32))
+    # the QL-family exact-dl payload is disk-cached too
+    np.testing.assert_array_equal(np.asarray(d2.exact_dl_tiles_np), np.asarray(d3.exact_dl_tiles_np))
+    assert (tiles_dir / "exact_dl.npy").exists()
+
+    # streaming mode over the mmapped cache: payload views are memmap-backed
+    d4 = DeviceIndex(idx.data, hbm_budget=1)
+    assert d4.streaming
+    assert isinstance(d4.doc_tiles_np, np.memmap) or d4.doc_tiles_np.base is not None

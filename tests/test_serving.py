@@ -290,6 +290,82 @@ def test_reranking_service_fresh_process(tmpdir_as_cache, tmp_path):
     assert {d for d, _ in results[0]} <= {"D001", "D002", "D003"}
 
 
+def test_reranking_service_extractor_state_handoff(tmpdir_as_cache, tmp_path):
+    """A model with TRAINED vocabulary-sized params (finetune=True embedding
+    table) cannot deserialize against a fresh process's corpus-wide vocab: the
+    service must fail with an actionable error, and extractor_state_path must
+    restore the training-time state and serve correctly."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.reranker import Reranker
+    from capreolus_tpu.sampler import Sampler
+    from capreolus_tpu.serving import RerankingService
+
+    cfg = {"finetune": True,
+           "extractor": {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 16,
+                         "index": {"collection": {"name": "dummy"}}},
+           "trainer": {"niters": 1, "itersize": 8, "batch": 4}}
+    reranker = Reranker.create("KNRM", cfg)
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5}}  # vocab != corpus-wide vocab
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                           benchmark.qrels, metric="map")
+    state_fn = tmp_path / "extractor.state.pkl"
+    reranker.extractor.save_state(state_fn)
+
+    fresh = Reranker.create("KNRM", cfg)
+    svc = RerankingService(fresh.extractor.index, fresh, tmp_path / "t" / "dev.best", topn=3)
+    with pytest.raises(RuntimeError, match="extractor_state_path"):
+        svc.search(["distant galaxies telescope"], k=3)
+
+    fresh2 = Reranker.create("KNRM", cfg)
+    svc2 = RerankingService(fresh2.extractor.index, fresh2, tmp_path / "t" / "dev.best",
+                            topn=3, extractor_state_path=state_fn)
+    results = svc2.search(["distant galaxies telescope"], k=3)
+    assert len(results) == 1 and len(results[0]) >= 1
+
+
+def test_reranking_service_live_query_idf(tmpdir_as_cache, tmp_path):
+    """Live-query terms get their idf fetched from the warm index (training
+    preprocess never saw them, so the dict would otherwise serve 0.0 and
+    silently zero the query_idf feature of idf-gated models)."""
+    from capreolus_tpu.benchmark import Benchmark
+    from capreolus_tpu.reranker import Reranker
+    from capreolus_tpu.sampler import Sampler
+    from capreolus_tpu.serving import RerankingService
+
+    cfg = {"extractor": {"embeddings": "random8", "maxqlen": 4, "maxdoclen": 16,
+                         "index": {"collection": {"name": "dummy"}}},
+           "trainer": {"niters": 1, "itersize": 8, "batch": 4}}
+    reranker = Reranker.create("KNRM", cfg)
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0}}
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                           benchmark.qrels, metric="map")
+
+    fresh = Reranker.create("KNRM", cfg)
+    svc = RerankingService(fresh.extractor.index, fresh, tmp_path / "t" / "dev.best", topn=3)
+    svc.search(["whales ocean"], k=3)
+    ext = fresh.extractor
+    toks = [t for t in ext.tokenizer.tokenize("whales ocean") if t in ext.stoi or t in ext.idf]
+    assert toks, "query terms must be in the corpus vocab"
+    for tok in ext.tokenizer.tokenize("whales ocean"):
+        assert ext.idf.get(tok, 0.0) == pytest.approx(svc.index.get_idf(tok))
+        if svc.index.get_df(tok) > 0:
+            assert ext.idf[tok] > 0.0
+
+
 def test_hybrid_retrieval_service(tmpdir_as_cache):
     """Serving-level sparse+dense fusion matches the fusion searcher's math on
     the same hit lists."""
@@ -315,3 +391,8 @@ def test_hybrid_retrieval_service(tmpdir_as_cache):
 
     with pytest.raises(ConfigError):
         HybridRetrievalService(sparse, dense, method="zzz")
+
+    # a depth beyond the embedding service's compiled max_k is clamped on BOTH
+    # legs (symmetric fusion depths), never silently asymmetric
+    deep = HybridRetrievalService(sparse, dense, depth=50)
+    assert deep.depth == dense.max_k
