@@ -1,0 +1,315 @@
+"""Learned-sparse impact retrieval (uniCOIL/DeepImpact family): a trained
+term-weighting encoder's document impacts are quantized into an inverted index
+and served by the SAME tiled postings engine as BM25.
+
+Beyond the reference (whose sparse retrieval is purely statistical through
+Anserini, /root/reference/capreolus/searcher/anserini.py:26-83) but built on
+its architecture: Anserini serves learned-sparse models from quantized-impact
+Lucene indexes the same way, so this is the natural TPU-native counterpart —
+impacts become the ``tf`` payload of the existing CSR tiles and scoring is the
+``impact`` model (score = sum_t qweight(t) * impact(t, d), searcher/scoring.py
+_impact), i.e. one elementwise multiply instead of the BM25 formula, on an
+engine that already does exact tiered top-k, maxpostings early termination,
+and host-streaming.
+
+Pipeline:
+
+    rerank.train with reranker.name=unicoil ...      # train the encoder
+    rank.searcheval with searcher.name=impact \
+        searcher.checkpointfile=.../dev.best.params  # index + retrieve
+
+Zero train/serve skew: the reranker scores exact-match qw_i * max dw_j per
+query position (reranker/unicoil.py), and this searcher aggregates document
+impacts with MAX over token occurrences and query weights with SUM — the same
+number, up to the b-bit impact quantization (Anserini quantizes to 8 bits the
+same way).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import numpy as np
+
+from capreolus_tpu.core import ConfigOption, Dependency
+from capreolus_tpu.searcher import Searcher
+from capreolus_tpu.utils.caching import done_file
+from capreolus_tpu.utils.loginit import get_logger
+
+logger = get_logger(__name__)
+
+
+@Searcher.register
+class ImpactSearcher(Searcher):
+    """End-to-end learned-sparse retrieval over a quantized impact index."""
+
+    module_name = "impact"
+    dependencies = [
+        Dependency(key="index", module="index", name="tpu"),
+        Dependency(key="tokenizer", module="tokenizer", name="berttokenizer"),
+    ]
+    config_spec = [
+        ConfigOption("pretrained", "tiny", "encoder checkpoint (bert names; 'tiny' for offline smoke)"),
+        ConfigOption("checkpointfile", None, "trained unicoil checkpoint (dev.best.params) "
+                     "providing the 'bert' encoder and 'tokweight' head"),
+        ConfigOption("maxdoclen", 256, "document tokens fed to the encoder"),
+        ConfigOption("maxqlen", 32, "query tokens fed to the encoder"),
+        ConfigOption("batch", 128, "encoding batch size"),
+        ConfigOption("hits", 1000, "number of results"),
+        ConfigOption("quantbits", 8, "impact quantization bits (Anserini-style linear "
+                     "quantization to 2^b - 1 levels over the corpus max impact)", value_type="int"),
+        ConfigOption("maxpostings", 0, "impact-ordered early termination: score only each "
+                     "term's N highest-impact postings (0 = exact)", value_type="int"),
+        ConfigOption("allowrandominit", False, "allow a randomly-initialized encoder when the "
+                     "checkpoint cannot be loaded (smoke tests only)"),
+    ]
+    config_keys_not_in_path = ["batch"]
+
+    def build(self):
+        from capreolus_tpu.core import ConfigError
+
+        if not 1 <= int(self.config["quantbits"]) <= 16:
+            raise ConfigError(f"impact quantbits must be in [1, 16], got {self.config['quantbits']}")
+
+    # ------------------------------------------------------------------ encoder
+    def _encoder(self):
+        """(variables, weight_fn) — weight_fn(variables, inp, mask) -> [B, L] f32
+        non-negative token weights (0 on pads)."""
+        if getattr(self, "_enc", None) is None:
+            import jax
+            import jax.numpy as jnp
+
+            from capreolus_tpu.reranker.bert.encoder import BertEncoder, load_pretrained_encoder
+
+            name = self.config["pretrained"]
+            cfg, params = load_pretrained_encoder(
+                name, allow_random_init=bool(self.config["allowrandominit"]) or name == "tiny")
+            model = BertEncoder(cfg)
+            self._random_init = params is None
+            rng = jax.random.PRNGKey(0)
+            dummy = np.zeros((1, 8), dtype=np.int32)
+            if params is None:
+                params = model.init(rng, dummy, np.ones_like(dummy))["params"]
+                if name != "tiny":
+                    logger.warning("impact encoder %s running from RANDOM init", name)
+            # the tokweight head: restored from the checkpoint, else PRNGKey(0)
+            import flax.linen as nn
+
+            head = nn.Dense(1)
+            head_params = head.init(rng, np.zeros((1, cfg.hidden_size), np.float32))["params"]
+
+            ckpt = self.config.get("checkpointfile")
+            if ckpt:
+                from flax import serialization
+
+                restored = serialization.msgpack_restore(open(ckpt, "rb").read())
+                tree = restored.get("params", restored)
+                missing = [k for k in ("bert", "tokweight") if k not in tree]
+                if missing:
+                    raise ValueError(f"checkpoint {ckpt} lacks {missing} (top-level keys: "
+                                     f"{sorted(tree)[:8]}); expected a trained unicoil checkpoint")
+                params = jax.tree_util.tree_map(np.asarray, tree["bert"])
+                head_params = jax.tree_util.tree_map(np.asarray, tree["tokweight"])
+                self._random_init = False
+                logger.info("impact encoder + tokweight head restored from %s", ckpt)
+
+            variables = {"encoder": {"params": params}, "head": {"params": head_params}}
+
+            def weight_fn(vs, inp, mask):
+                hidden, _, _ = model.apply(vs["encoder"], inp, mask)
+                w = nn.relu(head.apply(vs["head"], hidden.astype(jnp.float32))[..., 0])
+                return w * mask.astype(jnp.float32)
+
+            self._weight_jit = jax.jit(weight_fn)
+            self._enc = variables
+        return self._enc, self._weight_jit
+
+    def _token_weights(self, texts, maxlen):
+        """Encode texts -> list of (ids [L] int32, weights [L] f32) with
+        [CLS]/[SEP]/[PAD] positions zeroed (they never score — unicoil.py)."""
+        variables, weight_fn = self._encoder()
+        tok = self.tokenizer
+        batch = int(self.config["batch"])
+        out = []
+        for start in range(0, len(texts), batch):
+            chunk = texts[start : start + batch]
+            inp = np.zeros((batch, maxlen), dtype=np.int32)
+            mask = np.zeros((batch, maxlen), dtype=np.int32)
+            for i, text in enumerate(chunk):
+                ids = [tok.cls_id] + tok.convert_tokens_to_ids(tok.tokenize(text or "")[: maxlen - 2]) + [tok.sep_id]
+                inp[i, : len(ids)] = ids
+                mask[i, : len(ids)] = 1
+            w = np.asarray(weight_fn(variables, inp, mask))
+            special = (inp == tok.cls_id) | (inp == tok.sep_id) | (inp == tok.pad_id)
+            w = np.where(special, 0.0, w)
+            out.extend((inp[i], w[i]) for i in range(len(chunk)))
+        return out
+
+    # ------------------------------------------------------------------ impact index
+    def _cache_file(self):
+        """Keyed by everything that affects the impacts: encoder identity
+        (incl. checkpoint content), tokenizer, maxdoclen, quantbits, and a
+        random-init marker (same disjointness rule as the dense embedding
+        cache, searcher/dense.py)."""
+        import hashlib
+        import os as _os
+
+        self._encoder()
+        parts = [self.config["pretrained"], str(self.config["maxdoclen"]),
+                 str(self.config["quantbits"]), self.tokenizer.fingerprint,
+                 "randominit" if getattr(self, "_random_init", False) else "pretrained"]
+        ckpt = self.config.get("checkpointfile")
+        if ckpt:
+            st = _os.stat(ckpt)
+            parts += [str(ckpt), str(st.st_size), str(st.st_mtime_ns)]
+        key = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+        return self.index.get_cache_path() / "impact" / f"impact_index_{key}.npz"
+
+    def _impact_index(self):
+        """Build (or load) the quantized impact CSR and wrap it in the shared
+        scoring engine. Returns (engine, docid_strings, scale)."""
+        if getattr(self, "_engine", None) is not None:
+            return self._engine
+        self.index.create_index()
+        docid_strings = list(self.index.data.docid_strings)
+        cache_fn = self._cache_file()
+        if cache_fn.exists():
+            z = np.load(cache_fn)
+            term_offsets, doc_ids, q_impacts, doclens, scale = (
+                z["term_offsets"], z["doc_ids"], z["impacts"], z["doclens"], float(z["scale"]))
+        else:
+            term_offsets, doc_ids, q_impacts, doclens, scale = self._build_impact_csr(docid_strings)
+            from capreolus_tpu.utils.caching import TargetFileExists, cached_file
+
+            try:
+                with cached_file(cache_fn, "wb") as f:
+                    np.savez(f, term_offsets=term_offsets, doc_ids=doc_ids, impacts=q_impacts,
+                             doclens=doclens, scale=np.float64(scale))
+            except TargetFileExists:
+                pass
+
+        from capreolus_tpu.index.smallfloat import quantize_lengths
+        from capreolus_tpu.index.tpu import IndexData
+        from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+
+        data = IndexData(
+            term_offsets=term_offsets,
+            doc_ids=doc_ids,
+            tfs=q_impacts,
+            doclens=doclens,
+            norm_doclens=quantize_lengths(np.maximum(doclens, 1)),
+            docid_strings=docid_strings,
+            vocab=dict(getattr(self.tokenizer, "vocab", {}) or {}),
+        )
+        engine = ScoringEngine(DeviceIndex(data))
+        self._engine = (engine, docid_strings, scale)
+        return self._engine
+
+    def _build_impact_csr(self, docid_strings):
+        """Encode the corpus and build the (term-major, impact-desc) CSR.
+
+        Document term impact = MAX weight over token occurrences; quantization
+        is Anserini-style linear over the corpus max: q = round(w * scale),
+        scale = (2^b - 1) / max_w; zero-quantized postings are dropped."""
+        maxdoclen = int(self.config["maxdoclen"])
+        texts = [self.index.get_doc(d) for d in docid_strings]
+        logger.info("encoding %d documents for the impact index (%s)",
+                    len(texts), self.config["pretrained"])
+        vocab_size = 0
+        per_doc = []  # (ids, weights) aggregated per unique term
+        max_w = 0.0
+        for ids, w in self._token_weights(texts, maxdoclen):
+            keep = w > 0
+            ids, w = ids[keep], w[keep]
+            if len(ids):
+                order = np.argsort(ids, kind="stable")
+                ids, w = ids[order], w[order]
+                uniq, start = np.unique(ids, return_index=True)
+                impacts = np.maximum.reduceat(w, start)
+                vocab_size = max(vocab_size, int(uniq[-1]) + 1)
+                max_w = max(max_w, float(impacts.max()))
+            else:
+                uniq = np.zeros(0, np.int32)
+                impacts = np.zeros(0, np.float32)
+            per_doc.append((uniq, impacts))
+
+        levels = (1 << int(self.config["quantbits"])) - 1
+        scale = levels / max_w if max_w > 0 else 1.0
+        terms, docs, quants = [], [], []
+        for ord_, (uniq, impacts) in enumerate(per_doc):
+            q = np.rint(impacts * scale).astype(np.int32)
+            keep = q > 0
+            terms.append(uniq[keep].astype(np.int64))
+            docs.append(np.full(int(keep.sum()), ord_, np.int32))
+            quants.append(q[keep])
+        terms = np.concatenate(terms) if terms else np.zeros(0, np.int64)
+        docs = np.concatenate(docs) if docs else np.zeros(0, np.int32)
+        quants = np.concatenate(quants) if quants else np.zeros(0, np.int32)
+        # term-major, impact descending within term (maxpostings-compatible),
+        # doc ascending among impact ties (deterministic)
+        order = np.lexsort((docs, -quants, terms))
+        terms, docs, quants = terms[order], docs[order], quants[order]
+        term_offsets = np.zeros(vocab_size + 1, dtype=np.int64)
+        np.add.at(term_offsets, terms + 1, 1)
+        term_offsets = np.cumsum(term_offsets)
+        doclens = np.zeros(len(docid_strings), dtype=np.int32)
+        ordc, counts = np.unique(docs, return_counts=True)
+        doclens[ordc] = counts
+        logger.info("impact index: %d postings over %d terms (scale %.3f, %d-bit)",
+                    len(docs), vocab_size, scale, int(self.config["quantbits"]))
+        return term_offsets, docs.astype(np.int32), quants, doclens, scale
+
+    # ------------------------------------------------------------------ search
+    def query_weights(self, query_text):
+        """[(term_id, weight)] for one query: SUM of token weights per unique
+        term (matches the reranker's per-position sum, reranker/unicoil.py)."""
+        (ids, w), = self._token_weights([query_text], int(self.config["maxqlen"]))
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        out = {}
+        for t, x in zip(ids.tolist(), w.tolist()):
+            out[t] = out.get(t, 0.0) + x
+        return sorted(out.items())
+
+    def query_from_file(self, topicsfn, output_path):
+        from pathlib import Path
+
+        output_path = Path(output_path)
+        with done_file(output_path) as already:
+            if not already:
+                self._search_all(Path(topicsfn), output_path)
+        return output_path
+
+    def _search_all(self, topicsfn, output_path):
+        from capreolus_tpu.searcher.tpu import _load_topics_tsv
+
+        topics = _load_topics_tsv(topicsfn)
+        engine, docid_strings, scale = self._impact_index()
+        hits = int(self.config["hits"])
+        n_docs = len(docid_strings)
+        run = OrderedDict()
+        batch = max(1, int(self.config["batch"]))
+        for start in range(0, len(topics), batch):
+            chunk = topics[start : start + batch]
+            # fold the dequantization into the query weights so returned
+            # scores are the true (quantized-impact) dot products; drop query
+            # terms outside the indexed vocabulary (df = 0 or id beyond the
+            # corpus max — they cannot contribute)
+            nt = engine.dindex.num_terms
+            offs = engine.dindex.term_offsets
+            term_lists = [[(t, w / scale) for t, w in self.query_weights(text)
+                           if t < nt and offs[t + 1] > offs[t]]
+                          for _, text in chunk]
+            scores, ords = engine.search(
+                term_lists, model="impact", params={}, topk=hits,
+                max_postings_per_term=int(self.config["maxpostings"]))
+            for qi, (qid, _) in enumerate(chunk):
+                run[qid] = {docid_strings[int(o)]: float(s)
+                            for s, o in zip(scores[qi], ords[qi])
+                            if int(o) < n_docs and s > 0.0}
+        outfn = output_path / "searcher_impact"
+        with open(outfn, "wt", encoding="utf-8") as f:
+            for qid, docs_ in run.items():
+                for rank, (docid, score) in enumerate(docs_.items(), start=1):
+                    f.write(f"{qid} Q0 {docid} {rank} {score:.6f} capreolus_tpu\n")
+        logger.info("wrote impact run file %s (%d queries)", outfn, len(run))

@@ -55,6 +55,14 @@ def _bm25(tf, dl, w1, w2, params, stats):
     return w1 * tf / denom
 
 
+def _impact(tf, dl, w1, w2, params, stats):
+    # learned-sparse impact index (uniCOIL/DeepImpact family): the tf payload
+    # IS the quantized per-(term, doc) impact; w1 carries the query-side term
+    # weight (with the dequantization scale folded in host-side), so the score
+    # is the exact-match dot product sum_t qweight(t) * impact(t, d).
+    return w1 * tf.astype(jnp.float32)
+
+
 def _qld(tf, dl, w1, w2, params, stats):
     # w1 = qtf, w2 = P(t|C);  Lucene LMDirichletSimilarity with per-term floor at 0
     tf = tf.astype(jnp.float32)
@@ -117,6 +125,7 @@ def _f2log(tf, dl, w1, w2, params, stats):
 
 SCORING_MODELS = {
     "bm25": _bm25,
+    "impact": _impact,
     "qld": _qld,
     "qljm": _qljm,
     "inl2": _inl2,
@@ -128,6 +137,7 @@ SCORING_MODELS = {
 # which statistic feeds the w2 channel for each model
 _W2_SOURCE = {
     "bm25": "none",
+    "impact": "none",
     "qld": "ptc",
     "qljm": "ptc",
     "inl2": "df",
