@@ -50,8 +50,16 @@ class ImpactSearcher(Searcher):
     ]
     config_spec = [
         ConfigOption("pretrained", "tiny", "encoder checkpoint (bert names; 'tiny' for offline smoke)"),
-        ConfigOption("checkpointfile", None, "trained unicoil checkpoint (dev.best.params) "
-                     "providing the 'bert' encoder and 'tokweight' head"),
+        ConfigOption("encoder", "unicoil", "weighting family: 'unicoil' (exact-match token "
+                     "weights, reranker/unicoil.py) or 'splade' (vocab-expansion "
+                     "representations, reranker/splade.py — docs may be indexed under "
+                     "terms they never contain)"),
+        ConfigOption("topterms", 256, "splade only: per-document expansion terms kept "
+                     "(highest-weight vocab entries); queries keep at most the same count",
+                     value_type="int"),
+        ConfigOption("checkpointfile", None, "trained unicoil/splade checkpoint (dev.best.params) "
+                     "providing the 'bert' encoder and the weighting head "
+                     "('tokweight' for unicoil, 'mlm' for splade)"),
         ConfigOption("maxdoclen", 256, "document tokens fed to the encoder"),
         ConfigOption("maxqlen", 32, "query tokens fed to the encoder"),
         ConfigOption("batch", 128, "encoding batch size"),
@@ -70,18 +78,24 @@ class ImpactSearcher(Searcher):
 
         if not 1 <= int(self.config["quantbits"]) <= 16:
             raise ConfigError(f"impact quantbits must be in [1, 16], got {self.config['quantbits']}")
+        if self.config["encoder"] not in ("unicoil", "splade"):
+            raise ConfigError(f"impact encoder must be 'unicoil' or 'splade', "
+                              f"got {self.config['encoder']!r}")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
-        """(variables, weight_fn) — weight_fn(variables, inp, mask) -> [B, L] f32
-        non-negative token weights (0 on pads)."""
+        """(variables, weight_fn). unicoil: weight_fn(vs, inp, mask) -> [B, L]
+        per-position token weights (0 on pads). splade: -> [B, V] per-vocab
+        expansion representations (log1p(relu(mlm logits)) max-pooled)."""
         if getattr(self, "_enc", None) is None:
+            import flax.linen as nn
             import jax
             import jax.numpy as jnp
 
             from capreolus_tpu.reranker.bert.encoder import BertEncoder, load_pretrained_encoder
 
             name = self.config["pretrained"]
+            splade = self.config["encoder"] == "splade"
             cfg, params = load_pretrained_encoder(
                 name, allow_random_init=bool(self.config["allowrandominit"]) or name == "tiny")
             model = BertEncoder(cfg)
@@ -92,10 +106,9 @@ class ImpactSearcher(Searcher):
                 params = model.init(rng, dummy, np.ones_like(dummy))["params"]
                 if name != "tiny":
                     logger.warning("impact encoder %s running from RANDOM init", name)
-            # the tokweight head: restored from the checkpoint, else PRNGKey(0)
-            import flax.linen as nn
-
-            head = nn.Dense(1)
+            # the weighting head: restored from the checkpoint, else PRNGKey(0)
+            head_key = "mlm" if splade else "tokweight"
+            head = nn.Dense(int(self.tokenizer.vocab_size) if splade else 1)
             head_params = head.init(rng, np.zeros((1, cfg.hidden_size), np.float32))["params"]
 
             ckpt = self.config.get("checkpointfile")
@@ -104,33 +117,42 @@ class ImpactSearcher(Searcher):
 
                 restored = serialization.msgpack_restore(open(ckpt, "rb").read())
                 tree = restored.get("params", restored)
-                missing = [k for k in ("bert", "tokweight") if k not in tree]
+                missing = [k for k in ("bert", head_key) if k not in tree]
                 if missing:
                     raise ValueError(f"checkpoint {ckpt} lacks {missing} (top-level keys: "
-                                     f"{sorted(tree)[:8]}); expected a trained unicoil checkpoint")
+                                     f"{sorted(tree)[:8]}); expected a trained "
+                                     f"{self.config['encoder']} checkpoint")
                 params = jax.tree_util.tree_map(np.asarray, tree["bert"])
-                head_params = jax.tree_util.tree_map(np.asarray, tree["tokweight"])
+                head_params = jax.tree_util.tree_map(np.asarray, tree[head_key])
                 self._random_init = False
-                logger.info("impact encoder + tokweight head restored from %s", ckpt)
+                logger.info("impact encoder + %s head restored from %s", head_key, ckpt)
 
             variables = {"encoder": {"params": params}, "head": {"params": head_params}}
+            cls_id, sep_id = int(self.tokenizer.cls_id), int(self.tokenizer.sep_id)
 
-            def weight_fn(vs, inp, mask):
-                hidden, _, _ = model.apply(vs["encoder"], inp, mask)
-                w = nn.relu(head.apply(vs["head"], hidden.astype(jnp.float32))[..., 0])
-                return w * mask.astype(jnp.float32)
+            if splade:
+                def weight_fn(vs, inp, mask):
+                    hidden, _, _ = model.apply(vs["encoder"], inp, mask)
+                    logits = head.apply(vs["head"], hidden.astype(jnp.float32))
+                    w = jnp.log1p(nn.relu(logits))  # [B, L, V]
+                    valid = (mask != 0) & (inp != cls_id) & (inp != sep_id)
+                    return jnp.max(jnp.where(valid[..., None], w, 0.0), axis=1)
+            else:
+                def weight_fn(vs, inp, mask):
+                    hidden, _, _ = model.apply(vs["encoder"], inp, mask)
+                    w = nn.relu(head.apply(vs["head"], hidden.astype(jnp.float32))[..., 0])
+                    return w * mask.astype(jnp.float32)
 
             self._weight_jit = jax.jit(weight_fn)
             self._enc = variables
         return self._enc, self._weight_jit
 
-    def _token_weights(self, texts, maxlen):
-        """Encode texts -> list of (ids [L] int32, weights [L] f32) with
-        [CLS]/[SEP]/[PAD] positions zeroed (they never score — unicoil.py)."""
+    def _encode_batches(self, texts, maxlen):
+        """Tokenize + run the weighting head; yields (inp, out) per batch —
+        out is [B, L] token weights (unicoil) or [B, V] reps (splade)."""
         variables, weight_fn = self._encoder()
         tok = self.tokenizer
         batch = int(self.config["batch"])
-        out = []
         for start in range(0, len(texts), batch):
             chunk = texts[start : start + batch]
             inp = np.zeros((batch, maxlen), dtype=np.int32)
@@ -139,10 +161,54 @@ class ImpactSearcher(Searcher):
                 ids = [tok.cls_id] + tok.convert_tokens_to_ids(tok.tokenize(text or "")[: maxlen - 2]) + [tok.sep_id]
                 inp[i, : len(ids)] = ids
                 mask[i, : len(ids)] = 1
-            w = np.asarray(weight_fn(variables, inp, mask))
+            yield len(chunk), inp, np.asarray(weight_fn(variables, inp, mask))
+
+    def _token_weights(self, texts, maxlen):
+        """unicoil: list of (ids [L] int32, weights [L] f32) per text with
+        [CLS]/[SEP]/[PAD] positions zeroed (they never score — unicoil.py)."""
+        tok = self.tokenizer
+        out = []
+        for n, inp, w in self._encode_batches(texts, maxlen):
             special = (inp == tok.cls_id) | (inp == tok.sep_id) | (inp == tok.pad_id)
             w = np.where(special, 0.0, w)
-            out.extend((inp[i], w[i]) for i in range(len(chunk)))
+            out.extend((inp[i], w[i]) for i in range(n))
+        return out
+
+    def _sparse_reps(self, texts, maxlen):
+        """splade: list of (term_ids, weights) per text — the top ``topterms``
+        nonzero vocab entries of the expansion representation (the learned
+        sparsity bound; Anserini caps SPLADE postings the same way)."""
+        cap = max(1, int(self.config["topterms"]))
+        out = []
+        for n, _, reps in self._encode_batches(texts, maxlen):
+            for i in range(n):
+                row = reps[i]
+                nz = np.nonzero(row > 0)[0]
+                if len(nz) > cap:
+                    nz = nz[np.argpartition(-row[nz], cap - 1)[:cap]]
+                order = np.argsort(nz)
+                out.append((nz[order].astype(np.int64), row[nz[order]].astype(np.float32)))
+        return out
+
+    def _doc_term_weights(self, texts):
+        """Per-document (term_ids, impacts): unicoil aggregates MAX over token
+        occurrences; splade representations are already per-term maxes."""
+        maxdoclen = int(self.config["maxdoclen"])
+        if self.config["encoder"] == "splade":
+            return self._sparse_reps(texts, maxdoclen)
+        out = []
+        for ids, w in self._token_weights(texts, maxdoclen):
+            keep = w > 0
+            ids, w = ids[keep], w[keep]
+            if len(ids):
+                order = np.argsort(ids, kind="stable")
+                ids, w = ids[order], w[order]
+                uniq, start = np.unique(ids, return_index=True)
+                impacts = np.maximum.reduceat(w, start).astype(np.float32)
+            else:
+                uniq = np.zeros(0, np.int64)
+                impacts = np.zeros(0, np.float32)
+            out.append((uniq.astype(np.int64), impacts))
         return out
 
     # ------------------------------------------------------------------ impact index
@@ -155,7 +221,8 @@ class ImpactSearcher(Searcher):
         import os as _os
 
         self._encoder()
-        parts = [self.config["pretrained"], str(self.config["maxdoclen"]),
+        parts = [self.config["pretrained"], self.config["encoder"],
+                 str(self.config["topterms"]), str(self.config["maxdoclen"]),
                  str(self.config["quantbits"]), self.tokenizer.fingerprint,
                  "randominit" if getattr(self, "_random_init", False) else "pretrained"]
         ckpt = self.config.get("checkpointfile")
@@ -211,27 +278,16 @@ class ImpactSearcher(Searcher):
         Document term impact = MAX weight over token occurrences; quantization
         is Anserini-style linear over the corpus max: q = round(w * scale),
         scale = (2^b - 1) / max_w; zero-quantized postings are dropped."""
-        maxdoclen = int(self.config["maxdoclen"])
         texts = [self.index.get_doc(d) for d in docid_strings]
-        logger.info("encoding %d documents for the impact index (%s)",
-                    len(texts), self.config["pretrained"])
+        logger.info("encoding %d documents for the impact index (%s, %s)",
+                    len(texts), self.config["encoder"], self.config["pretrained"])
         vocab_size = 0
-        per_doc = []  # (ids, weights) aggregated per unique term
         max_w = 0.0
-        for ids, w in self._token_weights(texts, maxdoclen):
-            keep = w > 0
-            ids, w = ids[keep], w[keep]
-            if len(ids):
-                order = np.argsort(ids, kind="stable")
-                ids, w = ids[order], w[order]
-                uniq, start = np.unique(ids, return_index=True)
-                impacts = np.maximum.reduceat(w, start)
+        per_doc = self._doc_term_weights(texts)  # (term_ids, impacts) per doc
+        for uniq, impacts in per_doc:
+            if len(uniq):
                 vocab_size = max(vocab_size, int(uniq[-1]) + 1)
                 max_w = max(max_w, float(impacts.max()))
-            else:
-                uniq = np.zeros(0, np.int32)
-                impacts = np.zeros(0, np.float32)
-            per_doc.append((uniq, impacts))
 
         levels = (1 << int(self.config["quantbits"])) - 1
         scale = levels / max_w if max_w > 0 else 1.0
@@ -261,9 +317,14 @@ class ImpactSearcher(Searcher):
 
     # ------------------------------------------------------------------ search
     def query_weights(self, query_text):
-        """[(term_id, weight)] for one query: SUM of token weights per unique
-        term (matches the reranker's per-position sum, reranker/unicoil.py)."""
-        (ids, w), = self._token_weights([query_text], int(self.config["maxqlen"]))
+        """[(term_id, weight)] for one query. unicoil: SUM of token weights per
+        unique term (matches the reranker's per-position sum, unicoil.py);
+        splade: the query's expansion representation (per-term max, splade.py)."""
+        maxqlen = int(self.config["maxqlen"])
+        if self.config["encoder"] == "splade":
+            (ids, w), = self._sparse_reps([query_text], maxqlen)
+            return list(zip(ids.tolist(), w.tolist()))
+        (ids, w), = self._token_weights([query_text], maxqlen)
         keep = w > 0
         ids, w = ids[keep], w[keep]
         out = {}

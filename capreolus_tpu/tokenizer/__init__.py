@@ -149,6 +149,11 @@ class BertTokenizer(Tokenizer):
         return self.bert_tokenizer.sep_token_id
 
     @property
+    def vocab_size(self):
+        tok = self.bert_tokenizer
+        return int(getattr(tok, "vocab_size", len(getattr(tok, "vocab", {})) or 30522))
+
+    @property
     def fingerprint(self):
         """Identity of the ACTUAL tokenizer in use (not just the requested name):
         distinguishes the HF tokenizer, the from-scratch WordPiece (keyed by its

@@ -432,6 +432,11 @@ class JaxTrainer(Trainer):
             else:
                 pos, neg = reranker.score(params, micro, **kwargs)
                 loss = loss_fn([pos.astype(jnp.float32), neg.astype(jnp.float32)])
+            # rerankers may expose a differentiable training regularizer (e.g.
+            # SPLADE's FLOPS sparsity penalty, reranker/splade.py); it is part
+            # of the TRAINING loss only — inference and dev scoring never see it
+            if hasattr(reranker, "regularizer"):
+                loss = loss + reranker.regularizer(params, micro, **kwargs)
             return loss
 
         @functools.partial(self._jit, donate_argnums=(0, 1))

@@ -210,3 +210,93 @@ def test_impact_config_validation():
 
     with pytest.raises(ConfigError):
         _make_searcher({"quantbits": 0})
+    with pytest.raises(ConfigError):
+        _make_searcher({"encoder": "zzz"})
+
+
+# ---------------------------------------------------------------- SPLADE
+def test_splade_searcher_expansion(tmpdir_as_cache, tmp_path):
+    """encoder=splade indexes EXPANSION terms: documents carry postings for
+    vocab entries their text never contains (the capability uniCOIL lacks),
+    and run scores equal the sparse-vector dot product referee."""
+    searcher = _make_searcher({"encoder": "splade", "topterms": 64})
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n")
+    out = searcher.query_from_file(topicsfn, tmp_path / "out")
+    run = Searcher.load_trec_run(out / "searcher_impact")
+    assert run.get("301")
+
+    engine, docid_strings, scale = searcher._impact_index()
+    d = engine.dindex.host
+    # expansion: more indexed terms per doc than literal WordPiece tokens
+    texts = [searcher.index.get_doc(doc) for doc in docid_strings]
+    literal = {t for text in texts
+               for t in searcher.tokenizer.convert_tokens_to_ids(
+                   searcher.tokenizer.tokenize(text))}
+    indexed = set(np.nonzero(np.diff(d.term_offsets))[0].tolist())
+    assert indexed - literal, "splade must index terms beyond the literal tokens"
+
+    # dot-product referee on the quantized impacts
+    qw = dict(searcher.query_weights("distant galaxies collide"))
+    dense = np.zeros((len(docid_strings), d.num_terms))
+    for t in range(d.num_terms):
+        docs_t, tfs_t = d.postings(t)
+        dense[docs_t, t] = tfs_t
+    expected = np.zeros(len(docid_strings))
+    for t, w in qw.items():
+        if t < d.num_terms:
+            expected += (w / scale) * dense[:, t]
+    for docid, score in run["301"].items():
+        assert score == pytest.approx(expected[docid_strings.index(docid)], rel=1e-5)
+
+
+def test_splade_train_serve_parity(tmpdir_as_cache, tmp_path):
+    """Trained splade checkpoint served by the impact searcher reproduces the
+    reranker's dot-product scores when truncation is off (topterms >= vocab)
+    and quantization is 16-bit."""
+    benchmark = Benchmark.create("dummy")
+    run = {"301": {"D001": 2.0, "D002": 1.5, "D003": 1.0},
+           "302": {"D002": 2.0, "D001": 1.5, "D003": 1.0}}
+    reranker = Reranker.create("splade", {
+        "pretrained": "tiny", "allowrandominit": True, "regweight": 1e-2,
+        "extractor": {"maxqlen": 8, "maxdoclen": 32,
+                      "index": {"collection": {"name": "dummy"}}},
+        "trainer": {"niters": 2, "itersize": 8, "batch": 2, "validatefreq": 2},
+    })
+    reranker.extractor.preprocess(list(run), {d for docs in run.values() for d in docs},
+                                  benchmark.topics[benchmark.query_type])
+    sampler = Sampler.create("triplet")
+    sampler.prepare(run, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(run, benchmark.qrels, reranker.extractor)
+    out = tmp_path / "t"
+    reranker.trainer.train(reranker, sampler, out, dev, out / "d", benchmark.qrels, metric="map")
+    ckpt = out / "dev.best.params"
+    assert ckpt.exists()
+
+    # the FLOPS regularizer is live and differentiable: positive scalar
+    import jax
+
+    from capreolus_tpu.trainer.jax_trainer import ARRAY_KEYS, collate
+
+    batch = collate([reranker.extractor.id2vec("301", "D001", label=[1, 0], training=False)],
+                    ARRAY_KEYS)
+    params = reranker.init_params(jax.random.PRNGKey(0), batch)
+    params, _ = reranker.trainer.load_checkpoint(out / "dev.best", params, reranker=reranker)
+    reg = float(reranker.regularizer(params, batch))
+    assert reg > 0.0
+
+    searcher = _make_searcher({"encoder": "splade", "checkpointfile": str(ckpt),
+                               "quantbits": 16, "topterms": 40000})
+    topics = benchmark.topics[benchmark.query_type]
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("".join(f"{qid}\t{topics[qid]}\n" for qid in ("301", "302")))
+    served = Searcher.load_trec_run(
+        searcher.query_from_file(topicsfn, tmp_path / "o") / "searcher_impact")
+    for qid in ("301", "302"):
+        samples = [reranker.extractor.id2vec(qid, d, label=[1, 0], training=False)
+                   for d in ("D001", "D002", "D003")]
+        model_scores = np.asarray(reranker.test(params, collate(samples, ARRAY_KEYS))).reshape(-1)
+        for docid, ms in zip(("D001", "D002", "D003"), model_scores):
+            ss = served.get(qid, {}).get(docid, 0.0)
+            assert ss == pytest.approx(float(ms), rel=2e-2, abs=2e-2), (qid, docid)
