@@ -123,10 +123,20 @@ def lce_loss(group_scores, labels=None):
     return -jnp.mean(logprobs[:, 0])
 
 
+def margin_mse_loss(pos, neg, teacher_margin):
+    """Margin-MSE knowledge distillation (Hofstaetter et al. 2020): the student
+    matches the TEACHER's pos-neg score margin instead of a fixed hinge margin.
+    The standard recipe for distilling a cross-encoder into a bi-encoder."""
+    return jnp.mean(((pos - neg) - teacher_margin) ** 2)
+
+
 LOSS_FUNCTIONS = {
     "pairwise_hinge_loss": pair_hinge_loss,
     "pair_hinge_loss": pair_hinge_loss,
     "pair_softmax_loss": pair_softmax_loss,
     "crossentropy": crossentropy_loss,
     "lce": lce_loss,
+    # margin_mse is special-cased by the trainer: it needs the per-triple
+    # teacher margin from the batch (sampler.name=distill provides it)
+    "margin_mse": margin_mse_loss,
 }

@@ -104,6 +104,75 @@ class TrainTripletSampler(TrainingSamplerMixin, Sampler):
 
 
 @Sampler.register
+class DistillTripletSampler(TrainTripletSampler):
+    """Triplet stream carrying per-triple TEACHER margins for margin-MSE
+    knowledge distillation (trainer.loss=margin_mse, reranker/common.py
+    margin_mse_loss): teacher_margin = t(pos) - t(neg) where t comes from a
+    teacher score file — a TREC run written by a trained cross-encoder's
+    predict pass (the Hofstaetter et al. 2020 recipe for distilling a
+    cross-encoder into a bi-encoder). Triples where either doc lacks a teacher
+    score are skipped (and the qid dropped if either pool empties). Beyond the
+    reference, which has no distillation machinery."""
+
+    module_name = "distill"
+    config_spec = [
+        ConfigOption("teacherrunfile", "", "TREC run file with teacher scores over the "
+                     "training candidates (alternatively pass teacher_scores to prepare())"),
+    ]
+
+    def prepare(self, qid_to_docids, qrels, extractor, relevance_level=1,
+                teacher_scores=None, **kwargs):
+        super().prepare(qid_to_docids, qrels, extractor,
+                        relevance_level=relevance_level, **kwargs)
+        if teacher_scores is None:
+            fn = self.config.get("teacherrunfile") or ""
+            if not fn:
+                from capreolus_tpu.core import ConfigError
+
+                raise ConfigError("sampler.name=distill needs sampler.teacherrunfile "
+                                  "(or teacher_scores passed to prepare())")
+            from capreolus_tpu.searcher import Searcher
+
+            teacher_scores = Searcher.load_trec_run(fn)
+        self.teacher_scores = {qid: dict(docs) for qid, docs in teacher_scores.items()}
+
+    def get_hash(self):
+        t = hashlib.md5(str(sorted((q, sorted(d.items()))
+                                   for q, d in self.teacher_scores.items())).encode()).hexdigest()
+        return f"distill_{t[:12]}_{self._content_hash()}"
+
+    def generate_samples(self):
+        all_qids = sorted(self.qid_to_reldocs)
+        if not all_qids:
+            raise RuntimeError("DistillTripletSampler has no valid qids")
+        usable = [qid for qid in all_qids
+                  if any(d in self.teacher_scores.get(qid, {}) for d in self.qid_to_reldocs[qid])
+                  and any(d in self.teacher_scores.get(qid, {}) for d in self.qid_to_negdocs[qid])]
+        dropped = set(all_qids) - set(usable)
+        if dropped:
+            logger.warning("distill sampler: %d qids have no teacher-scored pos/neg pair "
+                           "and are dropped: %s", len(dropped), sorted(dropped)[:5])
+        if not usable:
+            raise RuntimeError("no training qid has teacher scores for both a positive "
+                               "and a negative doc — wrong teacherrunfile?")
+        while True:
+            self.rng.shuffle(usable)
+            for qid in usable:
+                t = self.teacher_scores[qid]
+                posdocid = self.rng.choice([d for d in self.qid_to_reldocs[qid] if d in t])
+                negdocid = self.rng.choice([d for d in self.qid_to_negdocs[qid] if d in t])
+                try:
+                    sample = self.extractor.id2vec(qid, posdocid, negdocid, label=[1, 0], training=True)
+                except MissingDocError:
+                    logger.warning("skipping training triple with missing doc: qid=%s pos=%s neg=%s",
+                                   qid, posdocid, negdocid)
+                    continue
+                sample = dict(sample)
+                sample["teacher_margin"] = np.float32(t[str(posdocid)] - t[str(negdocid)])
+                yield sample
+
+
+@Sampler.register
 class TrainPairSampler(TrainingSamplerMixin, Sampler):
     """Pointwise pos/neg alternation with [0,1]/[1,0] labels."""
 

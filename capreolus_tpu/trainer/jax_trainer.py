@@ -39,7 +39,7 @@ logger = get_logger(__name__)
 ARRAY_KEYS = (
     "query", "query_idf", "posdoc", "negdoc", "label", "idfs",
     "pos_bert_input", "pos_mask", "pos_seg", "neg_bert_input", "neg_mask", "neg_seg",
-    "history", "doctf", "query_char", "doc_char",
+    "history", "doctf", "query_char", "doc_char", "teacher_margin",
 )
 
 
@@ -115,7 +115,9 @@ class JaxTrainer(Trainer):
         ConfigOption("gradacc", 1, "number of gradient accumulation steps"),
         ConfigOption("lr", 0.001, "learning rate"),
         ConfigOption("bertlr", 0.00002, "learning rate for bert/electra parameters"),
-        ConfigOption("loss", "pairwise_hinge_loss", "pairwise_hinge_loss, pair_softmax_loss, crossentropy, or lce"),
+        ConfigOption("loss", "pairwise_hinge_loss", "pairwise_hinge_loss, pair_softmax_loss, "
+                     "crossentropy, lce, or margin_mse (teacher-margin distillation; needs "
+                     "sampler.name=distill)"),
         ConfigOption("softmaxloss", False, "use softmax loss instead of hinge"),
         ConfigOption("fastforward", False, "resume from per-iteration checkpoints"),
         ConfigOption("validatefreq", 1, "validate every N iterations"),
@@ -429,6 +431,11 @@ class JaxTrainer(Trainer):
             elif self.config["loss"] == "crossentropy":
                 pos, neg = reranker.score(params, micro, **kwargs)
                 loss = loss_fn(jnp.stack([neg, pos], axis=1).astype(jnp.float32), micro["label"])
+            elif self.config["loss"] == "margin_mse":
+                pos, neg = reranker.score(params, micro, **kwargs)
+                loss = loss_fn(pos.astype(jnp.float32).reshape(-1),
+                               neg.astype(jnp.float32).reshape(-1),
+                               micro["teacher_margin"].astype(jnp.float32).reshape(-1))
             else:
                 pos, neg = reranker.score(params, micro, **kwargs)
                 loss = loss_fn([pos.astype(jnp.float32), neg.astype(jnp.float32)])
@@ -475,6 +482,12 @@ class JaxTrainer(Trainer):
 
         train_iter = iter(train_dataset)
         first_samples = [next(train_iter) for _ in range(batch_size)]
+        if self.config["loss"] == "margin_mse" and "teacher_margin" not in first_samples[0]:
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError("trainer.loss=margin_mse needs per-triple teacher margins "
+                              "in the samples; use sampler.name=distill with a teacher "
+                              "run file (sampler.teacherrunfile)")
         init_batch = collate(first_samples, ARRAY_KEYS)
         params = reranker.init_params(jax.random.PRNGKey(self.config["seed"]), init_batch)
         dropout_rng = jax.random.PRNGKey(self.config["seed"] + 0x5eed)
