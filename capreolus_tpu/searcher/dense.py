@@ -105,6 +105,15 @@ class DenseSearcher(Searcher):
                      "from the memory-mapped embedding cache restores the exact ranking "
                      "(candidate recall 1.0 at depth 100 measured — tests). 0 = raw int4 "
                      "scores (candidate-generation only)", value_type="int"),
+        ConfigOption("prf", 0, "dense pseudo-relevance feedback depth (Rocchio in "
+                     "embedding space, the ANCE-PRF/Rocchio-dense recipe): a first pass "
+                     "retrieves prf docs per query, the query embedding is remixed as "
+                     "alpha*q + beta*mean(top-prf doc embeddings) (full-precision rows "
+                     "from the memory-mapped embedding cache) and re-normalized, then "
+                     "the final pass runs with the expanded query. 0 = off. The sparse "
+                     "analog is BM25RM3 (searcher/feedback.py)", value_type="int"),
+        ConfigOption("prfalpha", 1.0, "PRF weight on the original query embedding"),
+        ConfigOption("prfbeta", 0.75, "PRF weight on the feedback centroid"),
     ]
     config_keys_not_in_path = ["batch", "shards", "hbmbudget"]  # none changes results
     # (hbmbudget: streamed-vs-resident equality pinned in tests/test_dense.py)
@@ -119,6 +128,10 @@ class DenseSearcher(Searcher):
         if self.config["quantize"] not in (None, "none", "int8", "int4"):  # "none" casts to None
             raise ConfigError(f"dense quantize must be 'none', 'int8', or 'int4', "
                               f"got {self.config['quantize']!r}")
+        if int(self.config["prf"]) > int(self.config["hits"]):
+            raise ConfigError(f"dense prf depth ({self.config['prf']}) cannot exceed hits "
+                              f"({self.config['hits']}): the first pass reuses the compiled "
+                              f"top-k engine")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
@@ -409,6 +422,8 @@ class DenseSearcher(Searcher):
         for start in range(0, len(topics), batch):
             chunk = topics[start : start + batch]
             q_emb = self._embed_texts([t for _, t in chunk])
+            if int(self.config["prf"]) > 0:
+                q_emb = self._prf_expand(q_emb, topk, docs)
             scores, ords = topk(jnp.asarray(q_emb), docs)
             scores, ords = np.asarray(scores), np.asarray(ords)
             n_docs = len(docid_strings)
@@ -426,6 +441,33 @@ class DenseSearcher(Searcher):
                 for rank, (docid, score) in enumerate(docs_.items(), start=1):
                     f.write(f"{qid} Q0 {docid} {rank} {score:.6f} capreolus_tpu\n")
         logger.info("wrote dense run file %s (%d queries)", outfn, len(run))
+
+    def _prf_expand(self, q_emb, topk, docs):
+        """Rocchio expansion in embedding space: first-pass top-``prf`` doc
+        centroids (full-precision rows from the mmapped embedding cache — the
+        same source the int4 rescore reads) are mixed into the query and the
+        result re-normalized, so the final pass scores cosine against the
+        expanded query. Engine-agnostic: the first pass reuses whatever engine
+        build_topk selected (exact/IVF/sharded/streamed/quantized)."""
+        import jax.numpy as jnp
+
+        prf = int(self.config["prf"])
+        alpha = float(self.config["prfalpha"])
+        beta = float(self.config["prfbeta"])
+        scores, ords = topk(jnp.asarray(q_emb), docs)
+        scores, ords = np.asarray(scores), np.asarray(ords)
+        emb = np.load(self._doc_cache_file(), mmap_mode="r")
+        n = emb.shape[0]
+        out = np.array(q_emb, dtype=np.float32, copy=True)
+        for qi in range(len(out)):
+            valid = [int(o) for s, o in zip(scores[qi][:prf], ords[qi][:prf])
+                     if int(o) < n and np.isfinite(s)]
+            if not valid:
+                continue
+            centroid = np.asarray(emb[sorted(valid)], dtype=np.float32).mean(axis=0)
+            mixed = alpha * out[qi] + beta * centroid
+            out[qi] = mixed / (np.linalg.norm(mixed) + 1e-9)
+        return out
 
     def _topk_fn(self, hits):
         """Per-row candidate selection: lax.top_k lowers to a full row sort on

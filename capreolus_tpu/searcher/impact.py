@@ -68,10 +68,13 @@ class ImpactSearcher(Searcher):
                      "quantization to 2^b - 1 levels over the corpus max impact)", value_type="int"),
         ConfigOption("maxpostings", 0, "impact-ordered early termination: score only each "
                      "term's N highest-impact postings (0 = exact)", value_type="int"),
+        ConfigOption("hbmbudget", 12000.0, "HBM budget (MB) for the resident impact tiles; "
+                     "corpora above it host-stream per-batch working sets, same engine "
+                     "machinery as BM25 (searcher/scoring.py streaming mode)"),
         ConfigOption("allowrandominit", False, "allow a randomly-initialized encoder when the "
                      "checkpoint cannot be loaded (smoke tests only)"),
     ]
-    config_keys_not_in_path = ["batch"]
+    config_keys_not_in_path = ["batch", "hbmbudget"]  # results-invariant (streaming equality pinned)
 
     def build(self):
         from capreolus_tpu.core import ConfigError
@@ -268,7 +271,9 @@ class ImpactSearcher(Searcher):
             docid_strings=docid_strings,
             vocab=dict(getattr(self.tokenizer, "vocab", {}) or {}),
         )
-        engine = ScoringEngine(DeviceIndex(data))
+        budget = float(self.config["hbmbudget"])
+        engine = ScoringEngine(DeviceIndex(
+            data, hbm_budget=budget * 1e6 if budget > 0 else None))
         self._engine = (engine, docid_strings, scale)
         return self._engine
 

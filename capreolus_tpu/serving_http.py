@@ -254,6 +254,10 @@ def main(argv: Optional[List[str]] = None):
                    help="trained reranker checkpoint (required for --backend rerank)")
     p.add_argument("--topn", type=int, default=100,
                    help="first-stage candidates fed to the reranker (rerank backend)")
+    p.add_argument("--extractor-state", default=None,
+                   help="training-time extractor state (extractor_state.pkl written next "
+                   "to the checkpoints by rerank.train) — required when the model has "
+                   "vocabulary-sized trained params (e.g. finetune=True)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
@@ -301,7 +305,8 @@ def main(argv: Optional[List[str]] = None):
         rcfg["extractor"] = ext
         reranker = Reranker.create(name, rcfg)
         service = RerankingService(reranker.extractor.index, reranker,
-                                   args.checkpoint, topn=args.topn, model=args.model)
+                                   args.checkpoint, topn=args.topn, model=args.model,
+                                   extractor_state_path=args.extractor_state)
     else:
         service = RetrievalService.from_config(
             collection=args.collection, collection_path=args.collection_path,

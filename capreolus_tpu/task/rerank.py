@@ -88,6 +88,14 @@ class RerankTask(Task):
             self.reranker, self.sampler, train_output_path, dev_dataset, dev_output_path,
             dev_qrels, self.config["optimize"], self.benchmark.relevance_level,
         )
+        # export the training-time extractor state next to the checkpoints: a
+        # fresh serving process restores it (RerankingService
+        # extractor_state_path) so vocabulary-sized trained params deserialize
+        # against identical table shapes
+        try:
+            self.reranker.extractor.save_state(train_output_path / "extractor_state.pkl")
+        except NotImplementedError:
+            pass  # extractor keeps no vocab state; serving re-preprocesses
 
         self.reranker.trainer.load_best_model(self.reranker, train_output_path)
         dev_best_path = train_output_path / "pred" / "dev" / "best"

@@ -45,6 +45,42 @@ def test_dense_matches_numpy_referee(tmpdir_as_cache, tmp_path):
         assert s == pytest.approx(float(ref_scores[0][docids.index(d)]), abs=2e-2)
 
 
+def test_dense_prf_matches_numpy_referee(tmpdir_as_cache, tmp_path):
+    """searcher.prf (Rocchio in embedding space): the final ranking equals a
+    numpy two-pass referee — first-pass top-prf centroid mixed with
+    prfalpha/prfbeta, re-normalized, cosine re-ranked — and differs from the
+    no-PRF ranking's scores (the expansion is live)."""
+    searcher = _make({"prf": 2, "prfalpha": 1.0, "prfbeta": 0.5})
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n")
+    run = Searcher.load_trec_run(
+        next(p for p in searcher.query_from_file(topicsfn, tmp_path / "out").iterdir()
+             if p.name != "done"))
+
+    docids = searcher.index.data.docid_strings
+    emb = np.load(searcher._doc_cache_file())  # full-precision cache rows
+    searcher._embed_maxlen = 8
+    q = searcher._embed_texts(["distant galaxies collide"])[0]
+    first = emb @ q
+    top = np.argsort(-first)[:2]
+    mixed = 1.0 * q + 0.5 * emb[sorted(top.tolist())].mean(axis=0)
+    mixed = mixed / (np.linalg.norm(mixed) + 1e-9)
+    ref = emb @ mixed
+    for d, s in run["301"].items():
+        assert s == pytest.approx(float(ref[docids.index(d)]), abs=2e-2)
+
+    plain = _make()
+    plain_run = Searcher.load_trec_run(
+        next(p for p in plain.query_from_file(topicsfn, tmp_path / "plain").iterdir()
+             if p.name != "done"))
+    assert any(abs(run["301"][d] - plain_run["301"][d]) > 1e-4 for d in run["301"])
+
+    from capreolus_tpu.core import ConfigError
+
+    with pytest.raises(ConfigError):
+        _make({"prf": 50, "hits": 10})
+
+
 def test_dense_embedding_cache(tmpdir_as_cache, tmp_path):
     searcher = _make()
     topicsfn = tmp_path / "topics.tsv"

@@ -119,6 +119,21 @@ def test_impact_maxpostings_cap(tmpdir_as_cache, tmp_path):
             assert s <= run_e[qid].get(docid, 0.0) + 1e-6
 
 
+def test_impact_streaming_equality(tmpdir_as_cache, tmp_path):
+    """A tiny hbmbudget forces the engine's host-streaming mode; results are
+    identical to the resident engine (same invariant as BM25 streaming)."""
+    topicsfn = tmp_path / "topics.tsv"
+    topicsfn.write_text("301\tdistant galaxies collide\n302\twhales ocean\n")
+    resident = _make_searcher()
+    streamed = _make_searcher({"hbmbudget": 0.0001})
+    run_r = Searcher.load_trec_run(
+        resident.query_from_file(topicsfn, tmp_path / "r") / "searcher_impact")
+    run_s = Searcher.load_trec_run(
+        streamed.query_from_file(topicsfn, tmp_path / "s") / "searcher_impact")
+    assert streamed._impact_index()[0].dindex.streaming
+    assert run_r == run_s
+
+
 def test_unicoil_train_serve_parity(tmpdir_as_cache, tmp_path):
     """THE handoff invariant: a trained unicoil checkpoint served by the impact
     searcher scores (query, doc) pairs equal to the reranker's own forward pass
