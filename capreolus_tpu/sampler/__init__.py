@@ -134,7 +134,10 @@ class DistillTripletSampler(TrainTripletSampler):
             from capreolus_tpu.searcher import Searcher
 
             teacher_scores = Searcher.load_trec_run(fn)
-        self.teacher_scores = {qid: dict(docs) for qid, docs in teacher_scores.items()}
+        # normalize qid/docid keys to str so run dicts with non-string ids
+        # (direct teacher_scores callers) look up consistently
+        self.teacher_scores = {str(qid): {str(d): float(s) for d, s in docs.items()}
+                               for qid, docs in teacher_scores.items()}
 
     def get_hash(self):
         t = hashlib.md5(str(sorted((q, sorted(d.items()))
@@ -145,22 +148,31 @@ class DistillTripletSampler(TrainTripletSampler):
         all_qids = sorted(self.qid_to_reldocs)
         if not all_qids:
             raise RuntimeError("DistillTripletSampler has no valid qids")
-        usable = [qid for qid in all_qids
-                  if any(d in self.teacher_scores.get(qid, {}) for d in self.qid_to_reldocs[qid])
-                  and any(d in self.teacher_scores.get(qid, {}) for d in self.qid_to_negdocs[qid])]
-        dropped = set(all_qids) - set(usable)
+        # teacher-filtered candidate pools are static after prepare(): build
+        # them ONCE, not per drawn triple (this loop feeds the device prefetch
+        # queue — O(|pool|) membership tests per sample would sit on that path)
+        pools = {}
+        for qid in all_qids:
+            t = self.teacher_scores.get(str(qid), {})
+            pos = [d for d in self.qid_to_reldocs[qid] if str(d) in t]
+            neg = [d for d in self.qid_to_negdocs[qid] if str(d) in t]
+            if pos and neg:
+                pools[qid] = (pos, neg)
+        dropped = set(all_qids) - set(pools)
         if dropped:
             logger.warning("distill sampler: %d qids have no teacher-scored pos/neg pair "
                            "and are dropped: %s", len(dropped), sorted(dropped)[:5])
-        if not usable:
+        if not pools:
             raise RuntimeError("no training qid has teacher scores for both a positive "
                                "and a negative doc — wrong teacherrunfile?")
+        usable = sorted(pools)
         while True:
             self.rng.shuffle(usable)
             for qid in usable:
-                t = self.teacher_scores[qid]
-                posdocid = self.rng.choice([d for d in self.qid_to_reldocs[qid] if d in t])
-                negdocid = self.rng.choice([d for d in self.qid_to_negdocs[qid] if d in t])
+                t = self.teacher_scores[str(qid)]
+                pos_pool, neg_pool = pools[qid]
+                posdocid = self.rng.choice(pos_pool)
+                negdocid = self.rng.choice(neg_pool)
                 try:
                     sample = self.extractor.id2vec(qid, posdocid, negdocid, label=[1, 0], training=True)
                 except MissingDocError:

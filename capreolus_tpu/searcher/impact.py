@@ -73,6 +73,8 @@ class ImpactSearcher(Searcher):
                      "machinery as BM25 (searcher/scoring.py streaming mode)"),
         ConfigOption("allowrandominit", False, "allow a randomly-initialized encoder when the "
                      "checkpoint cannot be loaded (smoke tests only)"),
+        ConfigOption("gelu", "tanh", "GELU variant — must match the checkpoint's training "
+                     "config (reranker.gelu) or serving weights diverge from the trained model"),
     ]
     config_keys_not_in_path = ["batch", "hbmbudget"]  # results-invariant (streaming equality pinned)
 
@@ -84,6 +86,8 @@ class ImpactSearcher(Searcher):
         if self.config["encoder"] not in ("unicoil", "splade"):
             raise ConfigError(f"impact encoder must be 'unicoil' or 'splade', "
                               f"got {self.config['encoder']!r}")
+        if self.config["gelu"] not in ("tanh", "erf"):
+            raise ConfigError(f"impact gelu must be 'tanh' or 'erf', got {self.config['gelu']!r}")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
@@ -101,6 +105,11 @@ class ImpactSearcher(Searcher):
             splade = self.config["encoder"] == "splade"
             cfg, params = load_pretrained_encoder(
                 name, allow_random_init=bool(self.config["allowrandominit"]) or name == "tiny")
+            # honor the checkpoint's GELU variant (reranker.gelu at training
+            # time) — a mismatched activation silently breaks score parity
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, gelu_approximate=(self.config["gelu"] == "tanh"))
             model = BertEncoder(cfg)
             self._random_init = params is None
             rng = jax.random.PRNGKey(0)
@@ -224,7 +233,7 @@ class ImpactSearcher(Searcher):
         import os as _os
 
         self._encoder()
-        parts = [self.config["pretrained"], self.config["encoder"],
+        parts = [self.config["pretrained"], self.config["encoder"], self.config["gelu"],
                  str(self.config["topterms"]), str(self.config["maxdoclen"]),
                  str(self.config["quantbits"]), self.tokenizer.fingerprint,
                  "randominit" if getattr(self, "_random_init", False) else "pretrained"]
@@ -321,21 +330,29 @@ class ImpactSearcher(Searcher):
         return term_offsets, docs.astype(np.int32), quants, doclens, scale
 
     # ------------------------------------------------------------------ search
-    def query_weights(self, query_text):
-        """[(term_id, weight)] for one query. unicoil: SUM of token weights per
-        unique term (matches the reranker's per-position sum, unicoil.py);
-        splade: the query's expansion representation (per-term max, splade.py)."""
+    def query_weights_batch(self, query_texts):
+        """Per query, [(term_id, weight)] — ONE encoder forward for the whole
+        batch (per-query calls would each pay a full batch-row BERT forward of
+        padding). unicoil: SUM of token weights per unique term (matches the
+        reranker's per-position sum, unicoil.py); splade: the query's expansion
+        representation (per-term max, splade.py)."""
         maxqlen = int(self.config["maxqlen"])
         if self.config["encoder"] == "splade":
-            (ids, w), = self._sparse_reps([query_text], maxqlen)
-            return list(zip(ids.tolist(), w.tolist()))
-        (ids, w), = self._token_weights([query_text], maxqlen)
-        keep = w > 0
-        ids, w = ids[keep], w[keep]
-        out = {}
-        for t, x in zip(ids.tolist(), w.tolist()):
-            out[t] = out.get(t, 0.0) + x
-        return sorted(out.items())
+            return [list(zip(ids.tolist(), w.tolist()))
+                    for ids, w in self._sparse_reps(query_texts, maxqlen)]
+        results = []
+        for ids, w in self._token_weights(query_texts, maxqlen):
+            keep = w > 0
+            ids, w = ids[keep], w[keep]
+            out = {}
+            for t, x in zip(ids.tolist(), w.tolist()):
+                out[t] = out.get(t, 0.0) + x
+            results.append(sorted(out.items()))
+        return results
+
+    def query_weights(self, query_text):
+        """Single-query convenience wrapper over query_weights_batch."""
+        return self.query_weights_batch([query_text])[0]
 
     def query_from_file(self, topicsfn, output_path):
         from pathlib import Path
@@ -363,9 +380,9 @@ class ImpactSearcher(Searcher):
             # corpus max — they cannot contribute)
             nt = engine.dindex.num_terms
             offs = engine.dindex.term_offsets
-            term_lists = [[(t, w / scale) for t, w in self.query_weights(text)
+            term_lists = [[(t, w / scale) for t, w in qw
                            if t < nt and offs[t + 1] > offs[t]]
-                          for _, text in chunk]
+                          for qw in self.query_weights_batch([text for _, text in chunk])]
             scores, ords = engine.search(
                 term_lists, model="impact", params={}, topk=hits,
                 max_postings_per_term=int(self.config["maxpostings"]))

@@ -134,6 +134,11 @@ SCORING_MODELS = {
     "f2log": _f2log,
 }
 
+# models that read only the quantized (norm) doc-length payload — or none at
+# all (impact ignores dl entirely) — and therefore never materialize the
+# O(postings) exact-dl payload (lazy QL/DFR-only cost, PERF.md index memory)
+_NORM_DL_MODELS = ("bm25", "impact")
+
 # which statistic feeds the w2 channel for each model
 _W2_SOURCE = {
     "bm25": "none",
@@ -580,7 +585,7 @@ class ScoringEngine:
 
         docs = jnp.take(d.doc_tiles, tile_idx, axis=0)  # [U, TILE]
         tfs = jnp.take(d.tf_tiles, tile_idx, axis=0)
-        dl = jnp.take(d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles, tile_idx, axis=0)
+        dl = jnp.take(d.norm_dl_tiles if model in _NORM_DL_MODELS else d.exact_dl_tiles, tile_idx, axis=0)
         pos = jax.lax.broadcasted_iota(jnp.int32, docs.shape, 1)
         mask = (pos >= lo[:, None]) & (pos < hi[:, None])
         lin = qidx[:, None] * n_rows + docs
@@ -860,7 +865,7 @@ class ScoringEngine:
         doc_buf[: len(uniq)] = d.doc_tiles_np[uniq]
         tf_buf = np.zeros((n_buf, TILE), d.tf_tiles_np.dtype)
         tf_buf[: len(uniq)] = d.tf_tiles_np[uniq]
-        dl_src = d.norm_dl_tiles_np if model == "bm25" else d.exact_dl_tiles_np
+        dl_src = d.norm_dl_tiles_np if model in _NORM_DL_MODELS else d.exact_dl_tiles_np
         dl_buf = np.ones((n_buf, TILE), dl_src.dtype)
         dl_buf[: len(uniq)] = dl_src[uniq]
         packed = packed.copy()
@@ -1195,7 +1200,7 @@ class ScoringEngine:
         num_queries = len(term_lists)
         topk = min(topk, self.dindex.num_docs)
         max_postings = int(max_postings_per_term or 0)
-        if model != "bm25":
+        if model not in _NORM_DL_MODELS:
             # lazy QL/DFR payload: materialize OUTSIDE jit
             _ = self.dindex.exact_dl_tiles_np if self.dindex.streaming else self.dindex.exact_dl_tiles
         if self.dindex.streaming:
@@ -1254,7 +1259,7 @@ class ScoringEngine:
             packed, buffers = self._stream_working_set(packed, model)
         else:
             buffers = (d.doc_tiles, d.tf_tiles,
-                       d.norm_dl_tiles if model == "bm25" else d.exact_dl_tiles)
+                       d.norm_dl_tiles if model in _NORM_DL_MODELS else d.exact_dl_tiles)
         outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
                                   str(score_dtype), pack_ords, packed, u0s, device_params,
                                   *buffers)

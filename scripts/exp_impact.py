@@ -46,9 +46,14 @@ def main():
     K = int(os.environ.get("EXP_K", 1000))
 
     data = synth_uniform_index(N, T, avg_unique=52, seed=0)
-    # impact payload: replace tfs with uniform 8-bit quantized impacts
+    # impact payload: replace tfs with uniform 8-bit quantized impacts. The
+    # synth index's prune_tables and impact-desc posting order were built from
+    # the ORIGINAL tfs and are now stale — null the tables so block-max
+    # pruning (and anything reading them) cannot use wrong bounds; this script
+    # also never uses maxpostings, whose head spans assume impact-desc order.
     rng = np.random.Generator(np.random.PCG64(7))
     data.tfs = rng.integers(1, 256, size=len(data.tfs)).astype(np.int32)
+    data.prune_tables = None
     engine = ScoringEngine(DeviceIndex(data))
 
     qrng = np.random.Generator(np.random.PCG64(1))
