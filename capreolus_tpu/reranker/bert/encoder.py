@@ -438,6 +438,40 @@ def load_pretrained_encoder(name: str, allow_random_init: bool = False):
         return config, None
 
 
+def load_pretrained_mlm_head(name: str, config: BertConfig):
+    """Load BERT's masked-LM prediction head (the head SPLADE projects through):
+    transform Dense + LayerNorm, and the decoder whose weight HF TIES to the
+    word-embedding table (cls.predictions.decoder.weight IS
+    embeddings.word_embeddings.weight) plus the per-vocab bias. Returned as a
+    param tree for reranker/splade.py's MlmHead (decoder stored untied — the
+    tie is reproduced at load, drift during fine-tuning is permitted, a common
+    untied variant). None offline."""
+    name = PRETRAINED_ALIASES.get(name, name)
+    try:
+        import numpy as _np
+        from transformers import BertForMaskedLM
+
+        model = BertForMaskedLM.from_pretrained(name)
+        sd = model.state_dict()
+        emb = _np.asarray(sd["bert.embeddings.word_embeddings.weight"])  # [V, H]
+        return {
+            "transform": {
+                "kernel": _np.asarray(sd["cls.predictions.transform.dense.weight"]).T.astype(_np.float32),
+                "bias": _np.asarray(sd["cls.predictions.transform.dense.bias"]).astype(_np.float32),
+            },
+            "transform_ln": {
+                "scale": _np.asarray(sd["cls.predictions.transform.LayerNorm.weight"]).astype(_np.float32),
+                "bias": _np.asarray(sd["cls.predictions.transform.LayerNorm.bias"]).astype(_np.float32),
+            },
+            "decoder": {
+                "kernel": emb.T.astype(_np.float32),  # tied: [H, V]
+                "bias": _np.asarray(sd["cls.predictions.bias"]).astype(_np.float32),
+            },
+        }
+    except Exception:
+        return None
+
+
 def load_pretrained_nsp_head(name: str):
     """Load the next-sentence-prediction head of a Birch checkpoint as a 1-output
     relevance head. The reference ranks passages by RAW NSP logit index 1

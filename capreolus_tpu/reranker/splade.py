@@ -17,8 +17,11 @@ via the trainer's reranker.regularizer hook; inference never sees it.
 
 TPU notes: the [B, L, V] logit tensor is one MXU matmul ([B*L, H] x [H, V]) —
 exactly the shape the hardware wants; relu/log1p/max fuse into its epilogue.
-The vocab projection trains from scratch offline (the published SPLADE ties it
-to the pretrained MLM head, which needs the HF download).
+The head is the faithful BERT MLM prediction head (transform Dense + LayerNorm
++ vocab decoder); when HF weights are reachable, the pretrained MLM head loads
+with the decoder tied to the word embeddings (encoder.py
+load_pretrained_mlm_head) — exactly what the published SPLADE fine-tunes from.
+Offline it trains from init.
 """
 
 from __future__ import annotations
@@ -35,6 +38,24 @@ from capreolus_tpu.utils.loginit import get_logger
 logger = get_logger(__name__)
 
 
+class MlmHead(nn.Module):
+    """BERT's masked-LM prediction head: transform Dense + GELU + LayerNorm,
+    then the vocab decoder (HF cls.predictions; decoder weight tied to the
+    word embeddings at pretrained-load time, free to drift in fine-tuning)."""
+
+    hidden_size: int
+    vocab_size: int
+    gelu_approximate: bool = True
+    layer_norm_eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_size, name="transform")(x)
+        x = nn.gelu(x, approximate=self.gelu_approximate)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, name="transform_ln")(x)
+        return nn.Dense(self.vocab_size, name="decoder")(x)
+
+
 class SpladeModel(nn.Module):
     """Shared-encoder vocab-expansion representations + dot-product scoring."""
 
@@ -49,7 +70,10 @@ class SpladeModel(nn.Module):
         mask = (toks != 0).astype(jnp.int32)  # WordPiece [PAD] = 0
         encoder = BertEncoder(self.config, name="bert")
         hidden, _, _ = encoder(toks, mask, train=train)
-        logits = nn.Dense(self.vocab_size, name="mlm")(hidden.astype(jnp.float32))
+        head = MlmHead(self.config.hidden_size, self.vocab_size,
+                       gelu_approximate=self.config.gelu_approximate,
+                       layer_norm_eps=self.config.layer_norm_eps, name="mlm")
+        logits = head(hidden.astype(jnp.float32))
         w = jnp.log1p(nn.relu(logits))  # [B, L, V] >= 0
         valid = (toks != 0) & (toks != self.cls_id) & (toks != self.sep_id)
         return jnp.max(jnp.where(valid[..., None], w, 0.0), axis=1)  # [B, V]
@@ -118,12 +142,19 @@ class Splade(Reranker):
         return self.model
 
     def init_params(self, rng, batch):
+        from capreolus_tpu.reranker.bert.encoder import load_pretrained_mlm_head
+
         model = self.build_model()
         params = model.init(rng, jnp.asarray(batch["query"]), jnp.asarray(batch["posdoc"]))
         pretrained = getattr(self, "_pretrained_params", None)
         if pretrained is not None:
             params["params"]["bert"] = jax.device_put(jax.tree_util.tree_map(jnp.asarray, pretrained))
             logger.info("loaded pretrained weights into the SPLADE encoder")
+            mlm = load_pretrained_mlm_head(self.config["pretrained"], model.config)
+            if mlm is not None and mlm["decoder"]["kernel"].shape[1] == int(model.vocab_size):
+                params["params"]["mlm"] = jax.device_put(
+                    jax.tree_util.tree_map(jnp.asarray, mlm))
+                logger.info("loaded the pretrained MLM head (decoder tied to embeddings)")
         return params
 
     def regularizer(self, params, batch, rngs=None):

@@ -120,7 +120,14 @@ class ImpactSearcher(Searcher):
                     logger.warning("impact encoder %s running from RANDOM init", name)
             # the weighting head: restored from the checkpoint, else PRNGKey(0)
             head_key = "mlm" if splade else "tokweight"
-            head = nn.Dense(int(self.tokenizer.vocab_size) if splade else 1)
+            if splade:
+                from capreolus_tpu.reranker.splade import MlmHead
+
+                head = MlmHead(cfg.hidden_size, int(self.tokenizer.vocab_size),
+                               gelu_approximate=cfg.gelu_approximate,
+                               layer_norm_eps=cfg.layer_norm_eps)
+            else:
+                head = nn.Dense(1)
             head_params = head.init(rng, np.zeros((1, cfg.hidden_size), np.float32))["params"]
 
             ckpt = self.config.get("checkpointfile")
