@@ -176,6 +176,39 @@ def main():
     except Exception:
         pass
 
+    # learned-sparse impact engine on the same corpus shape (searcher.name=impact
+    # rides this engine: quantized impacts replace the tf payload and the
+    # formula is one multiply — the serving path of a trained uniCOIL/SPLADE)
+    impact_info = None
+    try:
+        idata = synth_index()
+        irng = np.random.Generator(np.random.PCG64(7))
+        idata.tfs = irng.integers(1, 256, size=len(idata.tfs)).astype(np.int32)
+        idata.prune_tables = None  # bounds/order were built from the original tfs
+        iengine = ScoringEngine(DeviceIndex(idata))
+        iqueries = [[(t, float(irng.random() * 3 + 0.1)) for t, _ in q] for q in queries]
+
+        def impact_pass(topk):
+            start = time.perf_counter()
+            pending = [iengine.search(iqueries[i : i + BATCH], model="impact", params={},
+                                      topk=topk, materialize=False,
+                                      score_dtype="bfloat16", pack_ords=True)
+                       for i in range(0, NUM_QUERIES, BATCH)]
+            for p in pending:
+                p.get()
+            return time.perf_counter() - start
+
+        ibest = {}
+        for topk in (10, TOPK):
+            impact_pass(topk)  # warmup/compile
+            for _ in range(2):
+                t = impact_pass(topk)
+                ibest[topk] = min(ibest.get(topk, t), t)
+        impact_info = {"k10_qps": round(NUM_QUERIES / ibest[10], 1),
+                       "k1000_qps": round(NUM_QUERIES / ibest[TOPK], 1)}
+    except Exception:
+        pass
+
     # secondary metric in the same driver-captured line (VERDICT round 1 #4):
     # monoBERT reranking throughput, measured in the same process after the
     # headline timing completes (never two TPU processes at once)
@@ -216,6 +249,8 @@ def main():
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "pruning": pruning_info,
     }
+    if impact_info is not None:
+        line["impact"] = impact_info
     if secondary is not None:
         line["secondary"] = secondary
     print(json.dumps(line))
