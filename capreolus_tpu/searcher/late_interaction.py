@@ -60,10 +60,13 @@ class LateInteractionSearcher(Searcher):
                      "a cheap pooled-embedding first pass selects N candidates per query "
                      "([Q, dim] x [dim, N] matmul), exact MaxSim reranks only those. "
                      "Approximate: measured top-10 overlap vs exact in tests/test_colbert.py"),
-        ConfigOption("quantize", "none", "token-embedding quantization: none (bf16) or int8 "
+        ConfigOption("quantize", "none", "token-embedding quantization: none (bf16), int8 "
                      "(per-doc symmetric scales, int8 MXU MaxSim at double rate, half the HBM "
                      "per corpus; the per-doc scale factors out of MaxSim's max/sum exactly — "
-                     "ops/quantization.py, overlap referee'd in tests/test_colbert.py)"),
+                     "ops/quantization.py, overlap referee'd in tests/test_colbert.py), or int4 "
+                     "(packed nibble pairs: 4x the docs per HBM byte vs bf16 — the capacity "
+                     "tier; chunks unpack to int8 on device and ride the same int8 MXU path; "
+                     "resident exact engine only — exclusive with shards/prefilter/streaming)"),
         ConfigOption("hbmbudget", 12000.0, "HBM budget (MB) for the resident token-embedding "
                      "tensor; corpora above it stream host-resident chunks through the device "
                      "with a running on-device top-k merge (the late-interaction analogue of the "
@@ -80,8 +83,13 @@ class LateInteractionSearcher(Searcher):
         if int(self.config["prefilter"]) > 0 and int(self.config["shards"]) > 1:
             raise ConfigError("colbert searcher prefilter is single-device; use shards=1 "
                               "(the exact sharded path) or prefilter=0")
-        if self.config["quantize"] not in (None, "none", "int8"):  # "none" casts to None
-            raise ConfigError(f"colbert quantize must be 'none' or 'int8', got {self.config['quantize']!r}")
+        if self.config["quantize"] not in (None, "none", "int8", "int4"):  # "none" casts to None
+            raise ConfigError(f"colbert quantize must be 'none', 'int8', or 'int4', "
+                              f"got {self.config['quantize']!r}")
+        if self.config["quantize"] == "int4" and (int(self.config["shards"]) > 1
+                                                  or int(self.config["prefilter"]) > 0):
+            raise ConfigError("colbert quantize=int4 runs the resident exact engine only: "
+                              "set shards=1 and prefilter=0 (use int8 for those combos)")
 
     # ------------------------------------------------------------------ encoder
     def _encoder(self):
@@ -194,17 +202,32 @@ class LateInteractionSearcher(Searcher):
                     np.savez(f, emb=emb, mask=mask)
             except TargetFileExists:
                 pass
-        quantized = self.config.get("quantize", "none") == "int8"
-        n_docs = emb.shape[0]
-        dev_bytes = emb.shape[0] * emb.shape[1] * emb.shape[2] * (1 if quantized else 2) \
-            + mask.size + (4 * n_docs if quantized else 0)
+        qmode = self.config.get("quantize", "none") or "none"
+        quantized = qmode == "int8"
+        n_docs, ld, dim = emb.shape
+        per_doc = {"int8": ld * dim, "int4": (ld * dim + (ld * dim) % 2) // 2}.get(qmode, 2 * ld * dim)
+        dev_bytes = n_docs * per_doc + mask.size + (4 * n_docs if qmode in ("int8", "int4") else 0)
         budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
         host_mode = dev_bytes > budget_bytes
+        if host_mode and qmode == "int4":
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError("colbert quantize=int4 is resident-only; the packed corpus "
+                              f"({dev_bytes / 1e6:.0f} MB) exceeds hbmbudget — raise the "
+                              "budget or use quantize=int8 (which composes with streaming)")
         if host_mode:
             logger.info("colbert corpus (%d docs, %.0f MB device bytes) exceeds hbmbudget=%.0f MB: "
                         "host-streaming mode (chunked uploads + running top-k merge)",
                         n_docs, dev_bytes / 1e6, budget_bytes / 1e6)
-        if quantized:
+        if qmode == "int4":
+            # packed nibbles over flattened per-doc token rows; per-doc scale
+            # (same reduction scope as the int8 per-doc quantize_rows)
+            from capreolus_tpu.ops.quantization import quantize_rows_int4
+
+            q4, scale = quantize_rows_int4(emb.reshape(n_docs, ld * dim))
+            self._docs_emb = (jnp.asarray(q4), jnp.asarray(mask, dtype=jnp.int8),
+                              jnp.asarray(scale))
+        elif quantized:
             from capreolus_tpu.ops.quantization import quantize_rows
 
             q, scale = quantize_rows(emb)
@@ -278,6 +301,9 @@ class LateInteractionSearcher(Searcher):
                 q2d = q_i8.reshape(nq * lq, q_emb.shape[2])
                 scr = dscale_l.reshape(nchunks, chunk)
 
+                packed = docs_l.dtype == jnp.uint8  # int4 nibble-packed corpus
+                qdim = q_emb.shape[2]
+
                 def chunk_scores_q(args):
                     # measured (PERF.md): the 4D int8 einsum misses the MXU int8
                     # path (1.7x slower than bf16); a flat 2D dot_general with
@@ -285,7 +311,15 @@ class LateInteractionSearcher(Searcher):
                     # epilogue so the [Q*Lq, C*Ld] intermediate is half-width)
                     # restores parity. bf16 sim rounding (~0.4%) is on par with
                     # the int8 input rounding itself.
-                    d, m, sc = args  # [C, Ld, dim] int8, [C, Ld], [C]
+                    d, m, sc = args  # [C, Ld, dim] int8 / [C, P] packed uint8, [C, Ld], [C]
+                    if packed:
+                        # int4: unpack THIS chunk to int8 (the transient int8
+                        # corpus never materializes wholesale), then the same
+                        # int8 MXU path
+                        from capreolus_tpu.ops.quantization import unpack_int4_jnp
+
+                        ldm = m.shape[1]
+                        d = unpack_int4_jnp(d)[:, : ldm * qdim].reshape(chunk, ldm, qdim)
                     ld = d.shape[1]
                     sim = jax.lax.dot_general(
                         q2d, d.reshape(chunk * ld, d.shape[2]),

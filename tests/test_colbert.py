@@ -322,6 +322,70 @@ def test_colbert_int8_quantized_search(tmpdir_as_cache, tmp_path):
         Searcher.create("colbert", {**base, "quantize": "fp4"})
 
 
+def test_colbert_int4_quantized_search(tmpdir_as_cache, tmp_path):
+    """searcher.quantize=int4 (capacity tier): packed nibbles unpack to int8
+    chunk-wise on device; rankings track bf16 exact within 4-bit rounding, the
+    engine rejects the unsupported shards/prefilter/streaming combos, and a
+    numpy referee pins the unpack-dequantize math end to end."""
+    import numpy as np
+
+    from capreolus_tpu.core import ConfigError
+    from capreolus_tpu.searcher import Searcher
+
+    base = {"dim": 8, "maxdoclen": 32, "maxqlen": 8, "batch": 4, "chunk": 2,
+            "allowrandominit": True, "index": {"collection": {"name": "dummy"}}}
+    exact = Searcher.create("colbert", dict(base))
+    exact.index.create_index()
+    run_exact = exact.query("telescope galaxies")
+
+    q4 = Searcher.create("colbert", {**base, "quantize": "int4"})
+    q4.index.create_index()
+    run_q4 = q4.query("telescope galaxies")
+    assert set(run_q4) == set(run_exact)
+    best_e = max(run_exact.values())
+    best_q_doc = max(run_q4.items(), key=lambda kv: kv[1])[0]
+    assert run_exact[best_q_doc] >= best_e - 2e-1  # 4-bit winner near-optimal
+    for d in run_exact:
+        assert run_q4[d] == pytest.approx(run_exact[d], abs=2e-1)
+
+    # numpy referee over the packed corpus: searcher scores == MaxSim on the
+    # dequantized int4 corpus with int8-quantized queries (exact factoring)
+    from capreolus_tpu.ops.quantization import quantize_rows_int4, quantize_rows
+
+    cache = np.load(q4._doc_cache_file())
+    emb, mask = cache["emb"].astype(np.float32), cache["mask"]
+    n, ld, dim = emb.shape
+    packed, dscale = quantize_rows_int4(emb.reshape(n, ld * dim))
+    lo = (packed & 0xF).astype(np.int8)
+    hi = (packed >> 4).astype(np.int8)
+    lo = np.where(lo > 7, lo - 16, lo)
+    hi = np.where(hi > 7, hi - 16, hi)
+    deq = np.stack([lo, hi], axis=-1).reshape(n, -1)[:, : ld * dim].reshape(n, ld, dim)
+
+    model, variables = q4._encoder()
+    toks = q4._tokenize(["telescope galaxies"], 8)
+    toks = np.concatenate([toks, np.zeros((3, 8), np.int32)])
+    q_emb = np.asarray(q4._encode_query_jit(variables, toks)[0])[:1].astype(np.float32)
+    q_i8 = np.asarray(quantize_rows(q_emb)[0], np.float32)
+    qscale = np.abs(q_emb.reshape(q_emb.shape[0], -1)).max(axis=1) / 127.0
+    docids = q4.index.data.docid_strings
+    for docid, score in run_q4.items():
+        o = docids.index(docid)
+        sims = np.einsum("le,ke->lk", q_i8[0], deq[o])
+        sims = np.where(mask[o][None, :] > 0, sims, -1e9)
+        ref = sims.max(axis=1).sum() * qscale[0] * dscale[o]
+        assert score == pytest.approx(float(ref), rel=2e-2, abs=2e-2)
+
+    with pytest.raises(ConfigError):
+        Searcher.create("colbert", {**base, "quantize": "int4", "shards": 2})
+    with pytest.raises(ConfigError):
+        Searcher.create("colbert", {**base, "quantize": "int4", "prefilter": 5})
+    tiny_budget = Searcher.create("colbert", {**base, "quantize": "int4", "hbmbudget": 0.0001})
+    tiny_budget.index.create_index()
+    with pytest.raises(ConfigError):
+        tiny_budget.query("telescope galaxies")
+
+
 def test_colbert_streaming_matches_resident(tmpdir_as_cache, tmp_path):
     """Token-embedding corpus over hbmbudget streams host slices through a
     running on-device top-k merge; equality vs the resident engine in bf16 and
