@@ -40,6 +40,41 @@ class _HostCorpus:
         self.n = emb.shape[0]
 
 
+def _quantized_disk_cache(cache_fn, emb, qmode):
+    """Slab-wise int8/int4 corpus built next to the f32 embedding cache and
+    memory-mapped back: per-row scales make slabs independent, so peak host
+    RAM is one slab — streaming-mode quantized corpora stay disk-resident like
+    the sparse engine's tile cache. Returns (quantized rows, [N] f32 scales)."""
+    import os
+
+    from numpy.lib.format import open_memmap
+
+    from capreolus_tpu.ops.quantization import quantize_rows, quantize_rows_int4
+
+    stem = str(cache_fn)[: -len(".npy")] if str(cache_fn).endswith(".npy") else str(cache_fn)
+    qfn, sfn = f"{stem}.{qmode}.npy", f"{stem}.{qmode}.scale.npy"
+    if not (os.path.exists(qfn) and os.path.exists(sfn)):
+        n, d = emb.shape
+        qdtype = np.int8 if qmode == "int8" else np.uint8
+        qcols = d if qmode == "int8" else (d + d % 2) // 2
+        tmpq, tmps = f"{qfn}.tmp{os.getpid()}", f"{sfn}.tmp{os.getpid()}"
+        qmm = open_memmap(tmpq, mode="w+", dtype=qdtype, shape=(n, qcols))
+        smm = open_memmap(tmps, mode="w+", dtype=np.float32, shape=(n,))
+        slab = max(1, (1 << 27) // max(4 * d, 1))  # ~128 MB of f32 rows per slab
+        quantize = quantize_rows if qmode == "int8" else quantize_rows_int4
+        for s0 in range(0, n, slab):
+            rows = np.asarray(emb[s0 : s0 + slab], dtype=np.float32)
+            q, sc = quantize(rows)
+            qmm[s0 : s0 + len(q)] = q
+            smm[s0 : s0 + len(q)] = sc
+        qmm.flush()
+        smm.flush()
+        del qmm, smm
+        os.replace(tmpq, qfn)
+        os.replace(tmps, sfn)
+    return np.load(qfn, mmap_mode="r"), np.load(sfn, mmap_mode="r")
+
+
 def _dense_scores(q_emb, docs):
     """[Q, D] float queries x corpus -> [Q, N] f32 scores. The corpus is the
     bf16 [N, D] matrix, the int8 {"emb", "scale"} pair, or the packed-int4
@@ -241,7 +276,10 @@ class DenseSearcher(Searcher):
         cache_fn = self._doc_cache_file()
         docid_strings = self.index.data.docid_strings
         if cache_fn.exists():
-            emb = np.load(cache_fn)
+            # memory-mapped: streaming/PRF/rescore touch only needed pages; the
+            # resident paths read it once while uploading to HBM (the dense
+            # analog of the sparse engine's disk tile cache)
+            emb = np.load(cache_fn, mmap_mode="r")
         else:
             self._embed_maxlen = int(self.config["maxdoclen"])
             texts = [self.index.get_doc(d) for d in docid_strings]
@@ -267,22 +305,23 @@ class DenseSearcher(Searcher):
             # int8/int4 corpus + per-doc scales are derived at load
             from capreolus_tpu.ops.quantization import quantize_rows, quantize_rows_int4
 
-            if qmode == "int4":
-                q, scale = quantize_rows_int4(emb)
-                if dev_bytes > budget_bytes:
-                    self._docs_emb = _HostCorpus(q, scale, packed4=True)
-                else:
-                    self._docs_emb = {"emb4": jnp.asarray(q), "scale": jnp.asarray(scale)}
+            if dev_bytes > budget_bytes:
+                # host-streaming: the quantized corpus is built slab-wise into
+                # a disk cache next to the f32 embeddings and memory-mapped —
+                # host RAM is not an O(corpus) bound in any streaming mode
+                q, scale = _quantized_disk_cache(cache_fn, emb, qmode)
+                self._docs_emb = _HostCorpus(q, scale, packed4=(qmode == "int4"))
+            elif qmode == "int4":
+                q, scale = quantize_rows_int4(np.asarray(emb))
+                self._docs_emb = {"emb4": jnp.asarray(q), "scale": jnp.asarray(scale)}
             else:
-                q, scale = quantize_rows(emb)
-                if dev_bytes > budget_bytes:
-                    self._docs_emb = _HostCorpus(q, scale)
-                else:
-                    self._docs_emb = {"emb": jnp.asarray(q), "scale": jnp.asarray(scale)}
+                q, scale = quantize_rows(np.asarray(emb))
+                self._docs_emb = {"emb": jnp.asarray(q), "scale": jnp.asarray(scale)}
         elif dev_bytes > budget_bytes:
-            import ml_dtypes
-
-            self._docs_emb = _HostCorpus(np.asarray(emb, dtype=ml_dtypes.bfloat16))
+            # the f32 mmap stays the backing store; chunks convert to bf16 at
+            # upload time (make_chunk), so streamed bytes stay half-width while
+            # host RAM holds only the pages in flight
+            self._docs_emb = _HostCorpus(emb)
         else:
             self._docs_emb = jnp.asarray(emb, dtype=jnp.bfloat16)  # HBM resident
         if isinstance(self._docs_emb, _HostCorpus):
@@ -493,8 +532,13 @@ class DenseSearcher(Searcher):
 
         from capreolus_tpu.searcher.streamed import pad_rows, streamed_topk
 
+        import ml_dtypes
+
         budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
-        row_bytes = host.emb.shape[1] * host.emb.dtype.itemsize + (4 if host.scale is not None else 0)
+        # a full-precision (f32-memmapped) backing store uploads as bf16
+        to_bf16 = host.scale is None and host.emb.dtype == np.float32
+        upload_itemsize = 2 if to_bf16 else host.emb.dtype.itemsize
+        row_bytes = host.emb.shape[1] * upload_itemsize + (4 if host.scale is not None else 0)
         # two in-flight buffers (double buffering) must fit the budget
         chunk = int(max(1, min(host.n, budget_bytes // 2 // row_bytes)))
         if chunk >= 8:
@@ -505,11 +549,15 @@ class DenseSearcher(Searcher):
             local_select = lambda s, k: jax.lax.approx_max_k(s, k, recall_target=rt)
 
         def make_chunk(start):
-            cd = jnp.asarray(pad_rows(host.emb[start : start + chunk], chunk))
+            rows = pad_rows(host.emb[start : start + chunk], chunk)
+            if to_bf16:  # half the stream bytes; disk stays full-precision
+                rows = rows.astype(ml_dtypes.bfloat16)
+            cd = jnp.asarray(rows)
             if host.scale is not None:
                 key = "emb4" if host.packed4 else "emb"
                 cd = {key: cd,
-                      "scale": jnp.asarray(pad_rows(host.scale[start : start + chunk], chunk, fill=1))}
+                      "scale": jnp.asarray(pad_rows(np.asarray(host.scale[start : start + chunk]),
+                                                    chunk, fill=1))}
             return cd
 
         logger.info("streaming dense search: %d-doc chunks (%.0f MB each), %d chunks/query-batch",

@@ -19,6 +19,7 @@ in-framework, pass the checkpoint via ``searcher.checkpointfile``.
 from __future__ import annotations
 
 from collections import OrderedDict
+from pathlib import Path
 
 import numpy as np
 
@@ -161,7 +162,12 @@ class LateInteractionSearcher(Searcher):
             st = _os.stat(ckpt)
             parts += [ckpt, str(st.st_size), str(st.st_mtime_ns)]
         key = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-        return self.index.get_cache_path() / "colbert" / f"doc_token_embeddings_{key}.npz"
+        # raw .npy (not npz) so the arrays memory-map at load — disk-resident
+        # like the sparse tile cache; the mask lives beside it (_mask_file)
+        return self.index.get_cache_path() / "colbert" / f"doc_token_embeddings_{key}.emb.npy"
+
+    def _mask_file(self):
+        return Path(str(self._doc_cache_file())[: -len(".emb.npy")] + ".mask.npy")
 
     def _doc_tensors(self):
         """([N, Ld, dim] embeddings, [N, Ld] int8 masks, per-doc scales), disk-
@@ -174,10 +180,13 @@ class LateInteractionSearcher(Searcher):
 
         self.index.create_index()
         cache_fn = self._doc_cache_file()
+        mask_fn = self._mask_file()
         docid_strings = self.index.data.docid_strings
-        if cache_fn.exists():
-            z = np.load(cache_fn)
-            emb, mask = z["emb"], z["mask"]
+        if cache_fn.exists() and mask_fn.exists():
+            # memory-mapped: streaming touches only the pages in flight, the
+            # resident paths read once while uploading to HBM
+            emb = np.load(cache_fn, mmap_mode="r")
+            mask = np.load(mask_fn, mmap_mode="r")
         else:
             model, variables = self._encoder()
             maxlen = int(self.config["maxdoclen"])
@@ -198,8 +207,13 @@ class LateInteractionSearcher(Searcher):
             from capreolus_tpu.utils.caching import TargetFileExists, cached_file
 
             try:
+                # mask first, emb last: the existence check requires BOTH, and
+                # cached_file writes are atomic, so a crash between the two
+                # never leaves a loadable half-pair
+                with cached_file(mask_fn, "wb") as f:
+                    np.save(f, mask)
                 with cached_file(cache_fn, "wb") as f:
-                    np.savez(f, emb=emb, mask=mask)
+                    np.save(f, emb)
             except TargetFileExists:
                 pass
         qmode = self.config.get("quantize", "none") or "none"
@@ -228,17 +242,24 @@ class LateInteractionSearcher(Searcher):
             self._docs_emb = (jnp.asarray(q4), jnp.asarray(mask, dtype=jnp.int8),
                               jnp.asarray(scale))
         elif quantized:
-            from capreolus_tpu.ops.quantization import quantize_rows
+            if host_mode:
+                # disk-resident int8 corpus: built slab-wise next to the f16
+                # cache and memory-mapped (rows flattened [N, Ld*dim]; the
+                # streamer reshapes per upload slice) — host RAM holds no
+                # O(corpus) copy in any streaming mode
+                from capreolus_tpu.searcher.dense import _quantized_disk_cache
 
-            q, scale = quantize_rows(emb)
-            if host_mode:  # numpy stays host-resident; chunks upload per batch
-                self._docs_emb = (q, np.asarray(mask, np.int8), np.asarray(scale, np.float32))
+                q2d, scale = _quantized_disk_cache(cache_fn, emb.reshape(n_docs, ld * dim), "int8")
+                self._docs_emb = (q2d, mask, scale)
             else:
+                from capreolus_tpu.ops.quantization import quantize_rows
+
+                q, scale = quantize_rows(np.asarray(emb))
                 self._docs_emb = (jnp.asarray(q), jnp.asarray(mask, dtype=jnp.int8), jnp.asarray(scale))
         elif host_mode:
-            import ml_dtypes
-
-            self._docs_emb = (np.asarray(emb, dtype=ml_dtypes.bfloat16), np.asarray(mask, np.int8), None)
+            # the f16 mmap stays the backing store; upload slices convert to
+            # bf16 in make_chunk (same values the resident path uploads)
+            self._docs_emb = (emb, mask, None)
         else:
             self._docs_emb = (jnp.asarray(emb, dtype=jnp.bfloat16), jnp.asarray(mask, dtype=jnp.int8), None)
         return self._docs_emb
@@ -481,20 +502,34 @@ class LateInteractionSearcher(Searcher):
         _stream_working_set, the dense analogue dense.py _streamed_topk."""
         import jax
         import jax.numpy as jnp
+        import ml_dtypes
 
         from capreolus_tpu.searcher.streamed import pad_rows, streamed_topk
 
+        ld = mask.shape[1]
+        dim = int(self.config["dim"])
+        # int8 disk caches arrive row-flattened [N, Ld*dim]; bf16-mode arrives
+        # as the f16 mmap (converted to bf16 per upload slice — same values the
+        # resident path uploads, half the stream bytes of f32)
+        flat = emb.ndim == 2 and scale is not None
+        to_bf16 = scale is None and emb.dtype == np.float16
         budget_bytes = float(_hbm_budget_mb(self.config)) * 1e6
-        row_bytes = emb.shape[1] * emb.shape[2] * emb.dtype.itemsize + mask.shape[1] \
+        row_bytes = ld * dim * (2 if to_bf16 else emb.dtype.itemsize) + mask.shape[1] \
             + (4 if scale is not None else 0)
         per_upload = int(max(1, budget_bytes // 2 // row_bytes))  # double buffering
         upload = max(chunk, per_upload - per_upload % chunk)  # multiple of the scoring chunk
 
         def make_chunk(start):
-            parts = [jnp.asarray(pad_rows(emb[start : start + upload], upload)),
-                     jnp.asarray(pad_rows(mask[start : start + upload], upload))]
+            rows = pad_rows(np.asarray(emb[start : start + upload]), upload)
+            if flat:
+                rows = rows.reshape(upload, ld, dim)
+            if to_bf16:
+                rows = rows.astype(ml_dtypes.bfloat16)
+            parts = [jnp.asarray(rows),
+                     jnp.asarray(pad_rows(np.asarray(mask[start : start + upload]), upload))]
             if scale is not None:
-                parts.append(jnp.asarray(pad_rows(scale[start : start + upload], upload, fill=1)))
+                parts.append(jnp.asarray(pad_rows(np.asarray(scale[start : start + upload]),
+                                                  upload, fill=1)))
             return tuple(parts)
 
         logger.info("streaming colbert search: %d-doc upload slices (%.0f MB each), %d/query-batch",

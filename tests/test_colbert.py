@@ -352,8 +352,8 @@ def test_colbert_int4_quantized_search(tmpdir_as_cache, tmp_path):
     # dequantized int4 corpus with int8-quantized queries (exact factoring)
     from capreolus_tpu.ops.quantization import quantize_rows_int4, quantize_rows
 
-    cache = np.load(q4._doc_cache_file())
-    emb, mask = cache["emb"].astype(np.float32), cache["mask"]
+    emb = np.load(q4._doc_cache_file()).astype(np.float32)
+    mask = np.load(q4._mask_file())
     n, ld, dim = emb.shape
     packed, dscale = quantize_rows_int4(emb.reshape(n, ld * dim))
     lo = (packed & 0xF).astype(np.int8)
@@ -402,7 +402,8 @@ def test_colbert_streaming_matches_resident(tmpdir_as_cache, tmp_path):
     streamed = Searcher.create("colbert", {**base, "hbmbudget": 1e-4})  # ~100 B: 1-slice chunks
     streamed.index.create_index()
     emb, _, _ = streamed._doc_tensors()
-    assert isinstance(emb, np.ndarray)  # actually host-resident
+    # disk-resident: the f16 cache mmap IS the backing store (bf16 at upload)
+    assert isinstance(emb, np.memmap) and emb.dtype == np.float16
     run_s = streamed.query("telescope galaxies")
     assert list(run_s) == list(run_r)
     for d in run_r:
@@ -414,6 +415,9 @@ def test_colbert_streaming_matches_resident(tmpdir_as_cache, tmp_path):
     s8 = Searcher.create("colbert", {**base, "quantize": "int8", "hbmbudget": 1e-4})
     s8.index.create_index()
     run_s8 = s8.query("telescope galaxies")
+    emb8, _, scale8 = s8._doc_tensors()
+    assert isinstance(emb8, np.memmap) and emb8.dtype == np.int8  # disk-built int8 cache
+    assert isinstance(scale8, np.memmap)
     assert list(run_s8) == list(run_r8)
     for d in run_r8:
         assert run_s8[d] == pytest.approx(run_r8[d], abs=1e-4)

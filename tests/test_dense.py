@@ -351,6 +351,19 @@ def test_dense_streaming_matches_resident(tmpdir_as_cache, tmp_path):
         for d in run_r8[qid]:
             assert run_s8[qid][d] == pytest.approx(run_r8[qid][d], abs=1e-4)
 
+    # disk residency: the bf16 streamer's backing store is the memory-mapped
+    # f32 cache (chunks convert at upload), and the int8 streamer reads a
+    # slab-built quantized disk cache — host RAM holds no O(corpus) copy
+    host = streamed._doc_matrix()
+    assert isinstance(host.emb, np.memmap) and host.emb.dtype == np.float32
+    host8 = s8._doc_matrix()
+    assert isinstance(host8.emb, np.memmap) and host8.emb.dtype == np.int8
+    assert isinstance(host8.scale, np.memmap)
+    stem = str(s8._doc_cache_file())[: -len(".npy")]
+    import os
+
+    assert os.path.exists(f"{stem}.int8.npy") and os.path.exists(f"{stem}.int8.scale.npy")
+
     from capreolus_tpu.core import ConfigError
 
     both = _make({"hbmbudget": 1e-4, "shards": 2})
