@@ -83,6 +83,14 @@ class RetrievalService:
     def get_document(self, docid: str) -> Optional[str]:
         return self.index.get_doc(docid)
 
+    def snippets(self, query: str, hits) -> List[str]:
+        """Query-biased snippets for a hit list (analysis/highlight.py — the
+        Lucene-highlighter role; stemming-aware matching via this index's
+        analyzer, idf-weighted window choice)."""
+        from capreolus_tpu.analysis.highlight import snippets_for_hits
+
+        return snippets_for_hits(self.index, query, hits)
+
 
 class _EmbeddingRetrievalService:
     """Shared serving core for the embedding searchers (dense bi-encoder MIPS
@@ -165,6 +173,11 @@ class _EmbeddingRetrievalService:
 
     def get_document(self, docid: str) -> Optional[str]:
         return self.searcher.index.get_doc(docid)
+
+    def snippets(self, query: str, hits) -> List[str]:
+        from capreolus_tpu.analysis.highlight import snippets_for_hits
+
+        return snippets_for_hits(self.searcher.index, query, hits)
 
 
 class DenseRetrievalService(_EmbeddingRetrievalService):
@@ -260,6 +273,9 @@ class HybridRetrievalService:
 
     def get_document(self, docid: str) -> Optional[str]:
         return self.services[0].get_document(docid)
+
+    def snippets(self, query: str, hits) -> List[str]:
+        return self.services[0].snippets(query, hits)
 
 
 class RerankingService(RetrievalService):

@@ -217,6 +217,7 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0,
                     raise ValueError("request body must be a JSON object")
                 queries = req["queries"]
                 k = int(req.get("k") or 10)
+                want_snippets = bool(req.get("snippets", False))
                 if not isinstance(queries, list) or not all(isinstance(q, str) for q in queries):
                     raise ValueError("'queries' must be a list of strings")
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
@@ -231,7 +232,16 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0,
                 logger.exception("search failed")
                 self._reply(500, {"error": f"search failed: {e}"})
                 return
-            self._reply(200, {"results": [[[d, s] for d, s in hits] for hits in results]})
+            payload = {"results": [[[d, s] for d, s in hits] for hits in results]}
+            if want_snippets:
+                try:
+                    # host-only work (mmap doc store + analyzer) in the handler
+                    # thread — never blocks the batcher's device loop
+                    payload["snippets"] = [service.snippets(q, hits)
+                                           for q, hits in zip(queries, results)]
+                except Exception as e:
+                    payload["snippets_error"] = str(e)
+            self._reply(200, payload)
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher  # exposed so callers can close() it on shutdown
