@@ -571,6 +571,44 @@ class ScoringEngine:
                 w2 = np.zeros(len(tids), dtype=np.float32)
         return w1, w2
 
+    def explain(self, term_list, doc_ord: int, model: str = "bm25", params=None):
+        """Lucene ``Explanation`` analog: the per-term score breakdown of ONE
+        document for a query (host-side, reading the canonical postings).
+
+        Returns ``{"total": float, "model": str, "terms": [{"term_id", "weight"
+        (qtf / query weight), "tf", "dl", "contribution"}, ...]}`` where the
+        total equals the engine's score for that document bit-for-f32
+        (referee'd in tests/test_index_search.py). Terms absent from the
+        document contribute 0, like the engine's masked lanes."""
+        if model not in SCORING_MODELS:
+            raise ValueError(f"unknown scoring model {model!r}")
+        params = dict(params or ({"k1": 0.9, "b": 0.4} if model == "bm25" else {}))
+        d = self.dindex
+        w2src = _W2_SOURCE[model]
+        host = d.host
+        dl_table = host.norm_doclens if model in _NORM_DL_MODELS else host.doclens
+        dl = float(dl_table[int(doc_ord)])
+        rows = []
+        total = 0.0
+        for tid, qw in term_list:
+            tid = int(tid)
+            tf = 0.0
+            if 0 <= tid < d.num_terms:
+                docs_t, tfs_t = host.postings(tid)
+                hit = np.nonzero(np.asarray(docs_t) == int(doc_ord))[0]
+                if len(hit):
+                    tf = float(np.asarray(tfs_t)[hit[0]])
+            contribution = 0.0
+            if tf > 0:
+                w1, w2 = self._term_weights(model, w2src, np.array([tid]), np.array([float(qw)]))
+                contribution = float(np.asarray(SCORING_MODELS[model](
+                    jnp.float32(tf), jnp.float32(dl), jnp.float32(w1[0]), jnp.float32(w2[0]),
+                    {k: float(v) for k, v in params.items()}, d.stats)))
+            rows.append({"term_id": tid, "weight": float(qw), "tf": tf, "dl": dl,
+                         "contribution": contribution})
+            total += contribution
+        return {"total": total, "model": model, "terms": rows}
+
     @functools.partial(jax.jit, static_argnames=("self", "model", "num_queries", "topk", "param_axes"))
     def _score_exact(self, model, num_queries, topk, param_axes, packed_units, params):
         """Dense [Q, N] accumulator + lax.top_k: returns ([*grid, Q, topk] scores, ords)."""

@@ -239,6 +239,39 @@ def test_postings_mmap_disk_resident(tmpdir_as_cache):
     assert idx.get_index_path() == ram.get_index_path()
 
 
+def test_engine_explain_matches_search(tmpdir_as_cache):
+    """Lucene-Explanation analog: explain()'s per-term contributions sum to
+    the engine's retrieved score (bm25 and qld), and absent terms contribute
+    exactly 0."""
+    import pytest as _pytest
+
+    from capreolus_tpu.index import Index
+    from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+
+    index = Index.create("tpu", {"collection": {"name": "dummy"}})
+    index.create_index()
+    data = index.data
+    engine = ScoringEngine(DeviceIndex(data))
+    term_list = [(data.vocab["telescop"], 1.0), (data.vocab["galaxi"], 1.0)]
+
+    for model, params in (("bm25", {"k1": 0.9, "b": 0.4}), ("qld", {"mu": 1000.0})):
+        scores, ords = engine.search([term_list], model=model, params=params, topk=3)
+        for s, o in zip(scores[0], ords[0]):
+            if int(o) >= data.num_docs:
+                continue
+            exp = engine.explain(term_list, int(o), model=model, params=params)
+            assert exp["total"] == _pytest.approx(float(s), rel=1e-5, abs=1e-5), (model, int(o))
+            for row in exp["terms"]:
+                # absent terms contribute exactly 0 (present terms may too:
+                # qld floors per-term scores at 0, scoring.py _qld)
+                if row["tf"] == 0.0:
+                    assert row["contribution"] == 0.0
+
+    # out-of-vocabulary term ids explain as zero, never crash
+    exp = engine.explain([(10**6, 1.0)], 0, model="bm25")
+    assert exp["total"] == 0.0
+
+
 def test_disk_tile_cache(tmpdir_as_cache):
     """With index.mmap (default), the scoring engine's tile payloads are ALSO
     disk-resident: built once into <index>/tiles/, memory-mapped on every
