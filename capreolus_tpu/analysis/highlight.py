@@ -61,43 +61,58 @@ def best_window(analyzed_doc: Sequence[Optional[str]], query_terms: Dict[str, fl
 
 def make_snippet(text: str, query_terms: Dict[str, float], analyze=None,
                  window: int = 30, mark: Tuple[str, str] = ("<em>", "</em>"),
-                 ellipsis: str = " … ") -> str:
+                 ellipsis: str = " … ", escape=None) -> str:
     """Query-biased snippet of ``text``: the best ``window``-token span with
     query-term matches wrapped in ``mark``. ``analyze(token) -> str|None``
     maps a raw token to its analyzed form (None = stopword/removed); identity
     lowercase when omitted. ``query_terms`` maps ANALYZED terms to weights
-    (idf, or 1.0)."""
+    (idf, or 1.0). ``escape(fragment) -> str`` encodes the DOCUMENT text
+    before the markers are interleaved (Lucene's SimpleHTMLEncoder role —
+    pass ``html.escape`` when snippets render as HTML, so corpus markup can
+    neither inject nor masquerade as highlighter output)."""
     if analyze is None:
         analyze = lambda tok: tok.lower()
+    if escape is None:
+        escape = lambda frag: frag
     spans = _tokenize_with_spans(text)
     analyzed = [analyze(tok) for tok, _, _ in spans]
     start, end, score = best_window(analyzed, query_terms, window)
     if not spans:
-        return text[: window * 8]
-    lo = spans[start][1] if start < len(spans) else 0
-    hi = spans[end - 1][2] if end - 1 < len(spans) else len(text)
+        return escape(text[: window * 8])
+    # truncation is about TOKENS dropped, not characters: the snippet extends
+    # to the text boundaries when the window touches the first/last token (a
+    # doc starting with quotes/whitespace is not "truncated")
+    lo = spans[start][1] if start > 0 else 0
+    hi = spans[end - 1][2] if end < len(spans) else len(text)
     out = []
-    if lo > 0:
+    if start > 0:
         out.append(ellipsis.lstrip())
     cursor = lo
     for (tok, s, e), a in zip(spans[start:end], analyzed[start:end]):
-        out.append(text[cursor:s])
+        out.append(escape(text[cursor:s]))
         if a is not None and a in query_terms:
-            out.append(mark[0] + text[s:e] + mark[1])
+            out.append(mark[0] + escape(text[s:e]) + mark[1])
         else:
-            out.append(text[s:e])
+            out.append(escape(text[s:e]))
         cursor = e
-    out.append(text[cursor:hi] if hi > cursor else "")
-    if hi < len(text):
+    out.append(escape(text[cursor:hi]) if hi > cursor else "")
+    if end < len(spans):
         out.append(ellipsis.rstrip())
     return "".join(out)
 
 
 def snippets_for_hits(index, query: str, hits, window: int = 30,
-                      mark: Tuple[str, str] = ("<em>", "</em>")) -> List[str]:
+                      mark: Tuple[str, str] = ("<em>", "</em>"),
+                      html_escape: bool = True) -> List[str]:
     """Per-hit snippets through the INDEX's analyzer (stemming-aware matching,
-    idf-weighted window choice): ``hits`` is [(docid, score), ...]."""
+    idf-weighted window choice): ``hits`` is [(docid, score), ...]. Document
+    text is HTML-escaped by default (the markers are the only markup in the
+    output — SimpleHTMLEncoder semantics); pass html_escape=False for
+    plain-text consumers."""
+    import html as _html
+
     q_terms = {t: max(float(index.get_idf(t)), 0.1) for t in set(index.analyze(query))}
+    escape = _html.escape if html_escape else None
 
     def analyze_token(tok):
         out = index.analyze(tok)
@@ -106,5 +121,6 @@ def snippets_for_hits(index, query: str, hits, window: int = 30,
     result = []
     for docid, _ in hits:
         text = index.get_doc(docid) or ""
-        result.append(make_snippet(text, q_terms, analyze=analyze_token, window=window, mark=mark))
+        result.append(make_snippet(text, q_terms, analyze=analyze_token, window=window,
+                                   mark=mark, escape=escape))
     return result

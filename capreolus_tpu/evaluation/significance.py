@@ -92,8 +92,9 @@ def paired_t_test(a: Sequence[float], b: Sequence[float]) -> Dict[str, float]:
     mean = float(d.mean())
     if sd == 0.0:
         # identical per-query values: no evidence of difference (p=1) unless
-        # the constant shift itself is nonzero (p->0)
-        return {"t": float("inf") if mean != 0 else 0.0,
+        # the constant shift itself is nonzero (p->0; t carries the SIGN of
+        # the shift so the direction never contradicts mean_diff)
+        return {"t": math.copysign(float("inf"), mean) if mean != 0 else 0.0,
                 "p": 0.0 if mean != 0 else 1.0, "df": n - 1, "mean_diff": mean}
     t = mean / (sd / math.sqrt(n))
     return {"t": float(t), "p": t_sf_two_sided(t, n - 1), "df": n - 1, "mean_diff": mean}
@@ -138,10 +139,16 @@ def compare_runs(run_a, run_b, qrels, metrics: Sequence[str] = ("map",),
                  relevance_level: int = 1, iters: int = 100_000, seed: int = 42):
     """Per-metric paired comparison of two runs over their COMMON evaluated
     queries. Returns {metric: {mean_a, mean_b, diff, n, t, t_p, rand_p}}."""
+    from capreolus_tpu.evaluation.metrics import eval_run
+
+    # ONE evaluation pass per run covers every metric (re-ranking the run per
+    # metric would multiply the evaluation cost by len(metrics))
+    pq_a = eval_run(run_a, qrels, list(metrics), relevance_level=relevance_level, average=False)
+    pq_b = eval_run(run_b, qrels, list(metrics), relevance_level=relevance_level, average=False)
     report = {}
     for metric in metrics:
-        pa = per_query_metric(run_a, qrels, metric, relevance_level)
-        pb = per_query_metric(run_b, qrels, metric, relevance_level)
+        pa = {q: v[metric] for q, v in pq_a.items() if metric in v}
+        pb = {q: v[metric] for q, v in pq_b.items() if metric in v}
         common = sorted(set(pa) & set(pb))
         if len(pa) != len(common) or len(pb) != len(common):
             logger.warning("%s: comparing over %d common queries (run A evaluated %d, "

@@ -452,6 +452,9 @@ def load_pretrained_mlm_head(name: str, config: BertConfig):
         from transformers import BertForMaskedLM
 
         model = BertForMaskedLM.from_pretrained(name)
+    except Exception:
+        return None  # offline / no transformers: expected, train from init
+    try:
         sd = model.state_dict()
         emb = _np.asarray(sd["bert.embeddings.word_embeddings.weight"])  # [V, H]
         return {
@@ -468,7 +471,16 @@ def load_pretrained_mlm_head(name: str, config: BertConfig):
                 "bias": _np.asarray(sd["cls.predictions.bias"]).astype(_np.float32),
             },
         }
-    except Exception:
+    except Exception as e:
+        # the model LOADED but the state-dict mapping failed (e.g. a renamed
+        # key in a newer transformers): this must be loud — silently training
+        # from a random head while claiming the pretrained start is worse than
+        # failing
+        from capreolus_tpu.utils.loginit import get_logger
+
+        get_logger(__name__).warning(
+            "pretrained MLM head of %s loaded but could not be mapped (%s); "
+            "the SPLADE head will train from random init", name, e)
         return None
 
 

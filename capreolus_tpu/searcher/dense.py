@@ -58,20 +58,29 @@ def _quantized_disk_cache(cache_fn, emb, qmode):
         qdtype = np.int8 if qmode == "int8" else np.uint8
         qcols = d if qmode == "int8" else (d + d % 2) // 2
         tmpq, tmps = f"{qfn}.tmp{os.getpid()}", f"{sfn}.tmp{os.getpid()}"
-        qmm = open_memmap(tmpq, mode="w+", dtype=qdtype, shape=(n, qcols))
-        smm = open_memmap(tmps, mode="w+", dtype=np.float32, shape=(n,))
-        slab = max(1, (1 << 27) // max(4 * d, 1))  # ~128 MB of f32 rows per slab
-        quantize = quantize_rows if qmode == "int8" else quantize_rows_int4
-        for s0 in range(0, n, slab):
-            rows = np.asarray(emb[s0 : s0 + slab], dtype=np.float32)
-            q, sc = quantize(rows)
-            qmm[s0 : s0 + len(q)] = q
-            smm[s0 : s0 + len(q)] = sc
-        qmm.flush()
-        smm.flush()
-        del qmm, smm
-        os.replace(tmpq, qfn)
-        os.replace(tmps, sfn)
+        try:
+            qmm = open_memmap(tmpq, mode="w+", dtype=qdtype, shape=(n, qcols))
+            smm = open_memmap(tmps, mode="w+", dtype=np.float32, shape=(n,))
+            slab = max(1, (1 << 27) // max(4 * d, 1))  # ~128 MB of f32 rows per slab
+            quantize = quantize_rows if qmode == "int8" else quantize_rows_int4
+            for s0 in range(0, n, slab):
+                rows = np.asarray(emb[s0 : s0 + slab], dtype=np.float32)
+                q, sc = quantize(rows)
+                qmm[s0 : s0 + len(q)] = q
+                smm[s0 : s0 + len(q)] = sc
+            qmm.flush()
+            smm.flush()
+            del qmm, smm
+            os.replace(tmpq, qfn)
+            os.replace(tmps, sfn)
+        except BaseException:
+            # never leak corpus-sized tmp files on a crashed/raised build
+            for tmp in (tmpq, tmps):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+            raise
     return np.load(qfn, mmap_mode="r"), np.load(sfn, mmap_mode="r")
 
 

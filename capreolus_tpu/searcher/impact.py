@@ -142,7 +142,18 @@ class ImpactSearcher(Searcher):
                                      f"{sorted(tree)[:8]}); expected a trained "
                                      f"{self.config['encoder']} checkpoint")
                 params = jax.tree_util.tree_map(np.asarray, tree["bert"])
-                head_params = jax.tree_util.tree_map(np.asarray, tree[head_key])
+                restored_head = jax.tree_util.tree_map(np.asarray, tree[head_key])
+                # fail actionably on a structurally-different head (e.g. a
+                # splade checkpoint from before the MLM-head architecture) —
+                # otherwise the mismatch surfaces as an opaque flax scope
+                # error inside jit on the first query
+                if isinstance(restored_head, dict) and set(restored_head) != set(head_params):
+                    raise ValueError(
+                        f"checkpoint {ckpt}'s '{head_key}' head has submodules "
+                        f"{sorted(restored_head)} but this version expects "
+                        f"{sorted(head_params)}; the checkpoint predates the current "
+                        f"head architecture — retrain or use the matching version")
+                head_params = restored_head
                 self._random_init = False
                 logger.info("impact encoder + %s head restored from %s", head_key, ckpt)
 

@@ -206,16 +206,18 @@ class LateInteractionSearcher(Searcher):
             mask = np.concatenate(masks) if masks else np.zeros((0, maxlen), np.int8)
             from capreolus_tpu.utils.caching import TargetFileExists, cached_file
 
-            try:
-                # mask first, emb last: the existence check requires BOTH, and
-                # cached_file writes are atomic, so a crash between the two
-                # never leaves a loadable half-pair
-                with cached_file(mask_fn, "wb") as f:
-                    np.save(f, mask)
-                with cached_file(cache_fn, "wb") as f:
-                    np.save(f, emb)
-            except TargetFileExists:
-                pass
+            # mask first, emb last: the existence check requires BOTH, and
+            # cached_file writes are atomic, so a crash between the two never
+            # leaves a loadable half-pair. Each write gets its OWN race guard:
+            # a crash-orphaned mask must not stop the emb from being written
+            # on the retry (the pair would otherwise never self-heal and every
+            # run would re-encode the corpus)
+            for fn, arr in ((mask_fn, mask), (cache_fn, emb)):
+                try:
+                    with cached_file(fn, "wb") as f:
+                        np.save(f, arr)
+                except TargetFileExists:
+                    pass
         qmode = self.config.get("quantize", "none") or "none"
         quantized = qmode == "int8"
         n_docs, ld, dim = emb.shape

@@ -43,6 +43,25 @@ def test_make_snippet_marks_and_ellipses():
     assert "<em>" not in snip3
 
 
+def test_make_snippet_boundaries_and_escaping():
+    # a doc starting with punctuation is NOT truncated: no leading ellipsis,
+    # and the leading characters survive
+    text = '"alpha beta gamma" said someone'
+    snip = make_snippet(text, {"alpha": 1.0}, window=50)
+    assert snip.startswith('"alpha') or snip.startswith('"<em>alpha')
+    assert "…" not in snip
+
+    # document markup is escaped (SimpleHTMLEncoder role): corpus <em>/<script>
+    # can neither inject nor masquerade as highlighter output
+    import html
+
+    evil = "gamma <script>alert(1)</script> and a literal <em>tag</em>"
+    snip2 = make_snippet(evil, {"gamma": 1.0}, window=50, escape=html.escape)
+    assert "<script>" not in snip2 and "&lt;script&gt;" in snip2
+    assert snip2.count("<em>") == 1  # only the highlighter's own marker
+    assert "&lt;em&gt;" in snip2
+
+
 def test_snippets_for_hits_stemming_aware(tmpdir_as_cache):
     """Through the index analyzer, 'galaxies' in the query highlights the
     document's inflected surface forms (Porter: galaxies -> galaxi)."""
