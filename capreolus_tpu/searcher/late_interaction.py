@@ -68,6 +68,10 @@ class LateInteractionSearcher(Searcher):
                      "(packed nibble pairs: 4x the docs per HBM byte vs bf16 — the capacity "
                      "tier; chunks unpack to int8 on device and ride the same int8 MXU path; "
                      "resident exact engine only — exclusive with shards/prefilter/streaming)"),
+        ConfigOption("rescore", 200, "quantize=int4 two-stage depth: the packed engine "
+                     "retrieves this many candidates and a full-precision MaxSim rescore "
+                     "from the memory-mapped token-embedding disk cache restores the exact "
+                     "ranking (0 disables: rank by the 4-bit scores directly)"),
         ConfigOption("hbmbudget", 12000.0, "HBM budget (MB) for the resident token-embedding "
                      "tensor; corpora above it stream host-resident chunks through the device "
                      "with a running on-device top-k merge (the late-interaction analogue of the "
@@ -293,6 +297,15 @@ class LateInteractionSearcher(Searcher):
         chunk = min(int(self.config["chunk"]), max(n, 1))
         quantized = dscale is not None
 
+        # int4 is a CANDIDATE-GENERATION tier (like dense.py): 4-bit rounding
+        # blurs fine MaxSim order but keeps the true top-k inside a modest
+        # candidate pool, so the packed engine retrieves `rescore` candidates
+        # and a full-precision host rescore from the mmapped token-embedding
+        # cache restores the exact ranking (referee'd in tests/test_colbert.py)
+        qmode = self.config.get("quantize", "none") or "none"
+        rescore = int(self.config.get("rescore", 200) or 0) if qmode == "int4" else 0
+        engine_hits = min(max(rescore, hits), n) if rescore else hits
+
         shards = int(self.config.get("shards", 1))
         host_mode = isinstance(docs, np.ndarray)  # corpus > hbmbudget: host-resident
         if host_mode:
@@ -386,9 +399,45 @@ class LateInteractionSearcher(Searcher):
         else:
             @jax.jit
             def topk(q_emb, *corpus):
-                return jax.lax.top_k(chunked_scores(q_emb, *corpus), hits)
+                return jax.lax.top_k(chunked_scores(q_emb, *corpus), engine_hits)
 
+        if rescore:
+            topk = self._rescore_wrap(topk, n, hits)
         return topk, corpus, n
+
+    def _rescore_wrap(self, base_topk, n, hits):
+        """Two-stage int4 MaxSim: the packed engine generates ``rescore``
+        candidates; this wrapper re-scores them at full precision from the
+        memory-mapped token-embedding disk cache (per query: one
+        [Lq, dim] x [dim, r*Ld] host BLAS matmul + masked max/sum) and returns
+        the exact ranking whenever the true top-k is inside the candidate pool
+        (recall referee'd in tests/test_colbert.py). The dense analogue is
+        dense.py _rescore_wrap."""
+        emb_mm = np.load(self._doc_cache_file(), mmap_mode="r")
+        mask_mm = np.load(self._mask_file(), mmap_mode="r")
+
+        def topk(q_emb, *corpus):
+            s, o = base_topk(q_emb, *corpus)
+            s, o = np.asarray(s), np.asarray(o)
+            qf = np.asarray(q_emb, np.float32)              # [Q, Lq, dim]
+            valid = np.isfinite(s) & (o < n)
+            safe = np.where(valid, o, 0)
+            exact = np.full(s.shape, -np.inf, np.float32)
+            # per-query loop bounds the gathered full-precision candidate
+            # tensor to [r, Ld, dim] (the mmap pages in only touched rows)
+            for qi in range(o.shape[0]):
+                cand = np.asarray(emb_mm[safe[qi]], np.float32)   # [r, Ld, dim]
+                cmask = np.asarray(mask_mm[safe[qi]]) > 0         # [r, Ld]
+                r, ld, dim = cand.shape
+                sim = qf[qi] @ cand.reshape(r * ld, dim).T        # [Lq, r*Ld]
+                sim = np.where(cmask[None].reshape(1, r * ld), sim, -1e9)
+                per_tok = sim.reshape(-1, r, ld).max(axis=-1)     # [Lq, r]
+                exact[qi] = np.where(valid[qi], per_tok.sum(axis=0), -np.inf)
+            k = min(hits, exact.shape[1])
+            idx = np.argsort(-exact, kind="stable", axis=1)[:, :k]
+            return np.take_along_axis(exact, idx, 1), np.take_along_axis(o, idx, 1)
+
+        return topk
 
     def _search_all(self, topicsfn, output_path):
         from capreolus_tpu.searcher.tpu import _load_topics_tsv

@@ -338,7 +338,7 @@ def test_colbert_int4_quantized_search(tmpdir_as_cache, tmp_path):
     exact.index.create_index()
     run_exact = exact.query("telescope galaxies")
 
-    q4 = Searcher.create("colbert", {**base, "quantize": "int4"})
+    q4 = Searcher.create("colbert", {**base, "quantize": "int4", "rescore": 0})
     q4.index.create_index()
     run_q4 = q4.query("telescope galaxies")
     assert set(run_q4) == set(run_exact)
@@ -384,6 +384,45 @@ def test_colbert_int4_quantized_search(tmpdir_as_cache, tmp_path):
     tiny_budget.index.create_index()
     with pytest.raises(ConfigError):
         tiny_budget.query("telescope galaxies")
+
+
+def test_colbert_int4_two_stage_rescore(tmpdir_as_cache, tmp_path):
+    """quantize=int4 with rescore=R (the default mode): the packed engine
+    generates candidates and a full-precision host MaxSim from the mmapped
+    token-embedding cache restores the exact ranking — with R >= corpus the
+    run must match a numpy f32 MaxSim referee over the cache bit-for-bit in
+    ordering and to float tolerance in score."""
+    import numpy as np
+
+    from capreolus_tpu.searcher import Searcher
+
+    base = {"dim": 8, "maxdoclen": 32, "maxqlen": 8, "batch": 4, "chunk": 2,
+            "allowrandominit": True, "index": {"collection": {"name": "dummy"}}}
+    rescored = Searcher.create("colbert", {**base, "quantize": "int4", "rescore": 500})
+    rescored.index.create_index()
+    run = rescored.query("telescope galaxies")
+
+    # numpy full-precision referee straight from the disk cache
+    emb = np.load(rescored._doc_cache_file()).astype(np.float32)
+    mask = np.load(rescored._mask_file())
+    model, variables = rescored._encoder()
+    toks = rescored._tokenize(["telescope galaxies"], 8)
+    toks = np.concatenate([toks, np.zeros((3, 8), np.int32)])
+    q = np.asarray(rescored._encode_query_jit(variables, toks)[0])[0].astype(np.float32)
+    sims = np.einsum("le,nke->nlk", q, emb)                     # [N, Lq, Ld]
+    sims = np.where(mask[:, None, :] > 0, sims, -1e9)
+    ref = sims.max(axis=-1).sum(axis=-1)                        # [N]
+    ref = np.where(mask.any(axis=-1), ref, -np.inf)
+    docids = rescored.index.data.docid_strings
+    order = sorted(range(len(docids)), key=lambda i: (-ref[i], i))
+    valid = [i for i in order if np.isfinite(ref[i])]
+    assert list(run) == [docids[i] for i in valid[: len(run)]]
+    for i in valid[: len(run)]:
+        assert run[docids[i]] == pytest.approx(float(ref[i]), rel=1e-4, abs=1e-4)
+
+    # rescore path beats (or ties) the raw 4-bit ranking against the referee:
+    # the rescored winner IS the full-precision winner
+    assert list(run)[0] == docids[valid[0]]
 
 
 def test_colbert_streaming_matches_resident(tmpdir_as_cache, tmp_path):
