@@ -33,24 +33,30 @@ class BiEncoderModel(nn.Module):
     pooling: str = "mean"
     scale: float = 20.0  # cosine in [-1,1] is too flat for softmax/hinge losses
 
-    @nn.compact
+    def setup(self):
+        self.bert = BertEncoder(self.config)  # attribute name keeps the "bert" param path
+
+    def embed(self, toks, train=False):
+        """L2-normalized pooled embedding of one token batch ([B, L] -> [B, H]).
+        Exposed as a method so the InfoNCE training path (trainer.loss=infonce)
+        can embed queries/docs once each and build the in-batch logit matrix."""
+        # BERT's learned positions cap the sequence; longer extractor outputs
+        # (berttext's reference-parity default maxdoclen=800) truncate like
+        # HF's truncation=True instead of crashing on the position-add
+        toks = jnp.asarray(toks, dtype=jnp.int32)[:, : self.config.max_position]
+        mask = (toks != 0).astype(jnp.int32)  # WordPiece [PAD] = 0
+        hidden, _, _ = self.bert(toks, mask, train=train)
+        if self.pooling == "cls":
+            vec = hidden[:, 0]
+        else:
+            m = mask[..., None].astype(hidden.dtype)
+            vec = (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        vec = vec.astype(jnp.float32)
+        return vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-9)
+
     def __call__(self, querytoks, doctoks, query_idf=None, train=False):
-        encoder = BertEncoder(self.config, name="bert")
-
-        def embed(toks):
-            toks = jnp.asarray(toks, dtype=jnp.int32)
-            mask = (toks != 0).astype(jnp.int32)  # WordPiece [PAD] = 0
-            hidden, _, _ = encoder(toks, mask, train=train)
-            if self.pooling == "cls":
-                vec = hidden[:, 0]
-            else:
-                m = mask[..., None].astype(hidden.dtype)
-                vec = (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
-            vec = vec.astype(jnp.float32)
-            return vec / (jnp.linalg.norm(vec, axis=-1, keepdims=True) + 1e-9)
-
-        q = embed(querytoks)
-        d = embed(doctoks)
+        q = self.embed(querytoks, train=train)
+        d = self.embed(doctoks, train=train)
         return self.scale * (q * d).sum(axis=-1)
 
 
@@ -110,3 +116,23 @@ class BiEncoder(Reranker):
 
     score = Reranker.score_default
     test = Reranker.test_default
+
+    def encode(self, params, batch, rngs=None):
+        """(q, posdoc, negdoc-or-None) unit embeddings + the logit scale, for
+        the trainer's in-batch-negative InfoNCE loss (trainer.loss=infonce).
+        Each text is encoded ONCE; the trainer builds the [B, B(+B)] similarity
+        matrix, which under GSPMD data sharding spans the GLOBAL batch — every
+        chip's queries train against every chip's documents with XLA inserting
+        the all-gather over ICI (the DPR/GTR cross-device-negatives recipe)."""
+        model = self.build_model()
+
+        def emb(toks, i):
+            r = self.fold_rngs(rngs, i)
+            kwargs = {"rngs": r} if r is not None else {}
+            return model.apply(params, toks, train=r is not None,
+                               method=BiEncoderModel.embed, **kwargs)
+
+        q = emb(batch["query"], 0)
+        pos = emb(batch["posdoc"], 1)
+        neg = emb(batch["negdoc"], 2) if "negdoc" in batch else None
+        return q, pos, neg, float(self.config["scale"])

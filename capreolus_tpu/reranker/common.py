@@ -123,6 +123,18 @@ def lce_loss(group_scores, labels=None):
     return -jnp.mean(logprobs[:, 0])
 
 
+def infonce_loss(logits, labels):
+    """In-batch-negative contrastive loss (InfoNCE — the DPR/GTR dense-retrieval
+    recipe): ``logits`` is a [B, C] similarity matrix whose row i has its
+    positive at column ``labels[i]`` and every other column is another
+    example's document (plus optional hard negatives); the loss is categorical
+    CE against that index. Under the trainer's GSPMD data sharding the matrix
+    spans the GLOBAL batch, so cross-device negatives come from the sharded
+    matmul itself (XLA inserts the all-gather over ICI)."""
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logprobs, labels[:, None], axis=1))
+
+
 def margin_mse_loss(pos, neg, teacher_margin):
     """Margin-MSE knowledge distillation (Hofstaetter et al. 2020): the student
     matches the TEACHER's pos-neg score margin instead of a fixed hinge margin.
@@ -139,4 +151,7 @@ LOSS_FUNCTIONS = {
     # margin_mse is special-cased by the trainer: it needs the per-triple
     # teacher margin from the batch (sampler.name=distill provides it)
     "margin_mse": margin_mse_loss,
+    # infonce is special-cased by the trainer: it needs embeddings (not pair
+    # scores) from a reranker exposing encode() — see jax_trainer compute_loss
+    "infonce": infonce_loss,
 }

@@ -66,7 +66,9 @@ class SpladeModel(nn.Module):
 
     @nn.compact
     def _rep(self, toks, train=False):
-        toks = jnp.asarray(toks, dtype=jnp.int32)
+        # truncate to BERT's learned positions (HF truncation=True semantics)
+        # instead of crashing on berttext's 800-token default
+        toks = jnp.asarray(toks, dtype=jnp.int32)[:, : self.config.max_position]
         mask = (toks != 0).astype(jnp.int32)  # WordPiece [PAD] = 0
         encoder = BertEncoder(self.config, name="bert")
         hidden, _, _ = encoder(toks, mask, train=train)

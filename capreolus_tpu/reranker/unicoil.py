@@ -50,7 +50,9 @@ class UniCoilModel(nn.Module):
         tokweight = nn.Dense(1, name="tokweight")
 
         def weights(toks):
-            toks = jnp.asarray(toks, dtype=jnp.int32)
+            # truncate to BERT's learned positions (HF truncation=True
+            # semantics) instead of crashing on berttext's 800-token default
+            toks = jnp.asarray(toks, dtype=jnp.int32)[:, : self.config.max_position]
             mask = (toks != 0).astype(jnp.int32)  # WordPiece [PAD] = 0
             hidden, _, _ = encoder(toks, mask, train=train)
             w = nn.relu(tokweight(hidden.astype(jnp.float32))[..., 0])

@@ -116,8 +116,9 @@ class JaxTrainer(Trainer):
         ConfigOption("lr", 0.001, "learning rate"),
         ConfigOption("bertlr", 0.00002, "learning rate for bert/electra parameters"),
         ConfigOption("loss", "pairwise_hinge_loss", "pairwise_hinge_loss, pair_softmax_loss, "
-                     "crossentropy, lce, or margin_mse (teacher-margin distillation; needs "
-                     "sampler.name=distill)"),
+                     "crossentropy, lce, margin_mse (teacher-margin distillation; needs "
+                     "sampler.name=distill), or infonce (in-batch negatives with cross-device "
+                     "negative sharing; needs a reranker exposing encode, e.g. biencoder)"),
         ConfigOption("softmaxloss", False, "use softmax loss instead of hinge"),
         ConfigOption("fastforward", False, "resume from per-iteration checkpoints"),
         ConfigOption("validatefreq", 1, "validate every N iterations"),
@@ -404,6 +405,17 @@ class JaxTrainer(Trainer):
             raise ConfigError(
                 f"trainer.loss=lce needs a reranker with multi-negative scoring "
                 f"(score_lce); {type(reranker).module_name} does not support it")
+        if self.config["loss"] == "infonce" and not hasattr(reranker, "encode"):
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(
+                f"trainer.loss=infonce needs a reranker exposing embeddings (encode); "
+                f"{type(reranker).module_name} does not support it (use reranker.name=biencoder)")
+        if self.config["loss"] == "infonce" and self._pp_active():
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError("trainer.loss=infonce is not wired through the GPipe schedule "
+                              "(score_pp returns pair scores, not embeddings); use dp/tp/fsdp")
         # rerankers that opt in receive a dropout rng during the training forward
         # (parity: the reference's torch/HF models train with dropout active)
         use_rngs = bool(getattr(reranker, "accepts_rngs", False))
@@ -436,6 +448,19 @@ class JaxTrainer(Trainer):
                 loss = loss_fn(pos.astype(jnp.float32).reshape(-1),
                                neg.astype(jnp.float32).reshape(-1),
                                micro["teacher_margin"].astype(jnp.float32).reshape(-1))
+            elif self.config["loss"] == "infonce":
+                # in-batch negatives: [B, B] similarity matrix with the positive
+                # on the diagonal, plus each example's hard negative as B extra
+                # columns. The batch axis is sharded over 'data', so this matmul
+                # IS the cross-device-negatives recipe — GSPMD all-gathers the
+                # document embeddings over ICI and every chip's queries see the
+                # GLOBAL batch's documents (DPR/GTR at pod scale)
+                q, pos, neg, scale = reranker.encode(params, micro, **kwargs)
+                logits = q.astype(jnp.float32) @ pos.astype(jnp.float32).T
+                if neg is not None:
+                    logits = jnp.concatenate(
+                        [logits, q.astype(jnp.float32) @ neg.astype(jnp.float32).T], axis=1)
+                loss = loss_fn(scale * logits, jnp.arange(logits.shape[0]))
             else:
                 pos, neg = reranker.score(params, micro, **kwargs)
                 loss = loss_fn([pos.astype(jnp.float32), neg.astype(jnp.float32)])
