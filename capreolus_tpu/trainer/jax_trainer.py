@@ -42,6 +42,13 @@ ARRAY_KEYS = (
     "history", "doctf", "query_char", "doc_char", "teacher_margin",
 )
 
+# in-flight dispatch windows (see train()/predict()): how many steps/batches may
+# be queued on the device before the host blocks on the oldest result. Small
+# enough to bound device memory (each queued step holds one input batch), large
+# enough to hide the per-dispatch RTT of a tunneled/remote backend.
+TRAIN_PIPELINE_DEPTH = 8
+PREDICT_PIPELINE_DEPTH = 8
+
 
 def _ext(path, suffix):
     """Append a suffix without clobbering existing dots in the name (dev.best)."""
@@ -620,6 +627,12 @@ class JaxTrainer(Trainer):
                 profiling = True
             iter_start = time.time()
             iter_loss = []
+            # deferred loss fetch: float(loss) every step would sync the device
+            # per step (a full RTT through the tunneled backend); keeping a small
+            # window of in-flight loss scalars lets dispatch run ahead so host
+            # batch prep and device compute overlap. The window bounds in-flight
+            # device memory (each queued step holds its input batch on device).
+            pending_loss = []
             for step_i in range(self.steps_per_iter):
                 item = batch_queue.get()
                 if isinstance(item, BaseException):
@@ -629,7 +642,10 @@ class JaxTrainer(Trainer):
                 # fastforward resume replays identical regularization noise
                 step_rng = jax.random.fold_in(dropout_rng, niter * self.steps_per_iter + step_i)
                 params, opt_state, loss = train_step(params, opt_state, batches, step_rng)
-                iter_loss.append(float(loss))
+                pending_loss.append(loss)
+                if len(pending_loss) >= TRAIN_PIPELINE_DEPTH:
+                    iter_loss.append(float(pending_loss.pop(0)))
+            iter_loss.extend(float(x) for x in pending_loss)
             train_loss.append(float(np.mean(iter_loss)))
             logger.info("iter=%d loss=%.6f (%.1fs)", niter, train_loss[-1], time.time() - iter_start)
             if tb is not None:
@@ -730,7 +746,20 @@ class JaxTrainer(Trainer):
             cache = self._test_step_cache = {}
         test_step = cache.get(id(reranker))
 
+        import collections
         import itertools
+
+        # pipelined dispatch: JAX dispatch is async, so keeping a small window of
+        # in-flight batches (dispatch + copy_to_host_async, drain lagged) overlaps
+        # host batch prep and result transfer with device compute instead of
+        # syncing per batch — through the tunneled backend a per-batch sync costs
+        # a full RTT (PERF.md round 1); the window bounds in-flight device memory
+        pending = collections.deque()
+
+        def _drain_one():
+            dev_scores, d_pairs, d_valid = pending.popleft()
+            for (qid, docid), score in zip(d_pairs, np.asarray(dev_scores)[:d_valid]):
+                preds.setdefault(qid, {})[docid] = float(score)
 
         prepared = False
         while True:
@@ -754,9 +783,16 @@ class JaxTrainer(Trainer):
                 params = self._amp_pred_params(params)  # amp=pred/both: bf16 inference
             if test_step is None:
                 test_step = cache[id(reranker)] = self._jit(lambda p, batch: reranker.test(p, batch))
-            scores = np.asarray(test_step(params, batch))[:valid]
-            for (qid, docid), score in zip(pairs, scores):
-                preds.setdefault(qid, {})[docid] = float(score)
+            dev_scores = test_step(params, batch)
+            try:
+                dev_scores.copy_to_host_async()
+            except AttributeError:
+                pass  # non-array outputs (e.g. already-host results) just drain
+            pending.append((dev_scores, pairs, valid))
+            if len(pending) >= PREDICT_PIPELINE_DEPTH:
+                _drain_one()
+        while pending:
+            _drain_one()
 
         if pred_fn is not None:
             pred_fn = Path(pred_fn)
