@@ -65,6 +65,42 @@ class Sampler(ModuleBase):
 
 
 class TrainingSamplerMixin:
+    # trainer.negrefresh (ANCE-style hard-negative mining, Xiong et al. 2021
+    # "Approximate Nearest Neighbor Negative Contrastive Learning") replaces
+    # negative pools mid-training; samplers whose streams read the live pools
+    # support it (distill pre-builds teacher-filtered pools and opts out)
+    supports_hard_negative_refresh = True
+
+    def hard_negative_pool(self):
+        """The ORIGINAL per-qid negative pools (snapshot on first use): mining
+        re-scores these with the current model each refresh, so a refresh can
+        both shrink and re-grow the live pool without losing candidates."""
+        if not hasattr(self, "_orig_negdocs"):
+            self._orig_negdocs = {qid: list(docs) for qid, docs in self.qid_to_negdocs.items()}
+        return self._orig_negdocs
+
+    def set_hard_negatives(self, qid_to_hardnegs):
+        """Replace each qid's live negative pool with model-mined hard negatives
+        (trainer.negrefresh). Only docs from the original pool are accepted (the
+        qrels split already happened in prepare(), so everything in the pool is
+        non-relevant); a qid whose mined list is empty keeps its current pool.
+        The triplet/pair/LCE streams read the live pools per drawn sample, so
+        the swap takes effect immediately — including under the trainer's
+        producer thread (a dict-value replacement is an atomic ref swap)."""
+        pool = self.hard_negative_pool()
+        replaced = 0
+        for qid, hard in qid_to_hardnegs.items():
+            if qid not in self.qid_to_negdocs:
+                continue
+            allowed = set(pool[qid])
+            hard = [d for d in hard if d in allowed]
+            if hard:
+                self.qid_to_negdocs[qid] = hard
+                replaced += 1
+        logger.info("hard-negative refresh: replaced negative pools for %d/%d qids",
+                    replaced, len(self.qid_to_negdocs))
+        return replaced
+
     def clean(self):
         """Drop qids lacking either positive or negative docs (parity: sampler/__init__.py:55-70)."""
         total = 0
@@ -115,6 +151,9 @@ class DistillTripletSampler(TrainTripletSampler):
     reference, which has no distillation machinery."""
 
     module_name = "distill"
+    # the teacher-filtered pools are pre-built in generate_samples, so a live
+    # pool swap would silently do nothing — the trainer raises instead
+    supports_hard_negative_refresh = False
     config_spec = [
         ConfigOption("teacherrunfile", "", "TREC run file with teacher scores over the "
                      "training candidates (alternatively pass teacher_scores to prepare())"),

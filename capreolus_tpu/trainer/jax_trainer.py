@@ -50,6 +50,14 @@ TRAIN_PIPELINE_DEPTH = 8
 PREDICT_PIPELINE_DEPTH = 8
 
 
+def select_hard_negatives(preds, depth):
+    """{qid: {docid: score}} -> {qid: [depth hardest docids]}, score-descending
+    with docid tie-break (deterministic refresh given deterministic scores).
+    Pure so the numpy referee in tests/test_hard_negatives.py can pin it."""
+    return {qid: [d for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:depth]]
+            for qid, scores in preds.items()}
+
+
 def _ext(path, suffix):
     """Append a suffix without clobbering existing dots in the name (dev.best)."""
     path = Path(path)
@@ -129,6 +137,13 @@ class JaxTrainer(Trainer):
         ConfigOption("softmaxloss", False, "use softmax loss instead of hinge"),
         ConfigOption("fastforward", False, "resume from per-iteration checkpoints"),
         ConfigOption("validatefreq", 1, "validate every N iterations"),
+        ConfigOption("negrefresh", 0, "ANCE-style hard-negative refresh: every N iterations, "
+                     "re-score each training query's ORIGINAL candidate pool with the CURRENT "
+                     "model and replace the sampler's negative pools with the top neghard "
+                     "hardest (0 disables; needs a sampler whose stream reads live pools — "
+                     "triplet/pair/LCE, not distill)"),
+        ConfigOption("neghard", 200, "negrefresh pool depth: keep this many hardest "
+                     "(highest-scoring non-relevant) candidates per query"),
         ConfigOption("warmupiters", 0, "linear warmup iterations"),
         ConfigOption("decay", 0.0, "decay factor"),
         ConfigOption("decaytype", None, "decay type: exponential, linear, or None"),
@@ -512,6 +527,13 @@ class JaxTrainer(Trainer):
         batch_size = self.config["batch"]
         gradacc = self.config["gradacc"]
 
+        negrefresh = int(self.config.get("negrefresh") or 0)
+        if negrefresh > 0 and not getattr(train_dataset, "supports_hard_negative_refresh", False):
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(
+                f"trainer.negrefresh needs a sampler whose stream reads live negative pools "
+                f"(triplet/pair/LCE); {type(train_dataset).module_name} does not support it")
         train_iter = iter(train_dataset)
         first_samples = [next(train_iter) for _ in range(batch_size)]
         if self.config["loss"] == "margin_mse" and "teacher_margin" not in first_samples[0]:
@@ -684,6 +706,16 @@ class JaxTrainer(Trainer):
                     except Exception as e:
                         logger.debug("add_summary failed: %s", e)
 
+            # ANCE-style refresh (Xiong et al. 2021): periodically re-score the
+            # ORIGINAL candidate pools with the CURRENT model and hand the
+            # sampler the hardest negatives — the producer thread picks up the
+            # swapped pools on its next drawn triples. Skipped after the final
+            # iteration (nothing left to train on the refreshed pools).
+            if negrefresh and (niter + 1) % negrefresh == 0 and (niter + 1) < self.config["niters"]:
+                hard = self._mine_hard_negatives(reranker, train_dataset,
+                                                 self._pp_canonical(reranker, params))
+                train_dataset.set_hard_negatives(hard)
+
         stop_flag.append(True)
         if tb is not None:
             tb.close()
@@ -723,6 +755,27 @@ class JaxTrainer(Trainer):
         if device_supported(metrics):
             return eval_runs_device(preds, qrels, metrics, relevance_level)
         return eval_runs(preds, qrels, metrics, relevance_level)
+
+    def _mine_hard_negatives(self, reranker, train_dataset, params):
+        """Score every (qid, candidate) pair in the train sampler's ORIGINAL
+        negative pools with the CURRENT model (the pipelined predict loop) and
+        return the top-neghard hardest per query (trainer.negrefresh — the ANCE
+        recipe, Xiong et al. 2021, scoped to the first-stage candidate pool the
+        rerank task trains from). The mining sampler is cached on the train
+        sampler so its materialized features are extracted once per fold, not
+        once per refresh."""
+        mining = getattr(train_dataset, "_mining_sampler", None)
+        if mining is None:
+            from capreolus_tpu.sampler import Sampler
+
+            pool = train_dataset.hard_negative_pool()
+            mining = Sampler.create("pred", {})
+            # empty qrels per qid: everything in the pool is already non-relevant
+            # (prepare() split rel/neg against the real qrels)
+            mining.prepare(pool, {qid: {} for qid in pool}, train_dataset.extractor)
+            train_dataset._mining_sampler = mining
+        preds = self.predict(reranker, mining, params=params)
+        return select_hard_negatives(preds, int(self.config["neghard"]))
 
     def predict(self, reranker, pred_data, pred_fn=None, params=None):
         """Score all (qid, docid) pairs in a PredSampler; returns {qid: {docid: score}}
