@@ -81,11 +81,17 @@ def main():
         eng = eng or engine
         qs = qs or queries
         start = time.perf_counter()
-        pending = []
-        for i in range(0, NUM_QUERIES, BATCH):
-            fn = eng.search_pruned if pruned else eng.search
-            pending.append(fn(qs[i : i + BATCH], model="bm25", params=params, topk=topk,
-                              materialize=False, score_dtype="bfloat16", pack_ords=True))
+        batches = [qs[i : i + BATCH] for i in range(0, NUM_QUERIES, BATCH)]
+        if pruned:
+            # pipelined pruned mode: host span building runs on a worker thread
+            # ahead of dispatch (search_pruned_stream) instead of serializing
+            pending = eng.search_pruned_stream(batches, model="bm25", params=params,
+                                               topk=topk, materialize=False,
+                                               score_dtype="bfloat16", pack_ords=True)
+        else:
+            pending = [eng.search(b, model="bm25", params=params, topk=topk,
+                                  materialize=False, score_dtype="bfloat16", pack_ords=True)
+                       for b in batches]
         for p in pending:
             p.get()
         return time.perf_counter() - start

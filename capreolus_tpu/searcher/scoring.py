@@ -491,6 +491,7 @@ class ScoringEngine:
         self._cap_cache = {}  # (term_id, cap) -> kept-span arrays for maxpostings
         self._theta_cache = {}  # (term_id, (k1, b)) -> span-head (docs, contributions)
         self._prune_effective = {}  # (topk, k1, b) -> sticky does-pruning-pay decision
+        self._span_executor = None  # lazy 1-thread pool for search_pruned_stream
 
     def _check_accumulator_bounds(self, num_queries: int):
         # the exact path's flat accumulator index qidx * (num_docs+1) + doc is
@@ -1194,6 +1195,62 @@ class ScoringEngine:
                                exact_topk=False, **kw)
         return self.search(term_lists, model=model, params=params, topk=topk,
                            prune_spans=spans, exact_topk=False, **kw)
+
+    def search_pruned_stream(self, batches, model="bm25", params=None, topk=1000, **kw):
+        """Pipelined exact block-max pruned search over many query batches.
+
+        The host span-building cost (threshold + range bounds + span extraction,
+        ~4 ms/batch native) is the reason pruning measured 0.78-0.87x in
+        pipelined throughput mode (PERF.md round 3): built inline, it sits on
+        the serial dispatch path and delays every batch's device work. Here it
+        runs on a single worker thread AHEAD of dispatch — the native builder
+        and numpy both release the GIL — so bound work overlaps device compute
+        and transfers instead of serializing with them.
+
+        Returns a list (batch order) of whatever ``search`` returns for the
+        given kwargs (pass ``materialize=False`` to pipeline device fetches
+        too). Results are bit-identical to exhaustive ``search``. Adaptive like
+        search_pruned: if the first batch shows no tile savings (no doc-id
+        locality), the remaining batches skip bound work entirely; the sticky
+        per-(topk, params) decision is shared with search_pruned.
+        """
+        params = dict(params or {"k1": 0.9, "b": 0.4})
+        batches = list(batches)
+        key = (int(topk), float(params.get("k1", 0.9)), float(params.get("b", 0.4)))
+
+        def exhaustive(b):
+            return self.search(b, model=model, params=params, topk=topk,
+                               exact_topk=False, **kw)
+
+        if (not batches or not self.supports_pruning(model)
+                or self._prune_effective.get(key) is False):
+            return [exhaustive(b) for b in batches]
+
+        # probe: batch 0 built inline decides stickiness (same criterion as
+        # search_pruned's probe 1 — tile savings; the wall-clock A/B is not
+        # needed here because host cost leaves the critical path entirely)
+        spans0 = self._build_prune_spans(batches[0], model, params, topk)
+        if spans0 is None:
+            self._prune_effective.setdefault(key, False)
+            return [exhaustive(b) for b in batches]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._span_executor is None:
+            self._span_executor = ThreadPoolExecutor(max_workers=1,
+                                                     thread_name_prefix="prune-spans")
+        futs = [self._span_executor.submit(self._build_prune_spans, b, model, params, topk)
+                for b in batches[1:]]
+        out = []
+        for b, spans in zip(batches, [spans0] + futs):
+            if spans is not spans0:
+                spans = spans.result()
+            if spans is None:  # query-mix shift: keep exactness per batch
+                out.append(exhaustive(b))
+            else:
+                out.append(self.search(b, model=model, params=params, topk=topk,
+                                       prune_spans=spans, exact_topk=False, **kw))
+        return out
 
     # ------------------------------------------------------------------ public API
     def search(

@@ -97,15 +97,26 @@ class TpuSearcherMixin:
                      and engine.supports_pruning(self.model))
         prune_params = {**fixed, **dict(zip(param_axes, combos[0]))} if use_prune else None
 
-        for start in range(0, len(topics), QUERY_BATCH):
-            batch = topics[start : start + QUERY_BATCH]
-            term_lists = [self.query_weights(text, engine) for _, text in batch]
-            if use_prune:
-                scores, doc_ords = engine.search_pruned(term_lists, model=self.model,
-                                                        params=prune_params, topk=hits)
-            else:
-                scores, doc_ords = engine.search(term_lists, model=self.model, params=fixed, grid=grid,
-                                                 topk=hits, max_postings_per_term=max_postings)
+        batches = [topics[s : s + QUERY_BATCH] for s in range(0, len(topics), QUERY_BATCH)]
+        batch_terms = [[self.query_weights(text, engine) for _, text in b] for b in batches]
+        # pipelined dispatch: all batches go to the device up front with lazy
+        # materialization, so host work (pruning bound spans on a worker thread,
+        # run-dict building below) overlaps device compute and result transfers
+        if use_prune:
+            pending = engine.search_pruned_stream(batch_terms, model=self.model,
+                                                  params=prune_params, topk=hits,
+                                                  materialize=False)
+        else:
+            pending = [engine.search(tl, model=self.model, params=fixed, grid=grid,
+                                     topk=hits, max_postings_per_term=max_postings,
+                                     materialize=False)
+                       for tl in batch_terms]
+
+        for batch, term_lists, res in zip(batches, batch_terms, pending):
+            if hasattr(res, "get"):
+                scores, doc_ords = res.get()
+            else:  # exact-topk path returns device arrays directly
+                scores, doc_ords = (np.asarray(res[0]), np.asarray(res[1]))
             # axes: [len(p1), ..., len(pk), Q, hits] ordered by sorted param name
             flat_scores = scores.reshape(len(combos), len(batch), -1)
             flat_ords = doc_ords.reshape(len(combos), len(batch), -1)

@@ -330,3 +330,44 @@ def test_table_less_terms_stay_exact():
                                prune_spans=spans, exact_topk=False)
         np.testing.assert_array_equal(np.asarray(eo), np.asarray(po), err_msg=name)
         np.testing.assert_array_equal(np.asarray(es), np.asarray(ps), err_msg=name)
+
+
+def test_pruned_stream_bit_identical_and_pipelined():
+    """search_pruned_stream (worker-thread span building, pipelined dispatch)
+    returns bit-identical results to exhaustive search per batch, engages
+    pruning on a clustered corpus, and goes sticky-exhaustive on corpora
+    without tile savings."""
+    data, rng = _make_corpus(seed=9, clustered=True)
+    engine = ScoringEngine(DeviceIndex(data))
+    df = np.diff(data.term_offsets)
+    cands = np.where(df > 50)[0]
+    batches = [[[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
+                for _ in range(8)] for _ in range(3)]
+    pending = engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
+                                          topk=10, materialize=False)
+    assert len(pending) == len(batches)
+    for b, res in zip(batches, pending):
+        ps, po = res.get()
+        es, eo = engine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+    st = engine.last_prune_stats
+    assert st["kept_tiles"] < 0.9 * st["total_tiles"], st
+
+    # uniformly random corpus: probe batch shows no tile savings -> sticky off,
+    # remaining batches skip bound work and results stay correct
+    rdata, rrng = _make_corpus(seed=10, clustered=False)
+    rengine = ScoringEngine(DeviceIndex(rdata))
+    rdf = np.diff(rdata.term_offsets)
+    rcands = np.where(rdf > 50)[0]
+    rbatches = [[[(int(t), 1.0) for t in rrng.choice(rcands, size=4, replace=False)]
+                 for _ in range(8)] for _ in range(2)]
+    rpending = rengine.search_pruned_stream(rbatches, model="bm25", params=PARAMS,
+                                            topk=10, materialize=False)
+    key = (10, PARAMS["k1"], PARAMS["b"])
+    assert rengine._prune_effective.get(key) is False
+    for b, res in zip(rbatches, rpending):
+        ps, po = res.get()
+        es, eo = rengine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
