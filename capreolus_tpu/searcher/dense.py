@@ -621,21 +621,38 @@ class DenseSearcher(Searcher):
                     "(~%.0fx FLOP cut vs exact)", k, n, max_size, n / max(k, 1), nprobe,
                     max(1.0, n / max(1, nprobe * max_size)))
 
+        # cluster-major permute + msz rows of zero padding at the tail: every
+        # cell [start, start+size) is contiguous AND every probe can read a
+        # full [msz, D] slab with one lax.dynamic_slice — XLA lowers the
+        # vmapped slice to ONE gather with slice_sizes=(msz, D) (contiguous
+        # multi-MB slab reads at HBM bandwidth). A [Q, msz] row-index gather
+        # here instead reads row-by-row and was measured 10x off the memory
+        # roofline at 2M docs (PERF.md round-3 IVF section).
         order_d = jnp.asarray(order, jnp.int32)
+        msz = max_size
         if quantized:
-            sorted_docs = {"emb": docs["emb"][order_d], "scale": docs["scale"][order_d]}
+            dim = docs["emb"].shape[1]
+            sorted_docs = {
+                "emb": jnp.concatenate(
+                    [docs["emb"][order_d], jnp.zeros((msz, dim), docs["emb"].dtype)]),
+                "scale": jnp.concatenate(
+                    [docs["scale"][order_d], jnp.zeros((msz,), docs["scale"].dtype)]),
+            }
         else:
-            sorted_docs = docs[order_d]
+            sorted_docs = jnp.concatenate(
+                [docs[order_d], jnp.zeros((msz, docs.shape[1]), docs.dtype)])
         # steady state holds ONE (cluster-major) corpus copy: drop the cached
         # unsorted original so the searcher never keeps 2x the corpus in HBM
         # for its lifetime (the permute gather is transiently 2x; a later
         # non-IVF build_topk re-loads from the disk embedding cache)
         self._docs_emb = None
         del docs
-        meta = {"docs": sorted_docs, "order": order_d,
+        # order padded with the sentinel n so masked slab lanes (sorted
+        # ordinals >= n) map to "no document" before the -inf filter
+        order_pad = jnp.concatenate([order_d, jnp.full((msz,), n, jnp.int32)])
+        meta = {"docs": sorted_docs, "order": order_pad,
                 "starts": jnp.asarray(starts), "sizes": jnp.asarray(sizes),
                 "centroids": centroids}
-        msz = max_size
 
         @jax.jit
         def topk(q_emb, meta):
@@ -652,15 +669,20 @@ class DenseSearcher(Searcher):
                 base = meta["starts"][p]
                 idx = base[:, None] + jnp.arange(msz)[None, :]          # [Q, msz] sorted-ordinals
                 valid = jnp.arange(msz)[None, :] < meta["sizes"][p][:, None]
-                safe = jnp.clip(idx, 0, n - 1)
+                dim = q_emb.shape[1]
                 if quantized:
-                    d = meta["docs"]["emb"][safe]                       # [Q, msz, D] int8
+                    d = jax.vmap(lambda s0: jax.lax.dynamic_slice(
+                        meta["docs"]["emb"], (s0, 0), (msz, dim)))(base)  # [Q, msz, D] slabs
+                    dsc = jax.vmap(lambda s0: jax.lax.dynamic_slice(
+                        meta["docs"]["scale"], (s0,), (msz,)))(base)
                     isc = jnp.einsum("qd,qmd->qm", q_i8, d, preferred_element_type=jnp.int32)
-                    s = isc.astype(jnp.float32) * qscale[:, None] * meta["docs"]["scale"][safe]
+                    s = isc.astype(jnp.float32) * qscale[:, None] * dsc
                 else:
-                    s = jnp.einsum("qd,qmd->qm", qf, meta["docs"][safe],
+                    d = jax.vmap(lambda s0: jax.lax.dynamic_slice(
+                        meta["docs"], (s0, 0), (msz, dim)))(base)        # [Q, msz, D] slabs
+                    s = jnp.einsum("qd,qmd->qm", qf, d,
                                    preferred_element_type=jnp.float32)
-                return jnp.where(valid, s, -jnp.inf), safe
+                return jnp.where(valid, s, -jnp.inf), idx
 
             # lax.map over probes bounds the gather to one cell at a time
             ps, pidx = jax.lax.map(probe_scores, jnp.swapaxes(probes, 0, 1))

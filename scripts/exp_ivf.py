@@ -55,7 +55,7 @@ def main():
     N = int(os.environ.get("EXP_N", 4_000_000))
     K = int(os.environ.get("EXP_K", 2048))
     NPROBE = int(os.environ.get("EXP_NPROBE", 32))
-    DIM, Q = 768, 256
+    DIM, Q = 768, int(os.environ.get("EXP_Q", 256))
     rng = np.random.Generator(np.random.PCG64(0))
     n_topics = 2000
     centroids = rng.standard_normal((n_topics, DIM), dtype=np.float32)
