@@ -490,7 +490,8 @@ class ScoringEngine:
         self.dindex = device_index
         self._cap_cache = {}  # (term_id, cap) -> kept-span arrays for maxpostings
         self._theta_cache = {}  # (term_id, (k1, b)) -> span-head (docs, contributions)
-        self._prune_effective = {}  # (topk, k1, b) -> sticky does-pruning-pay decision
+        self._prune_effective = {}  # (topk, k1, b) -> sticky does-SYNCHRONOUS-pruning-pay (wall-clock A/B)
+        self._prune_tiles_ok = {}  # (topk, k1, b) -> sticky do-spans-drop-tiles (shared sync + stream)
         self._span_executor = None  # lazy 1-thread pool for search_pruned_stream
 
     def _check_accumulator_bounds(self, num_queries: int):
@@ -1169,8 +1170,10 @@ class ScoringEngine:
                             100.0 * self.last_prune_stats["kept_tiles"]
                             / max(1, self.last_prune_stats["total_tiles"]))
                 self._prune_effective[key] = False
+                self._prune_tiles_ok[key] = False
                 return self.search(term_lists, model=model, params=params, topk=topk,
                                    exact_topk=False, **kw)
+            self._prune_tiles_ok[key] = True
             # warm both executables first so first-compile time (tens of
             # seconds over a remote-compile tunnel) can't poison the A/B
             run_pruned = lambda: self.search(term_lists, model=model, params=params, topk=topk,
@@ -1196,7 +1199,8 @@ class ScoringEngine:
         return self.search(term_lists, model=model, params=params, topk=topk,
                            prune_spans=spans, exact_topk=False, **kw)
 
-    def search_pruned_stream(self, batches, model="bm25", params=None, topk=1000, **kw):
+    def search_pruned_stream(self, batches, model="bm25", params=None, topk=1000,
+                             window=4, **kw):
         """Pipelined exact block-max pruned search over many query batches.
 
         The host span-building cost (threshold + range bounds + span extraction,
@@ -1207,32 +1211,55 @@ class ScoringEngine:
         and numpy both release the GIL — so bound work overlaps device compute
         and transfers instead of serializing with them.
 
-        Returns a list (batch order) of whatever ``search`` returns for the
-        given kwargs (pass ``materialize=False`` to pipeline device fetches
-        too). Results are bit-identical to exhaustive ``search``. Adaptive like
-        search_pruned: if the first batch shows no tile savings (no doc-id
-        locality), the remaining batches skip bound work entirely; the sticky
-        per-(topk, params) decision is shared with search_pruned.
+        Returns a lazy iterator (batch order) of whatever ``search`` returns
+        for the given kwargs (pass ``materialize=False`` to pipeline device
+        fetches too). At most ``window`` batches' device work is in flight at
+        once: with every batch dispatched up front, ALL batches' result
+        buffers (and, in hbmbudget streaming mode, their working-set tile
+        uploads) would be device-resident simultaneously — unbounded HBM,
+        exactly what the trainer's in-flight windows bound. Results are
+        bit-identical to exhaustive ``search``. Adaptive like search_pruned on
+        the TILE-SAVINGS criterion only: if the first batch shows no tile
+        savings (no doc-id locality), the remaining batches skip bound work
+        entirely. search_pruned's wall-clock A/B verdict is deliberately NOT
+        consulted — it measures inline host bound-work, which this mode moves
+        off the critical path, so a synchronous "pruning loses" decision must
+        not disable the stream (the regression this method exists to close).
         """
         params = dict(params or {"k1": 0.9, "b": 0.4})
         batches = list(batches)
         key = (int(topk), float(params.get("k1", 0.9)), float(params.get("b", 0.4)))
+        window = max(1, int(window))
 
         def exhaustive(b):
             return self.search(b, model=model, params=params, topk=topk,
                                exact_topk=False, **kw)
 
+        def windowed(result_iter):
+            from collections import deque
+
+            buf = deque()
+            for r in result_iter:
+                buf.append(r)
+                if len(buf) > window:
+                    yield buf.popleft()
+            while buf:
+                yield buf.popleft()
+
         if (not batches or not self.supports_pruning(model)
-                or self._prune_effective.get(key) is False):
-            return [exhaustive(b) for b in batches]
+                or self._prune_tiles_ok.get(key) is False):
+            return windowed(exhaustive(b) for b in batches)
 
         # probe: batch 0 built inline decides stickiness (same criterion as
         # search_pruned's probe 1 — tile savings; the wall-clock A/B is not
         # needed here because host cost leaves the critical path entirely)
         spans0 = self._build_prune_spans(batches[0], model, params, topk)
         if spans0 is None:
+            self._prune_tiles_ok[key] = False
+            # no tile savings means the synchronous mode cannot pay either
             self._prune_effective.setdefault(key, False)
-            return [exhaustive(b) for b in batches]
+            return windowed(exhaustive(b) for b in batches)
+        self._prune_tiles_ok[key] = True
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -1241,16 +1268,18 @@ class ScoringEngine:
                                                      thread_name_prefix="prune-spans")
         futs = [self._span_executor.submit(self._build_prune_spans, b, model, params, topk)
                 for b in batches[1:]]
-        out = []
-        for b, spans in zip(batches, [spans0] + futs):
-            if spans is not spans0:
-                spans = spans.result()
-            if spans is None:  # query-mix shift: keep exactness per batch
-                out.append(exhaustive(b))
-            else:
-                out.append(self.search(b, model=model, params=params, topk=topk,
-                                       prune_spans=spans, exact_topk=False, **kw))
-        return out
+
+        def dispatch():
+            for b, spans in zip(batches, [spans0] + futs):
+                if spans is not spans0:
+                    spans = spans.result()
+                if spans is None:  # query-mix shift: keep exactness per batch
+                    yield exhaustive(b)
+                else:
+                    yield self.search(b, model=model, params=params, topk=topk,
+                                      prune_spans=spans, exact_topk=False, **kw)
+
+        return windowed(dispatch())
 
     # ------------------------------------------------------------------ public API
     def search(

@@ -24,6 +24,24 @@ from capreolus_tpu.utils.loginit import get_logger
 logger = get_logger(__name__)
 
 QUERY_BATCH = 64
+# in-flight device batches during pipelined search dispatch: enough depth that
+# result transfers overlap the next batches' compute, small enough that result
+# buffers / streaming working sets can't accumulate without bound in HBM
+DISPATCH_WINDOW = 4
+
+
+def _windowed(result_iter, window=DISPATCH_WINDOW):
+    """Drain ``result_iter`` (whose construction IS the device dispatch) at
+    most ``window`` items ahead of the consumer."""
+    from collections import deque
+
+    buf = deque()
+    for r in result_iter:
+        buf.append(r)
+        if len(buf) > window:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
 
 
 def _load_topics_tsv(topicsfn):
@@ -99,18 +117,24 @@ class TpuSearcherMixin:
 
         batches = [topics[s : s + QUERY_BATCH] for s in range(0, len(topics), QUERY_BATCH)]
         batch_terms = [[self.query_weights(text, engine) for _, text in b] for b in batches]
-        # pipelined dispatch: all batches go to the device up front with lazy
-        # materialization, so host work (pruning bound spans on a worker thread,
-        # run-dict building below) overlaps device compute and result transfers
+        # pipelined dispatch with a bounded in-flight window: lazy materialization
+        # lets host work (pruning bound spans on a worker thread, run-dict
+        # building below) overlap device compute and result transfers, while the
+        # window caps device residency — a grid sweep's per-batch results are
+        # [combos, Q, hits] and hbmbudget streaming uploads per-batch working
+        # sets, so dispatching every batch up front would hold them ALL in HBM
         if use_prune:
             pending = engine.search_pruned_stream(batch_terms, model=self.model,
                                                   params=prune_params, topk=hits,
-                                                  materialize=False)
+                                                  materialize=False,
+                                                  window=DISPATCH_WINDOW)
         else:
-            pending = [engine.search(tl, model=self.model, params=fixed, grid=grid,
-                                     topk=hits, max_postings_per_term=max_postings,
-                                     materialize=False)
-                       for tl in batch_terms]
+            pending = _windowed(
+                (engine.search(tl, model=self.model, params=fixed, grid=grid,
+                               topk=hits, max_postings_per_term=max_postings,
+                               materialize=False)
+                 for tl in batch_terms),
+                DISPATCH_WINDOW)
 
         for batch, term_lists, res in zip(batches, batch_terms, pending):
             if hasattr(res, "get"):

@@ -209,9 +209,20 @@ class JaxTrainer(Trainer):
         return jax.jit(fn, **kwargs)
 
     def _loss_fn(self):
-        if self.config["softmaxloss"]:
-            return LOSS_FUNCTIONS["pair_softmax_loss"]
         loss = self.config["loss"]
+        if self.config["softmaxloss"]:
+            # the reference flag swaps the pairwise HINGE for pair softmax
+            # (tensorflow.py loss handling); compute_loss dispatches the
+            # structured losses (lce/crossentropy/margin_mse/infonce) on
+            # config['loss'], so silently substituting pair_softmax_loss there
+            # would feed it mismatched shapes and train on a garbage objective
+            if loss not in ("pairwise_hinge_loss", "pair_hinge_loss", "pair_softmax_loss"):
+                from capreolus_tpu.core import ConfigError
+
+                raise ConfigError(
+                    f"trainer.softmaxloss replaces the pairwise hinge and cannot be combined "
+                    f"with trainer.loss={loss}; drop softmaxloss or set loss=pair_softmax_loss")
+            return LOSS_FUNCTIONS["pair_softmax_loss"]
         if loss not in LOSS_FUNCTIONS:
             from capreolus_tpu.core import ConfigError
 
@@ -542,6 +553,25 @@ class JaxTrainer(Trainer):
             raise ConfigError("trainer.loss=margin_mse needs per-triple teacher margins "
                               "in the samples; use sampler.name=distill with a teacher "
                               "run file (sampler.teacherrunfile)")
+        if self.config["loss"] == "infonce":
+            # the infonce branch treats every row's posdoc as a TRUE positive
+            # (diagonal labels) and negdoc as ONE hard negative; the pair
+            # stream alternates pos/neg docs in the posdoc slot and LCE stacks
+            # [nneg, L] negatives — both would train silently on a corrupted
+            # objective rather than erroring
+            neg0 = first_samples[0].get("negdoc")
+            # pair streams emit a zeros negdoc placeholder with negdocid="" —
+            # the real discriminator is whether a negative doc was sampled
+            if (neg0 is None or np.asarray(neg0).ndim != 1
+                    or not first_samples[0].get("negdocid")):
+                from capreolus_tpu.core import ConfigError
+
+                raise ConfigError(
+                    "trainer.loss=infonce needs a triplet-form stream (one true positive in "
+                    "posdoc plus a single hard negative in negdoc per sample); use "
+                    f"sampler.name=triplet or distill — sampler.name="
+                    f"{type(train_dataset).module_name} is incompatible (pair alternates "
+                    "pos/neg in the posdoc slot; LCE stacks nneg negatives per sample)")
         init_batch = collate(first_samples, ARRAY_KEYS)
         params = reranker.init_params(jax.random.PRNGKey(self.config["seed"]), init_batch)
         dropout_rng = jax.random.PRNGKey(self.config["seed"] + 0x5eed)

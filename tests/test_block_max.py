@@ -344,13 +344,15 @@ def test_pruned_stream_bit_identical_and_pipelined():
     batches = [[[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
                 for _ in range(8)] for _ in range(3)]
     pending = engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
-                                          topk=10, materialize=False)
-    assert len(pending) == len(batches)
+                                          topk=10, materialize=False, window=2)
+    consumed = 0
     for b, res in zip(batches, pending):
         ps, po = res.get()
         es, eo = engine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
         np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
         np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+        consumed += 1
+    assert consumed == len(batches)
     st = engine.last_prune_stats
     assert st["kept_tiles"] < 0.9 * st["total_tiles"], st
 
@@ -364,9 +366,13 @@ def test_pruned_stream_bit_identical_and_pipelined():
                  for _ in range(8)] for _ in range(2)]
     rpending = rengine.search_pruned_stream(rbatches, model="bm25", params=PARAMS,
                                             topk=10, materialize=False)
+    first = next(rpending)  # the lazy stream probes on first dispatch
     key = (10, PARAMS["k1"], PARAMS["b"])
+    assert rengine._prune_tiles_ok.get(key) is False
     assert rengine._prune_effective.get(key) is False
-    for b, res in zip(rbatches, rpending):
+    import itertools as _it
+
+    for b, res in zip(rbatches, _it.chain([first], rpending)):
         ps, po = res.get()
         es, eo = rengine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
         np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))

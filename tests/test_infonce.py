@@ -126,3 +126,32 @@ def test_infonce_requires_encode(tmpdir_as_cache, tmp_path):
     with pytest.raises(ConfigError, match="encode"):
         reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
                                benchmark.qrels, metric="map")
+
+
+def test_infonce_rejects_pair_sampler(tmpdir_as_cache, tmp_path):
+    """The pair stream alternates pos/neg docs in the posdoc slot, so infonce's
+    diagonal labels would pull negatives toward their queries — the trainer
+    must refuse instead of silently training a corrupted objective."""
+    from capreolus_tpu.core import ConfigError
+
+    reranker = _make_biencoder()
+    benchmark = _prepare(reranker)
+    sampler = Sampler.create("pair")
+    sampler.prepare(RUN, benchmark.qrels, reranker.extractor)
+    dev = Sampler.create("pred")
+    dev.prepare(RUN, benchmark.qrels, reranker.extractor)
+    with pytest.raises(ConfigError, match="triplet"):
+        reranker.trainer.train(reranker, sampler, tmp_path / "t", dev, tmp_path / "d",
+                               benchmark.qrels, metric="map")
+
+
+def test_infonce_rejects_softmaxloss_override(tmpdir_as_cache, tmp_path):
+    """trainer.softmaxloss replaces the pairwise hinge; combined with a
+    structured loss (infonce) it must error instead of silently feeding the
+    [B, C] logit matrix into the pair-softmax function."""
+    from capreolus_tpu.core import ConfigError
+
+    reranker = _make_biencoder()
+    reranker.trainer.config = dict(reranker.trainer.config, softmaxloss=True)
+    with pytest.raises(ConfigError, match="softmaxloss"):
+        reranker.trainer._loss_fn()
