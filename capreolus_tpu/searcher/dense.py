@@ -199,9 +199,10 @@ class DenseSearcher(Searcher):
             ckpt = self.config.get("checkpointfile")
             if ckpt:
                 # a trained biencoder checkpoint: its 'bert' submodule IS the encoder
-                from flax import serialization
+                from capreolus_tpu.utils.sharded_ckpt import restore_params
 
-                restored = serialization.msgpack_restore(open(ckpt, "rb").read())
+                # flat flax msgpack file OR a trainer.ckpt=sharded directory
+                restored = restore_params(ckpt)
                 tree = restored.get("params", restored)
                 if "bert" not in tree:
                     raise ValueError(f"checkpoint {ckpt} has no 'bert' submodule "

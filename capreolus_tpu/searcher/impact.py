@@ -132,9 +132,10 @@ class ImpactSearcher(Searcher):
 
             ckpt = self.config.get("checkpointfile")
             if ckpt:
-                from flax import serialization
+                from capreolus_tpu.utils.sharded_ckpt import restore_params
 
-                restored = serialization.msgpack_restore(open(ckpt, "rb").read())
+                # flat flax msgpack file OR a trainer.ckpt=sharded directory
+                restored = restore_params(ckpt)
                 tree = restored.get("params", restored)
                 missing = [k for k in ("bert", head_key) if k not in tree]
                 if missing:

@@ -121,9 +121,10 @@ class LateInteractionSearcher(Searcher):
                                         "bert": jax.tree_util.tree_map(np.asarray, bert_params)}}
             ckpt = self.config.get("checkpointfile")
             if ckpt:
-                from flax import serialization
+                from capreolus_tpu.utils.sharded_ckpt import restore_params
 
-                restored = serialization.msgpack_restore(open(ckpt, "rb").read())
+                # flat flax msgpack file OR a trainer.ckpt=sharded directory
+                restored = restore_params(ckpt)
                 tree = restored.get("params", restored)
                 for sub in ("bert", "linear"):
                     if sub not in tree:

@@ -136,6 +136,10 @@ class JaxTrainer(Trainer):
                      "negative sharing; needs a reranker exposing encode, e.g. biencoder)"),
         ConfigOption("softmaxloss", False, "use softmax loss instead of hinge"),
         ConfigOption("fastforward", False, "resume from per-iteration checkpoints"),
+        ConfigOption("ckpt", "flat", "checkpoint format: flat (single-file flax bytes, gathers "
+                     "to one host), sharded (per-shard raw .npy — each process writes only its "
+                     "addressable shards, restores across different mesh layouts), or "
+                     "sharded_async (sharded + background file writes off the train loop)"),
         ConfigOption("validatefreq", 1, "validate every N iterations"),
         ConfigOption("negrefresh", 0, "ANCE-style hard-negative refresh: every N iterations, "
                      "re-score each training query's ORIGINAL candidate pool with the CURRENT "
@@ -747,6 +751,7 @@ class JaxTrainer(Trainer):
                 train_dataset.set_hard_negatives(hard)
 
         stop_flag.append(True)
+        self._wait_for_checkpoints()  # async writes durable before train() returns
         if tb is not None:
             tb.close()
         self._params = self._pp_canonical(reranker, params)
@@ -926,17 +931,64 @@ class JaxTrainer(Trainer):
         return it
 
     # ------------------------------------------------------------------ checkpoints
+    def _ckpt_mode(self):
+        mode = str(self.config.get("ckpt", "flat"))
+        if mode not in ("flat", "sharded", "sharded_async"):
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(f"trainer.ckpt must be flat, sharded, or sharded_async (got {mode!r})")
+        return mode
+
     def save_checkpoint(self, path, params, opt_state, reranker):
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         saveable = self._strip_frozen(reranker, params)
+        mode = self._ckpt_mode()
+        if mode != "flat":
+            from capreolus_tpu.utils.sharded_ckpt import AsyncCheckpointer, save_sharded
+
+            ac = None
+            if mode == "sharded_async":
+                if getattr(self, "_async_ckpt", None) is None:
+                    self._async_ckpt = AsyncCheckpointer()
+                ac = self._async_ckpt
+            save_sharded(_ext(path, ".params.shards"), saveable, async_checkpointer=ac)
+            save_sharded(_ext(path, ".optstate.shards"), opt_state, async_checkpointer=ac)
+            done = _ext(path, ".done")
+            if ac is not None:  # done must cover BOTH trees: chain it on the writer
+                ac.after(lambda: done.write_text("done"))
+            else:
+                done.write_text("done")
+            return
         _ext(path, ".params").write_bytes(serialization.to_bytes(saveable))
         _ext(path, ".optstate").write_bytes(serialization.to_bytes(opt_state))
         _ext(path, ".done").write_text("done")
 
+    def _wait_for_checkpoints(self):
+        """Join any in-flight async checkpoint writes (no-op otherwise)."""
+        ac = getattr(self, "_async_ckpt", None)
+        if ac is not None:
+            ac.wait()
+
     def load_checkpoint(self, path, params, opt_state=None, reranker=None):
         path = Path(path)
+        self._wait_for_checkpoints()
         saveable = self._strip_frozen(reranker, params)
+        pdir = _ext(path, ".params.shards")
+        from capreolus_tpu.utils.sharded_ckpt import is_sharded_checkpoint, load_sharded
+
+        if is_sharded_checkpoint(pdir):
+            # restore each leaf onto the template's OWN sharding — a checkpoint
+            # saved under a different mesh layout reshards here (assembly is by
+            # global index ranges, placement by the target sharding)
+            shardings = jax.tree_util.tree_map(lambda x: getattr(x, "sharding", None), saveable)
+            loaded = load_sharded(pdir, like=saveable, shardings=shardings)
+            params = self._merge_frozen(reranker, params, loaded)
+            odir = _ext(path, ".optstate.shards")
+            if opt_state is not None and is_sharded_checkpoint(odir):
+                osh = jax.tree_util.tree_map(lambda x: getattr(x, "sharding", None), opt_state)
+                opt_state = load_sharded(odir, like=opt_state, shardings=osh)
+            return params, opt_state
         loaded = serialization.from_bytes(saveable, _ext(path, ".params").read_bytes())
         params = self._merge_frozen(reranker, params, loaded)
         if opt_state is not None and _ext(path, ".optstate").exists():
