@@ -430,15 +430,87 @@ class TpuIndex(Index):
             **{f"pt_{k}": v for k, v in prune_tables.items()},
         )
 
+    # ------------------------------------------------------ incremental writes
+    def _check_incremental_supported(self):
+        if (self.config["docreorder"] or "none") != "none":
+            from capreolus_tpu.core import ConfigError
+
+            raise ConfigError(
+                "incremental indexing requires index.docreorder=none (reordered "
+                "internal ordinals would have to be recomputed on every merge); "
+                "rebuild the index with docreorder=none to use add/delete_documents"
+            )
+
+    def add_documents(self, docs):
+        """Append documents to a built index (Lucene IndexWriter.addDocuments:
+        the reference gets this via Anserini's Lucene writer,
+        /root/reference/capreolus/index/anserini.py). ``docs`` is an iterable
+        of (docid, contents). The docs are tokenized once and buffered as an
+        on-disk segment; the next ``.data`` access (or ``refresh()``) merges
+        pending segments into a new index generation whose artifacts are
+        identical to a from-scratch build over the combined corpus."""
+        self._check_incremental_supported()
+        self.create_index()
+        from capreolus_tpu.index import segments
+
+        op = segments.write_add_op(self.get_index_path(), docs, self._analyzer(),
+                                   self.config["storepositions"])
+        self._dirty = True
+        return op
+
+    def delete_documents(self, docids):
+        """Buffer deletion tombstones for external docids (Lucene
+        IndexWriter.deleteDocuments); applied and compacted at the next merge."""
+        self._check_incremental_supported()
+        self.create_index()
+        from capreolus_tpu.index import segments
+
+        op = segments.write_delete_op(self.get_index_path(), docids)
+        self._dirty = True
+        return op
+
+    def refresh(self):
+        """Merge pending ops (if any) and re-open at the newest generation;
+        returns the current generation number. Readers that never write see
+        pending ops merged automatically on their first ``.data`` access."""
+        self._dirty = True
+        self._load()
+        return self.generation
+
+    @property
+    def generation(self):
+        """Commit generation of the artifacts currently on disk (0 = the
+        original build). Engine caches key on this to notice merges."""
+        from capreolus_tpu.index import segments
+
+        return segments.generation(self.get_index_path())
+
     # ------------------------------------------------------------------ load/access
     def _load(self):
-        if getattr(self, "_data", None) is not None:
+        if getattr(self, "_data", None) is not None and not getattr(self, "_dirty", False):
             return self._data
         self.create_index()
         index_path = self.get_index_path()
-        npz = np.load(index_path / "postings.npz")
+        from capreolus_tpu.index import segments
+
+        if segments.pending_ops(index_path):
+            self._check_incremental_supported()
+            segments.merge_pending(index_path, self._save_artifacts,
+                                   self.config["storepositions"])
+        self._dirty = False
+        self._data = None
+        art = segments.artifacts_dir(index_path)
+        npz = np.load(art / "postings.npz")
         found_version = int(npz["layout_version"]) if "layout_version" in npz.files else 0
         if found_version != LAYOUT_VERSION:
+            if art != index_path:
+                # a generation from a future/older layout holds docs added via
+                # add_documents that a collection rebuild would silently drop
+                raise RuntimeError(
+                    f"index generation at {art} uses postings layout v{found_version} "
+                    f"(current v{LAYOUT_VERSION}) and contains incrementally added "
+                    f"documents; rebuild it by re-indexing and re-adding"
+                )
             # stale cache from an older postings layout: rebuild in place (the
             # done file lives inside index_path, so removing the dir resets it)
             logger.warning("index at %s uses postings layout v%d (current v%d); rebuilding",
@@ -449,31 +521,31 @@ class TpuIndex(Index):
             shutil.rmtree(index_path, ignore_errors=True)
             self.create_index()
             npz = np.load(index_path / "postings.npz")
-        vocab_list = (index_path / "vocab.txt").read_text(encoding="utf-8").splitlines()
-        docid_strings = (index_path / "docids.txt").read_text(encoding="utf-8").splitlines()
+        vocab_list = (art / "vocab.txt").read_text(encoding="utf-8").splitlines()
+        docid_strings = (art / "docids.txt").read_text(encoding="utf-8").splitlines()
         # the postings-sized arrays are memory-mapped (read-only): the index is
         # disk-resident like Lucene's; every consumer copies slices, never
         # mutates (scoring tile builders, sharded partitioner, RM3 feedback)
         mmap_mode = "r" if bool(self.config.get("mmap", True)) else None
         self._data = IndexData(
             term_offsets=npz["term_offsets"],
-            doc_ids=np.load(index_path / "postings_doc_ids.npy", mmap_mode=mmap_mode),
-            tfs=np.load(index_path / "postings_tfs.npy", mmap_mode=mmap_mode),
+            doc_ids=np.load(art / "postings_doc_ids.npy", mmap_mode=mmap_mode),
+            tfs=np.load(art / "postings_tfs.npy", mmap_mode=mmap_mode),
             doclens=npz["doclens"],
             norm_doclens=npz["norm_doclens"],
             docid_strings=docid_strings,
             vocab={t: i for i, t in enumerate(vocab_list)},
             fwd_offsets=npz["fwd_offsets"],
-            fwd_term_ids=np.load(index_path / "postings_fwd_term_ids.npy", mmap_mode=mmap_mode),
-            fwd_tfs=np.load(index_path / "postings_fwd_tfs.npy", mmap_mode=mmap_mode),
+            fwd_term_ids=np.load(art / "postings_fwd_term_ids.npy", mmap_mode=mmap_mode),
+            fwd_tfs=np.load(art / "postings_fwd_tfs.npy", mmap_mode=mmap_mode),
             prune_tables={k[3:]: npz[k] for k in npz.files if k.startswith("pt_")} or None,
-            tile_dir=(index_path / "tiles") if mmap_mode else None,
+            tile_dir=(art / "tiles") if mmap_mode else None,
         )
         self._docid_to_ord = {d: i for i, d in enumerate(docid_strings)}
-        self._doc_spans = np.load(index_path / "doc_spans.npy")
+        self._doc_spans = np.load(art / "doc_spans.npy")
         self._docs_bin = np.memmap(index_path / "docs.bin", dtype=np.uint8, mode="r")
         if (index_path / "docterms.bin").exists():
-            self._docterm_spans = np.load(index_path / "docterm_spans.npy")
+            self._docterm_spans = np.load(art / "docterm_spans.npy")
             self._docterms_bin = np.memmap(index_path / "docterms.bin", dtype=np.int32, mode="r")
         else:
             self._docterm_spans = None

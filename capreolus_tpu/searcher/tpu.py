@@ -64,12 +64,15 @@ class TpuSearcherMixin:
     model = "bm25"  # scoring model key in SCORING_MODELS
 
     def get_engine(self) -> ScoringEngine:
-        if getattr(self, "_engine", None) is None:
-            self.index.create_index()
+        self.index.create_index()
+        data = self.index.data  # merges any pending incremental ops first
+        gen = getattr(self.index, "generation", 0)
+        if getattr(self, "_engine", None) is None or getattr(self, "_engine_gen", None) != gen:
             budget_mb = float(self.config.get("hbmbudget", 12000))
             self._engine = ScoringEngine(DeviceIndex(
-                self.index.data,
+                data,
                 hbm_budget=budget_mb * 1e6 if budget_mb > 0 else None))
+            self._engine_gen = gen
         return self._engine
 
     def grid_params(self):

@@ -38,7 +38,31 @@ class RetrievalService:
         # pruning pays (measured 1.58x per batch at 2M docs, PERF.md round 3);
         # the engine's A/B probe still auto-disables it when it does not
         self.pruning = bool(pruning)
-        self._docids = index.data.docid_strings
+        self._generation = getattr(index, "generation", 0)
+        self._hbm_budget_mb = hbm_budget_mb
+
+    @property
+    def _docids(self):
+        return self.engine.dindex.host.docid_strings
+
+    def refresh(self) -> bool:
+        """NRT reopen (Lucene's SearcherManager.maybeRefresh): merge any
+        pending incremental index ops (TpuIndex.add/delete_documents) and swap
+        in a fresh engine over the new generation. Returns True when the
+        served index changed. In-flight searches keep the old engine — the
+        swap is one reference assignment."""
+        from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+
+        if hasattr(self.index, "refresh"):
+            self.index.refresh()
+        gen = getattr(self.index, "generation", 0)
+        if gen == self._generation:
+            return False
+        data = self.index.data
+        self.engine = ScoringEngine(DeviceIndex(
+            data, hbm_budget=self._hbm_budget_mb * 1e6 if self._hbm_budget_mb > 0 else None))
+        self._generation = gen
+        return True
 
     @classmethod
     def from_config(cls, collection: str = "dummy", collection_path: Optional[str] = None,
@@ -54,29 +78,35 @@ class RetrievalService:
         index = Index.create("tpu", {**index_config, "collection": coll_cfg})
         return cls(index, model=model, params=params)
 
-    def _analyze(self, query: str):
-        vocab = self.index.data.vocab
+    def _analyze(self, query: str, vocab=None):
+        if vocab is None:
+            vocab = self.index.data.vocab
         counts = Counter(self.index.analyze(query))
         return [(vocab[t], float(c)) for t, c in counts.items() if t in vocab]
 
     def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
         """Returns, per query, the top-k (docid, score) pairs."""
+        # point-in-time view: vocab/docids come from the ENGINE's own host
+        # data so a concurrent refresh() can never mix generations
+        engine = self.engine
+        host = engine.dindex.host
+        docids = host.docid_strings
         results: List[List[Tuple[str, float]]] = []
         for start in range(0, len(queries), self.batch_size):
             batch = queries[start : start + self.batch_size]
-            term_lists = [self._analyze(q) for q in batch]
-            if self.pruning and self.engine.supports_pruning(self.model):
-                scores, ords = self.engine.search_pruned(term_lists, model=self.model,
-                                                         params=self.params, topk=k)
+            term_lists = [self._analyze(q, host.vocab) for q in batch]
+            if self.pruning and engine.supports_pruning(self.model):
+                scores, ords = engine.search_pruned(term_lists, model=self.model,
+                                                    params=self.params, topk=k)
             else:
-                scores, ords = self.engine.search(term_lists, model=self.model,
-                                                  params=self.params, topk=k)
+                scores, ords = engine.search(term_lists, model=self.model,
+                                             params=self.params, topk=k)
             for qi in range(len(batch)):
                 hits = []
                 for s, o in zip(scores[qi], ords[qi]):
                     if s <= 0.0:
                         break
-                    hits.append((self._docids[int(o)], float(s)))
+                    hits.append((docids[int(o)], float(s)))
                 results.append(hits)
         return results
 

@@ -18,6 +18,9 @@ Endpoints:
     GET  /health     -> {"ok": true, "corpus_size": N}
     GET  /stats      -> query/batch counters + latency percentiles (observability)
     GET  /document?docid=X -> {"docid": ..., "text": ...}
+    POST /refresh    merge pending incremental index ops (TpuIndex.add/delete_documents)
+                     and swap in the new generation (Lucene NRT reopen)
+                     -> {"refreshed": bool, "generation": N, "corpus_size": N}
 """
 
 from __future__ import annotations
@@ -173,7 +176,10 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0,
     worker thread is the only one that touches the device). ``window_ms=0``
     still batches whatever is already queued, just without waiting."""
     batcher = MicroBatcher(service, window_ms=window_ms)
-    corpus_size = len(getattr(service, "_docids", []) or [])
+    refresh_lock = threading.Lock()
+
+    def corpus_size():
+        return len(getattr(service, "_docids", []) or [])
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through the framework logger
@@ -190,7 +196,7 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0,
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/health":
-                self._reply(200, {"ok": True, "corpus_size": corpus_size})
+                self._reply(200, {"ok": True, "corpus_size": corpus_size()})
             elif url.path == "/stats":
                 self._reply(200, batcher.stats.snapshot())
             elif url.path == "/document":
@@ -207,8 +213,26 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0,
                 self._reply(404, {"error": f"unknown path {url.path!r}"})
 
         def do_POST(self):
-            if urlparse(self.path).path != "/search":
-                self._reply(404, {"error": "POST /search only"})
+            path = urlparse(self.path).path
+            if path == "/refresh":
+                # NRT reopen: merge pending incremental index ops and swap the
+                # served engine (service.refresh). In-flight searches finish on
+                # the old engine; the lock only serializes concurrent refreshes.
+                if not hasattr(service, "refresh"):
+                    self._reply(400, {"error": "service does not support refresh"})
+                    return
+                try:
+                    with refresh_lock:
+                        changed = bool(service.refresh())
+                    gen = getattr(getattr(service, "index", None), "generation", None)
+                    self._reply(200, {"refreshed": changed, "generation": gen,
+                                      "corpus_size": corpus_size()})
+                except Exception as e:
+                    logger.exception("refresh failed")
+                    self._reply(500, {"error": f"refresh failed: {e}"})
+                return
+            if path != "/search":
+                self._reply(404, {"error": "POST /search or /refresh only"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
