@@ -23,6 +23,9 @@ BATCH = 32
 SEQLEN = 256
 NUM_DOCS = 2048
 
+if os.environ.get("BENCH_SMOKE"):  # CPU end-to-end validation of the bench logic
+    BATCH, SEQLEN, NUM_DOCS = 8, 64, 32
+
 
 def measure(configure_cache=True, quantize="none"):
     """Returns monoBERT docs/sec/chip (BERT-base, 256-token sequences, bf16;

@@ -26,11 +26,17 @@ downstream engine (scoring, pruning, RM3, SDM) is oblivious to how the index
 was grown (equality pinned in tests/test_incremental.py).
 
 Durability notes: the shared doc stores (docs.bin / docterms.bin) are
-append-only — a crash mid-merge leaves at most unreferenced trailing bytes
-(old generations never point at them; a re-run re-appends). Op directories
-are created under a dot-tmp name and renamed into place, and are only removed
-after the CURRENT swap; each generation records the ops it consumed so a
-failed cleanup cannot double-apply.
+append-only. A merge journal records the pre-append EOFs keyed by the target
+generation, so a failed attempt's orphan bytes are truncated on retry instead
+of accumulating; deleted documents' bytes are reclaimed by the offline
+``compact_doc_stores`` (rewrites the stores into a versioned ``store-K/`` dir
+and commits a hardlinked generation atomically). Op directories are created
+under a dot-tmp name and renamed into place, and are only removed after the
+CURRENT swap; each generation records the ops it consumed so a failed cleanup
+cannot double-apply, and op sequence numbers stay monotonic across merges
+(consumed names are never reused). The previous generation is kept for one
+extra commit (deleted at N+2) so in-flight readers — including ones that
+lazily materialize tile artifacts — survive one refresh.
 
 Term ids are append-only across generations (like Lucene, terms whose df
 drops to zero keep their id until they naturally vanish from a future fresh
@@ -119,6 +125,20 @@ def generation(index_path: Path) -> int:
     return 0 if d == index_path else int(d.name.split("-", 1)[1])
 
 
+def store_dir(index_path: Path) -> Path:
+    """Directory holding the shared doc stores (docs.bin / docterms.bin) that
+    the CURRENT generation's spans point into: named by store_name.txt in the
+    artifacts dir (written by compact_doc_stores), else the index root."""
+    art = artifacts_dir(index_path)
+    fn = art / "store_name.txt"
+    if fn.exists():
+        d = index_path / fn.read_text(encoding="utf-8").strip()
+        if d.is_dir():
+            return d
+        logger.warning("store_name.txt at %s names a missing store dir; falling back to root", art)
+    return index_path
+
+
 def _consumed_ops(art_dir: Path) -> set:
     fn = art_dir / "consumed_ops.json"
     if fn.exists():
@@ -142,12 +162,18 @@ def pending_ops(index_path: Path) -> list:
 
 
 def _next_seq(index_path: Path) -> int:
+    """Monotonic op sequence numbers across merges. Merged op dirs are
+    rmtree'd after commit, so scanning dirs alone would reset the sequence;
+    a reused name would match consumed_ops.json and the new op would be
+    silently filtered out of pending_ops (data loss). Take the max over both
+    live op dirs AND the names the current generation already consumed."""
+    seqs = [0]
     ops_dir = index_path / OPS_DIR
-    if not ops_dir.is_dir():
-        return 1
-    seqs = [int(d.name.split("-", 1)[0]) for d in ops_dir.iterdir()
-            if d.is_dir() and not d.name.startswith(".")]
-    return max(seqs, default=0) + 1
+    if ops_dir.is_dir():
+        seqs += [int(d.name.split("-", 1)[0]) for d in ops_dir.iterdir()
+                 if d.is_dir() and not d.name.startswith(".")]
+    seqs += [int(name.split("-", 1)[0]) for name in _consumed_ops(artifacts_dir(index_path))]
+    return max(seqs) + 1
 
 
 def _read_lines(fn: Path) -> list:
@@ -356,8 +382,35 @@ def _merge_pending_locked(index_path, save_artifacts, store_positions):
 
     docid_to_ord = {d: i for i, d in enumerate(docids)}
     alive = [True] * len(docids)
-    docs_bin = index_path / "docs.bin"
-    docterms_bin = index_path / "docterms.bin"
+    sdir = store_dir(index_path)
+    docs_bin = sdir / "docs.bin"
+    docterms_bin = sdir / "docterms.bin"
+
+    # merge journal: a failed attempt's doc-store appends are unreferenced
+    # trailing bytes. Record the pre-append EOFs keyed by the target
+    # generation; a retry truncates them back so failed merges never grow
+    # the stores. If the journal's target generation already committed (a
+    # crash in the tiny window between the CURRENT swap and journal cleanup),
+    # the appended bytes ARE referenced and must not be touched.
+    cur_gen = generation(index_path)
+    gen = cur_gen + 1
+    journal_fn = index_path / ".merge_journal.json"
+    if journal_fn.exists():
+        j = json.loads(journal_fn.read_text(encoding="utf-8"))
+        if j.get("target_gen", 0) > cur_gen:
+            for key, fn in (("docs_bin", docs_bin), ("docterms_bin", docterms_bin)):
+                if key in j and fn.exists() and fn.stat().st_size > j[key]:
+                    logger.warning("truncating %s to %d bytes (failed merge attempt)",
+                                   fn, j[key])
+                    os.truncate(fn, j[key])
+        journal_fn.unlink()
+    journal = {"target_gen": gen,
+               "docs_bin": docs_bin.stat().st_size if docs_bin.exists() else 0}
+    if store_positions:
+        journal["docterms_bin"] = docterms_bin.stat().st_size if docterms_bin.exists() else 0
+    journal_tmp = index_path / ".merge_journal.json.tmp"
+    journal_tmp.write_text(json.dumps(journal), encoding="utf-8")
+    os.replace(journal_tmp, journal_fn)
 
     for op in ops:
         op_ids = _read_lines(op / "docids.txt")
@@ -426,7 +479,6 @@ def _merge_pending_locked(index_path, save_artifacts, store_positions):
     fwd_offsets = np.zeros(num_docs + 1, dtype=np.int64)
     np.cumsum(np.bincount(doc_ords, minlength=num_docs), out=fwd_offsets[1:])
 
-    gen = generation(index_path) + 1
     tmp = index_path / f".tmp-gen-{gen}"
     if tmp.exists():
         shutil.rmtree(tmp)
@@ -450,19 +502,133 @@ def _merge_pending_locked(index_path, save_artifacts, store_positions):
         np.save(tmp / "docterm_spans.npy", docterm_spans)
     consumed = sorted(_consumed_ops(art) | {op.name for op in ops})
     (tmp / "consumed_ops.json").write_text(json.dumps(consumed), encoding="utf-8")
+    if sdir != index_path:  # carry the compacted-store pointer forward
+        (tmp / "store_name.txt").write_text(sdir.name, encoding="utf-8")
 
     gen_dir = index_path / f"gen-{gen}"
+    if gen_dir.exists():  # leftover from a crashed pre-commit attempt
+        shutil.rmtree(gen_dir)
     os.rename(tmp, gen_dir)
     # the commit point: one atomic pointer swap (Lucene's segments_N rename)
     current_tmp = index_path / ".CURRENT.tmp"
     current_tmp.write_text(gen_dir.name, encoding="utf-8")
     os.replace(current_tmp, index_path / "CURRENT")
+    journal_fn.unlink(missing_ok=True)  # appended bytes are now referenced
     # cleanup is best-effort; consumed_ops.json guards against double-apply
     for op in ops:
         shutil.rmtree(op, ignore_errors=True)
-    old_gen = art if art != index_path else None
-    if old_gen is not None:
-        shutil.rmtree(old_gen, ignore_errors=True)
+    # deferred deletion policy (Lucene KeepOnlyLastCommit, softened by one):
+    # keep generation N-1 so in-flight readers — including ones that lazily
+    # materialize tile artifacts like exact_dl.npy on first QL/DFR use —
+    # stay valid across one refresh; delete N-2 and older.
+    for old in index_path.glob("gen-*"):
+        try:
+            n = int(old.name.split("-", 1)[1])
+        except ValueError:
+            continue
+        if old.is_dir() and n <= gen - 2:
+            shutil.rmtree(old, ignore_errors=True)
     logger.info("committed index generation %d: %d docs, %d terms, %d postings (%d ops merged)",
                 gen, num_docs, num_terms, len(tfs), len(ops))
     return True
+
+
+# ---------------------------------------------------------------- compaction
+def compact_doc_stores(index_path: Path, store_positions: bool) -> int:
+    """Offline doc-store compaction (Lucene forceMerge's stored-fields rewrite):
+    the shared docs.bin/docterms.bin are append-only, so deleted documents'
+    bytes and failed-merge orphans accumulate. This rewrites them with only
+    the bytes the CURRENT generation references, into a fresh versioned
+    ``store-K/`` dir, and commits a new generation whose unchanged postings
+    artifacts are HARDLINKED (zero copy) — the swap is the same atomic CURRENT
+    rename merges use, so a crash leaves the index serving the old store.
+    OFFLINE utility: older generations and the old store are deleted, so
+    in-flight point-in-time readers of previous generations must be closed.
+    Returns bytes reclaimed."""
+    with _WriterLock(index_path):
+        art = artifacts_dir(index_path)
+        old_store = store_dir(index_path)
+        spans = np.load(art / "doc_spans.npy")
+        old_docs = np.memmap(old_store / "docs.bin", dtype=np.uint8, mode="r")
+        old_size = (old_store / "docs.bin").stat().st_size
+        has_terms = store_positions and (old_store / "docterms.bin").exists()
+        if has_terms:
+            old_size += (old_store / "docterms.bin").stat().st_size
+
+        existing = [int(d.name.split("-", 1)[1]) for d in index_path.glob("store-*") if d.is_dir()]
+        K = max(existing, default=0) + 1
+        tmp_store = index_path / f".tmp-store-{K}"
+        if tmp_store.exists():
+            shutil.rmtree(tmp_store)
+        tmp_store.mkdir()
+
+        new_offsets = [0]
+        with open(tmp_store / "docs.bin", "wb") as f:
+            for lo, hi in spans:
+                f.write(old_docs[lo:hi].tobytes())
+                new_offsets.append(new_offsets[-1] + int(hi - lo))
+        off = np.asarray(new_offsets, dtype=np.int64)
+        new_spans = np.stack([off[:-1], off[1:]], axis=1)
+        new_term_spans = None
+        if has_terms:
+            tspans = np.load(art / "docterm_spans.npy")  # int32-element offsets
+            old_terms = np.memmap(old_store / "docterms.bin", dtype=np.int32, mode="r")
+            toffsets = [0]
+            with open(tmp_store / "docterms.bin", "wb") as f:
+                for lo, hi in tspans:
+                    f.write(old_terms[lo:hi].tobytes())
+                    toffsets.append(toffsets[-1] + int(hi - lo))
+            toff = np.asarray(toffsets, dtype=np.int64)
+            new_term_spans = np.stack([toff[:-1], toff[1:]], axis=1)
+        os.rename(tmp_store, index_path / f"store-{K}")
+
+        gen = generation(index_path) + 1
+        tmp = index_path / f".tmp-gen-{gen}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir()
+        skip = {"doc_spans.npy", "docterm_spans.npy", "store_name.txt"}
+        for fn in art.iterdir():
+            if fn.name in skip or fn.name.startswith((".", "gen-", "store-")) or fn.name in (
+                    OPS_DIR, "CURRENT", "write.lock", "docs.bin", "docterms.bin"):
+                continue
+            if fn.is_dir():
+                if fn.name == "tiles":  # keep the warm tile cache, zero-copy
+                    (tmp / "tiles").mkdir()
+                    for t in fn.iterdir():
+                        if t.is_file():
+                            os.link(t, tmp / "tiles" / t.name)
+                continue
+            os.link(fn, tmp / fn.name)
+        np.save(tmp / "doc_spans.npy", new_spans)
+        if new_term_spans is not None:
+            np.save(tmp / "docterm_spans.npy", new_term_spans)
+        (tmp / "store_name.txt").write_text(f"store-{K}", encoding="utf-8")
+
+        gen_dir = index_path / f"gen-{gen}"
+        if gen_dir.exists():
+            shutil.rmtree(gen_dir)
+        os.rename(tmp, gen_dir)
+        current_tmp = index_path / ".CURRENT.tmp"
+        current_tmp.write_text(gen_dir.name, encoding="utf-8")
+        os.replace(current_tmp, index_path / "CURRENT")
+
+        # reclaim: old generations' spans dangle into the old store — drop both
+        for old in index_path.glob("gen-*"):
+            try:
+                n = int(old.name.split("-", 1)[1])
+            except ValueError:
+                continue
+            if old.is_dir() and n < gen:
+                shutil.rmtree(old, ignore_errors=True)
+        for old in index_path.glob("store-*"):
+            if old.is_dir() and old != index_path / f"store-{K}":
+                shutil.rmtree(old, ignore_errors=True)
+        for name in ("docs.bin", "docterms.bin"):
+            (index_path / name).unlink(missing_ok=True)
+        new_size = (index_path / f"store-{K}" / "docs.bin").stat().st_size
+        if has_terms:
+            new_size += (index_path / f"store-{K}" / "docterms.bin").stat().st_size
+        logger.info("compacted doc stores at %s: %d -> %d bytes (gen %d, store-%d)",
+                    index_path, old_size, new_size, gen, K)
+        return old_size - new_size

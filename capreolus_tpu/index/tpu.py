@@ -485,6 +485,18 @@ class TpuIndex(Index):
 
         return segments.generation(self.get_index_path())
 
+    def compact_doc_stores(self):
+        """Reclaim deleted documents' bytes from the append-only doc stores
+        (offline; see segments.compact_doc_stores). Returns bytes reclaimed."""
+        self._check_incremental_supported()
+        self.create_index()
+        from capreolus_tpu.index import segments
+
+        reclaimed = segments.compact_doc_stores(self.get_index_path(),
+                                                self.config["storepositions"])
+        self._dirty = True
+        return reclaimed
+
     # ------------------------------------------------------------------ load/access
     def _load(self):
         if getattr(self, "_data", None) is not None and not getattr(self, "_dirty", False):
@@ -543,12 +555,18 @@ class TpuIndex(Index):
         )
         self._docid_to_ord = {d: i for i, d in enumerate(docid_strings)}
         self._doc_spans = np.load(art / "doc_spans.npy")
-        self._docs_bin = np.memmap(index_path / "docs.bin", dtype=np.uint8, mode="r")
-        if (index_path / "docterms.bin").exists():
+        sdir = segments.store_dir(index_path)
+        self._docs_bin = np.memmap(sdir / "docs.bin", dtype=np.uint8, mode="r")
+        if (sdir / "docterms.bin").exists():
             self._docterm_spans = np.load(art / "docterm_spans.npy")
-            self._docterms_bin = np.memmap(index_path / "docterms.bin", dtype=np.int32, mode="r")
+            self._docterms_bin = np.memmap(sdir / "docterms.bin", dtype=np.int32, mode="r")
         else:
             self._docterm_spans = None
+        # the generation these artifacts came from, captured from the RESOLVED
+        # art dir (not re-read from CURRENT, which another process may have
+        # advanced since) — engine caches key on this to notice merges without
+        # racing them (see TpuSearcherMixin.get_engine)
+        self._loaded_generation = 0 if art == index_path else int(art.name.split("-", 1)[1])
         return self._data
 
     @property

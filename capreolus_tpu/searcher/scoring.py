@@ -26,6 +26,8 @@ internal doc ordinal, matching Lucene's docid tie-break.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from pathlib import Path
 from typing import Dict, List, Sequence, Tuple
 
@@ -463,6 +465,18 @@ class TieredResult:
         return scores, ords
 
 
+class _ReadyResult:
+    """An already-fetched stream result with the TieredResult interface, so
+    search_stream's A/B probe can hold materialized segments and still yield
+    objects whose ``.get()`` callers expect."""
+
+    def __init__(self, arrays):
+        self._arrays = arrays
+
+    def get(self):
+        return self._arrays
+
+
 class ScoringEngine:
     """Batched multi-model scoring with exact top-k over a DeviceIndex.
 
@@ -492,7 +506,8 @@ class ScoringEngine:
         self._theta_cache = {}  # (term_id, (k1, b)) -> span-head (docs, contributions)
         self._prune_effective = {}  # (topk, k1, b) -> sticky does-SYNCHRONOUS-pruning-pay (wall-clock A/B)
         self._prune_tiles_ok = {}  # (topk, k1, b) -> sticky do-spans-drop-tiles (shared sync + stream)
-        self._span_executor = None  # lazy 1-thread pool for search_pruned_stream
+        self._prune_stream_effective = {}  # (topk, k1, b) -> sticky does-PIPELINED-pruning-pay
+        self._span_executor = None  # lazy worker pool for search_stream host prep
 
     def _check_accumulator_bounds(self, num_queries: int):
         # the exact path's flat accumulator index qidx * (num_docs+1) + doc is
@@ -1132,6 +1147,28 @@ class ScoringEngine:
         return (out_qix[:n].copy(), out_s[:n].copy(), out_e[:n].copy(), out_w1[:n].copy(),
                 np.zeros(n, np.float32))
 
+    def _prepare_tiered(self, term_lists, model, max_postings=0, spans=None):
+        """Host-side batch construction: tier/unit packing plus (in hbmbudget
+        streaming mode) the working-set gather and remap — everything search()
+        does before the jit call, bundled so search_stream can run it on a
+        worker thread AHEAD of dispatch. Returns the opaque tuple search()
+        accepts as ``_prebuilt``."""
+        packed, tiers, u0s, inv_order, r_max = self._build_tiered(
+            term_lists, model, max_postings, spans=spans)
+        buffers = None
+        if self.dindex.streaming:
+            packed, buffers = self._stream_working_set(packed, model)
+        return packed, tiers, u0s, inv_order, r_max, buffers
+
+    def _get_span_executor(self):
+        if self._span_executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._span_executor = ThreadPoolExecutor(
+                max_workers=max(1, min(4, os.cpu_count() or 1)),
+                thread_name_prefix="stream-prep")
+        return self._span_executor
+
     def search_pruned(self, term_lists, model="bm25", params=None, topk=1000, **kw):
         """Exact block-max pruned search: free host-side thresholds + ONE pruned
         device pass. Results are bit-identical to search() without pruning.
@@ -1199,87 +1236,153 @@ class ScoringEngine:
         return self.search(term_lists, model=model, params=params, topk=topk,
                            prune_spans=spans, exact_topk=False, **kw)
 
-    def search_pruned_stream(self, batches, model="bm25", params=None, topk=1000,
-                             window=4, **kw):
-        """Pipelined exact block-max pruned search over many query batches.
+    def search_stream(self, batches, model="bm25", params=None, topk=1000,
+                      window=4, pruned=False, adaptive=True, **kw):
+        """Pipelined search over many query batches.
 
-        The host span-building cost (threshold + range bounds + span extraction,
-        ~4 ms/batch native) is the reason pruning measured 0.78-0.87x in
-        pipelined throughput mode (PERF.md round 3): built inline, it sits on
-        the serial dispatch path and delays every batch's device work. Here it
-        runs on a single worker thread AHEAD of dispatch — the native builder
-        and numpy both release the GIL — so bound work overlaps device compute
-        and transfers instead of serializing with them.
+        ALL host-side batch construction — exact block-max span pruning (when
+        ``pruned``), tier/unit packing, and the hbmbudget streaming mode's
+        working-set gathers — runs on a worker pool AHEAD of dispatch
+        (numpy and the native span builder release the GIL), so the dispatch
+        thread only launches device executables and starts async fetches:
+        host work overlaps device compute and tunnel transfers instead of
+        serializing with them.
 
         Returns a lazy iterator (batch order) of whatever ``search`` returns
         for the given kwargs (pass ``materialize=False`` to pipeline device
         fetches too). At most ``window`` batches' device work is in flight at
         once: with every batch dispatched up front, ALL batches' result
-        buffers (and, in hbmbudget streaming mode, their working-set tile
-        uploads) would be device-resident simultaneously — unbounded HBM,
-        exactly what the trainer's in-flight windows bound. Results are
-        bit-identical to exhaustive ``search``. Adaptive like search_pruned on
-        the TILE-SAVINGS criterion only: if the first batch shows no tile
-        savings (no doc-id locality), the remaining batches skip bound work
-        entirely. search_pruned's wall-clock A/B verdict is deliberately NOT
-        consulted — it measures inline host bound-work, which this mode moves
-        off the critical path, so a synchronous "pruning loses" decision must
-        not disable the stream (the regression this method exists to close).
+        buffers (and, in streaming mode, their working-set tile uploads)
+        would be device-resident simultaneously — unbounded HBM. Results are
+        bit-identical to exhaustive ``search`` in every mode.
+
+        ``pruned=True`` is adaptive in two stages (sticky per (topk, params)):
+          1. tile probe — batch 0's spans are built inline; if pruning keeps
+             ~all tiles (no doc-id locality), all remaining batches skip
+             bound work entirely.
+          2. wall-clock probe — when the stream is long enough, the first
+             ``window`` batches run exhaustive and the next ``window`` pruned
+             (both pipelined, host prep on the worker), and the measured
+             per-segment walls decide. This exists because span building can
+             cost more than an ENTIRE exhaustive batch (200k docs / k=10
+             measures 13 ms host vs 7 ms/batch device on a 1-core host, so
+             even perfect overlap leaves the stream worker-bound at 0.6x);
+             only the clock can settle it per corpus/host/topk. Short streams
+             keep pruning on tile savings alone without deciding stickiness.
+        ``adaptive=False`` forces the pruned path whenever tiles drop
+        (bench diagnostics — never the production default).
         """
+        from collections import deque
+
         params = dict(params or {"k1": 0.9, "b": 0.4})
         batches = list(batches)
-        key = (int(topk), float(params.get("k1", 0.9)), float(params.get("b", 0.4)))
         window = max(1, int(window))
+        key = (int(topk), float(params.get("k1", 0.9)), float(params.get("b", 0.4)))
+        if model not in _NORM_DL_MODELS:
+            # materialize the lazy QL/DFR payload before worker threads race on it
+            _ = self.dindex.exact_dl_tiles_np if self.dindex.streaming else self.dindex.exact_dl_tiles
 
-        def exhaustive(b):
-            return self.search(b, model=model, params=params, topk=topk,
-                               exact_topk=False, **kw)
+        def gen():
+            if not batches:
+                return
+            use_pruned = bool(pruned) and self.supports_pruning(model)
+            if use_pruned and self._prune_tiles_ok.get(key) is False:
+                use_pruned = False
+            decided = self._prune_stream_effective.get(key) if adaptive else None
+            if use_pruned and adaptive and decided is False:
+                use_pruned = False
 
-        def windowed(result_iter):
-            from collections import deque
+            spans0 = None
+            if use_pruned:
+                spans0 = self._build_prune_spans(batches[0], model, params, topk)
+                if spans0 is None:
+                    # no tile savings: neither pipelined nor synchronous pruning can pay
+                    self._prune_tiles_ok[key] = False
+                    self._prune_effective.setdefault(key, False)
+                    self._prune_stream_effective[key] = False
+                    use_pruned = False
+                else:
+                    self._prune_tiles_ok[key] = True
 
+            ex = self._get_span_executor()
+
+            def prepare(b, spans, do_prune):
+                if do_prune and spans is None:
+                    # None on a query-mix shift: that batch runs exhaustive (exact either way)
+                    spans = self._build_prune_spans(b, model, params, topk)
+                return self._prepare_tiered(b, model, spans=spans)
+
+            def submit(i, do_prune):
+                s0 = spans0 if (i == 0 and do_prune) else None
+                return ex.submit(prepare, batches[i], s0, do_prune)
+
+            def dispatch(i, fut):
+                return self.search(batches[i], model=model, params=params, topk=topk,
+                                   _prebuilt=fut.result(), exact_topk=False, **kw)
+
+            def fetch(r):
+                return _ReadyResult(r.get()) if isinstance(r, TieredResult) else r
+
+            def run_segment(idxs, do_prune, futs):
+                t0 = time.perf_counter()
+                pend, out = deque(), []
+                for i, f in zip(idxs, futs):
+                    pend.append(dispatch(i, f))
+                    if len(pend) > window:
+                        out.append(fetch(pend.popleft()))
+                out.extend(fetch(p) for p in pend)
+                return out, time.perf_counter() - t0
+
+            # probe segment: window batches each, shrunk for short streams so a
+            # stream of >= 4 batches still gets a wall-clock verdict (an 8-batch
+            # bench pass must not silently skip the probe and ride tile savings
+            # into a regime where span building loses)
+            P = max(2, min(window, len(batches) // 2))
+            if use_pruned and adaptive and decided is None and len(batches) >= 2 * P:
+                # wall-clock A/B probe: both segments' host prep is submitted up
+                # front so the pruned segment's spans overlap the exhaustive
+                # segment's device time, mimicking steady-state pipelining
+                e_futs = [submit(i, False) for i in range(P)]
+                p_futs = [submit(i, True) for i in range(P, 2 * P)]
+                e_out, t_e = run_segment(range(P), False, e_futs)
+                p_out, t_p = run_segment(range(P, 2 * P), True, p_futs)
+                effective = t_p < t_e
+                self._prune_stream_effective[key] = effective
+                logger.info("pruned-stream A/B probe (%d batches each): pruned %.1f ms vs "
+                            "exhaustive %.1f ms -> %s", P, t_p * 1e3, t_e * 1e3,
+                            "PRUNING ON" if effective else "exhaustive")
+                for r in e_out:
+                    yield r
+                for r in p_out:
+                    yield r
+                start, do_prune = 2 * P, effective
+            else:
+                start, do_prune = 0, use_pruned
+
+            # steady state: bounded look-ahead of host prep, windowed dispatch
+            ahead = max(2 * window, 4)
+            futs = deque()
+            nexti = start
             buf = deque()
-            for r in result_iter:
-                buf.append(r)
+            for i in range(start, len(batches)):
+                while nexti < len(batches) and len(futs) < ahead:
+                    futs.append(submit(nexti, do_prune))
+                    nexti += 1
+                buf.append(dispatch(i, futs.popleft()))
                 if len(buf) > window:
                     yield buf.popleft()
             while buf:
                 yield buf.popleft()
 
-        if (not batches or not self.supports_pruning(model)
-                or self._prune_tiles_ok.get(key) is False):
-            return windowed(exhaustive(b) for b in batches)
+        return gen()
 
-        # probe: batch 0 built inline decides stickiness (same criterion as
-        # search_pruned's probe 1 — tile savings; the wall-clock A/B is not
-        # needed here because host cost leaves the critical path entirely)
-        spans0 = self._build_prune_spans(batches[0], model, params, topk)
-        if spans0 is None:
-            self._prune_tiles_ok[key] = False
-            # no tile savings means the synchronous mode cannot pay either
-            self._prune_effective.setdefault(key, False)
-            return windowed(exhaustive(b) for b in batches)
-        self._prune_tiles_ok[key] = True
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        if self._span_executor is None:
-            self._span_executor = ThreadPoolExecutor(max_workers=1,
-                                                     thread_name_prefix="prune-spans")
-        futs = [self._span_executor.submit(self._build_prune_spans, b, model, params, topk)
-                for b in batches[1:]]
-
-        def dispatch():
-            for b, spans in zip(batches, [spans0] + futs):
-                if spans is not spans0:
-                    spans = spans.result()
-                if spans is None:  # query-mix shift: keep exactness per batch
-                    yield exhaustive(b)
-                else:
-                    yield self.search(b, model=model, params=params, topk=topk,
-                                      prune_spans=spans, exact_topk=False, **kw)
-
-        return windowed(dispatch())
+    def search_pruned_stream(self, batches, model="bm25", params=None, topk=1000,
+                             window=4, adaptive=True, **kw):
+        """Pipelined exact block-max pruned search: search_stream with
+        ``pruned=True`` (see there for the adaptive semantics). Kept as the
+        production searcher's entry point (searcher/tpu.py)."""
+        return self.search_stream(batches, model=model, params=params, topk=topk,
+                                  window=window, pruned=True, adaptive=adaptive, **kw)
 
     # ------------------------------------------------------------------ public API
     def search(
@@ -1296,6 +1399,7 @@ class ScoringEngine:
         max_postings_per_term: int = 0,
         prune_theta=None,
         prune_spans=None,
+        _prebuilt=None,
     ):
         """Score a batch of queries; returns (scores, doc_ords) numpy arrays.
 
@@ -1340,6 +1444,8 @@ class ScoringEngine:
             # the capped set is per-range head SPANS (canonical layout); only the
             # tiered span path can express it, and both paths rank identically
             exact_topk = False
+        if _prebuilt is not None:  # search_stream prepared the tiered units
+            exact_topk = False
 
         if exact_topk is None:
             # exact dense top-k for small corpora (cheap + parity tests); the tiered
@@ -1372,15 +1478,18 @@ class ScoringEngine:
             return np.asarray(scores).astype(np.dtype(score_dtype)), np.asarray(doc_ords)
 
         pack_ords = bool(pack_ords) and self.dindex.num_docs < (1 << 24)
-        spans = prune_spans
-        if spans is None and prune_theta is not None:
-            spans = self._spans_pruned(term_lists, model, params, prune_theta)
-        packed, tiers, u0s, inv_order, r_max = self._build_tiered(term_lists, model, max_postings,
-                                                                  spans=spans)
+        if _prebuilt is not None:
+            packed, tiers, u0s, inv_order, r_max, stream_buffers = _prebuilt
+        else:
+            spans = prune_spans
+            if spans is None and prune_theta is not None:
+                spans = self._spans_pruned(term_lists, model, params, prune_theta)
+            packed, tiers, u0s, inv_order, r_max, stream_buffers = self._prepare_tiered(
+                term_lists, model, max_postings, spans=spans)
         tier_shapes = tuple((uw, qt_pad) for uw, qt_pad, _, _ in tiers)
         d = self.dindex
-        if d.streaming:
-            packed, buffers = self._stream_working_set(packed, model)
+        if stream_buffers is not None:
+            buffers = stream_buffers
         else:
             buffers = (d.doc_tiles, d.tf_tiles,
                        d.norm_dl_tiles if model in _NORM_DL_MODELS else d.exact_dl_tiles)

@@ -66,7 +66,13 @@ class TpuSearcherMixin:
     def get_engine(self) -> ScoringEngine:
         self.index.create_index()
         data = self.index.data  # merges any pending incremental ops first
-        gen = getattr(self.index, "generation", 0)
+        # key the cache on the generation the loaded artifacts actually came
+        # from (stashed by _load), NOT a fresh CURRENT read — another process
+        # committing a merge between the two reads would otherwise cache the
+        # stale data under the new generation and never invalidate it
+        gen = getattr(self.index, "_loaded_generation", None)
+        if gen is None:
+            gen = getattr(self.index, "generation", 0)
         if getattr(self, "_engine", None) is None or getattr(self, "_engine_gen", None) != gen:
             budget_mb = float(self.config.get("hbmbudget", 12000))
             self._engine = ScoringEngine(DeviceIndex(

@@ -332,6 +332,64 @@ def test_table_less_terms_stay_exact():
         np.testing.assert_array_equal(np.asarray(es), np.asarray(ps), err_msg=name)
 
 
+def test_search_stream_exhaustive_prebuilt_bit_identical():
+    """search_stream(pruned=False) — worker-thread unit construction, windowed
+    dispatch — returns bit-identical results to per-batch search()."""
+    data, rng = _make_corpus(seed=11, clustered=True)
+    engine = ScoringEngine(DeviceIndex(data))
+    df = np.diff(data.term_offsets)
+    cands = np.where(df > 50)[0]
+    batches = [[[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
+                for _ in range(8)] for _ in range(4)]
+    pending = engine.search_stream(batches, model="bm25", params=PARAMS, topk=10,
+                                   materialize=False, window=2)
+    for b, res in zip(batches, pending):
+        ps, po = res.get()
+        es, eo = engine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+    # no pruning state was touched in exhaustive mode
+    assert engine._prune_stream_effective == {}
+
+
+def test_search_stream_wallclock_probe_sets_sticky_decision():
+    """A long pruned stream runs the in-stream wall-clock A/B (window batches
+    exhaustive, window pruned) and stickies the verdict; every result — probe
+    segments included — stays bit-identical to exhaustive search."""
+    data, rng = _make_corpus(seed=12, clustered=True)
+    engine = ScoringEngine(DeviceIndex(data))
+    df = np.diff(data.term_offsets)
+    cands = np.where(df > 50)[0]
+    batches = [[[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
+                for _ in range(8)] for _ in range(6)]  # >= 2*window+1 with window=2
+    key = (10, PARAMS["k1"], PARAMS["b"])
+    pending = engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
+                                          topk=10, materialize=False, window=2)
+    results = list(pending)
+    assert isinstance(engine._prune_stream_effective.get(key), bool)
+    assert engine._prune_tiles_ok.get(key) is True  # clustered corpus drops tiles
+    for b, res in zip(batches, results):
+        ps, po = res.get()
+        es, eo = engine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+
+    # a sticky "pruning loses" verdict makes later streams run exhaustive
+    engine._prune_stream_effective[key] = False
+    list(engine.search_pruned_stream(batches[:2], model="bm25", params=PARAMS,
+                                     topk=10, materialize=False, window=2))
+    # ... but adaptive=False (bench diagnostics) still forces the pruned path
+    engine.last_prune_stats = None
+    forced = list(engine.search_pruned_stream(batches[:2], model="bm25", params=PARAMS,
+                                              topk=10, materialize=False, window=2,
+                                              adaptive=False))
+    assert engine.last_prune_stats is not None  # span building ran
+    for b, res in zip(batches[:2], forced):
+        ps, po = res.get()
+        es, eo = engine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+
+
 def test_pruned_stream_bit_identical_and_pipelined():
     """search_pruned_stream (worker-thread span building, pipelined dispatch)
     returns bit-identical results to exhaustive search per batch, engages

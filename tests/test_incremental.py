@@ -265,6 +265,108 @@ def test_writer_lock_contention_and_stale_break(tmpdir_as_cache):
     assert index.data.num_docs == 11
 
 
+def test_add_after_merge_is_not_dropped(tmpdir_as_cache):
+    """Op sequence numbers must stay monotonic across merges: merged op dirs
+    are rmtree'd, so a naive dir scan would reuse a name in consumed_ops.json
+    and pending_ops would silently drop the new op (ADVICE r3, high)."""
+    index = _fresh_index(40)
+    index.add_documents(ALL_DOCS[40:50])
+    assert index.refresh() == 1
+    index.add_documents(ALL_DOCS[50:60])
+    assert index.refresh() == 2  # a dropped op would leave generation at 1
+    assert index.data.num_docs == 60
+    assert index.get_doc("D0055") == dict(ALL_DOCS)["D0055"]
+    index.delete_documents(["D0055"])
+    assert index.refresh() == 3
+    assert index.get_doc("D0055") is None
+    # and the grown index's ordinals match a fresh build over the survivors
+    survivors = [d for d in ALL_DOCS[:60] if d[0] != "D0055"]
+    assert index.data.docid_strings == [d for d, _ in survivors]
+
+
+def test_failed_merge_does_not_grow_doc_stores(tmpdir_as_cache):
+    """A merge attempt that dies after appending to docs.bin leaves orphan
+    bytes; the merge journal truncates them on retry (ADVICE r3, low)."""
+    from capreolus_tpu.index import segments
+
+    index = _fresh_index(40)
+    docs_bin = index.get_index_path() / "docs.bin"
+    size0 = docs_bin.stat().st_size
+    index.add_documents(ALL_DOCS[40:50])
+    seg_bytes = sum((op / "docs.bin").stat().st_size
+                    for op in segments.pending_ops(index.get_index_path()))
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-merge")
+
+    for _ in range(3):  # three failed attempts, each appending before dying
+        with pytest.raises(RuntimeError, match="simulated"):
+            segments.merge_pending(index.get_index_path(), boom,
+                                   index.config["storepositions"])
+    assert docs_bin.stat().st_size == size0 + seg_bytes  # grew once, pending
+    index.refresh()
+    # the successful merge truncated the failed attempts' bytes first
+    assert docs_bin.stat().st_size == size0 + seg_bytes
+    assert index.data.num_docs == 50
+    assert index.get_doc("D0045") == dict(ALL_DOCS)["D0045"]
+
+
+def test_previous_generation_survives_one_commit(tmpdir_as_cache):
+    """Deferred deletion: gen N-1 outlives the commit of gen N by one merge,
+    so in-flight readers (incl. lazy tile materialization) survive a refresh."""
+    index = _fresh_index(40)
+    root = index.get_index_path()
+    index.add_documents(ALL_DOCS[40:45])
+    index.refresh()
+    index.add_documents(ALL_DOCS[45:50])
+    index.refresh()
+    assert (root / "gen-1").is_dir()  # previous generation kept
+    assert (root / "gen-2").is_dir()
+    index.add_documents(ALL_DOCS[50:55])
+    index.refresh()
+    assert not (root / "gen-1").exists()  # N-2 reclaimed
+    assert (root / "gen-2").is_dir()
+    assert (root / "gen-3").is_dir()
+
+
+def test_compact_doc_stores(tmpdir_as_cache):
+    """Offline compaction reclaims deleted docs' bytes; search results and doc
+    fetches are unchanged, and later add/merge cycles keep working against the
+    versioned store."""
+    index = _fresh_index(40, storepositions=True)
+    index.add_documents(ALL_DOCS[40:60])
+    index.delete_documents([f"D{i:04d}" for i in range(0, 30)])
+    index.refresh()
+    cfg = {"collection": {"name": "incr_sliceable", "take": 40}, "storepositions": True}
+    before_runs = _search_bm25(cfg)
+    root = index.get_index_path()
+    size_before = (root / "docs.bin").stat().st_size
+
+    reclaimed = index.compact_doc_stores()
+    assert reclaimed > 0
+    assert not (root / "docs.bin").exists()
+    store = root / "store-1"
+    assert (store / "docs.bin").exists() and (store / "docterms.bin").exists()
+    assert (store / "docs.bin").stat().st_size < size_before
+    assert _search_bm25(cfg) == before_runs  # bit-identical post-compaction
+    assert index.get_doc("D0035") == dict(ALL_DOCS)["D0035"]
+    assert index.get_doc("D0005") is None
+    ord_ = index.data.docid_strings.index("D0035")
+    assert len(index.get_doc_term_ids(ord_)) == index.data.doclens[ord_]
+
+    # the store pointer carries forward through subsequent merges
+    index.add_documents([("Y1", "comet probe sonar")])
+    index.refresh()
+    assert index.get_doc("Y1") == "comet probe sonar"
+    assert index.get_doc("D0035") == dict(ALL_DOCS)["D0035"]
+    # and a second compaction rolls the store version
+    index.delete_documents(["D0030"])
+    index.refresh()
+    index.compact_doc_stores()
+    assert (root / "store-2").is_dir() and not (root / "store-1").exists()
+    assert index.get_doc("Y1") == "comet probe sonar"
+
+
 def test_generation_survives_process_restart(tmpdir_as_cache):
     index = _fresh_index(40)
     index.add_documents(ALL_DOCS[40:60])
