@@ -278,13 +278,32 @@ class DenseSearcher(Searcher):
         key = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
         return self.index.get_cache_path() / "dense" / f"doc_embeddings_{key}.npy"
 
+    def _current_doc_cache_file(self):
+        """The generation-tagged embedding cache the loaded corpus came from
+        (set by _doc_matrix; legacy gen-0 name before any load). Derived
+        artifacts — PRF remix, int4 rescore, IVF layout — must read/key on THIS
+        file, not the base name, or they would serve rows from a pre-merge
+        generation."""
+        fn = getattr(self, "_active_cache_fn", None)
+        return fn if fn is not None else self._doc_cache_file()
+
     def _doc_matrix(self):
-        """[N, D] document embeddings, disk-cached (atomic write)."""
-        if getattr(self, "_docs_emb", None) is not None:
-            return self._docs_emb
+        """[N, D] document embeddings, disk-cached (atomic write) per index
+        GENERATION: after incremental add/delete merges (index/segments.py) the
+        surviving documents' rows are remapped from the previous generation's
+        cache and only the new documents are encoded (embedding_cache.py)."""
         self.index.create_index()
-        cache_fn = self._doc_cache_file()
-        docid_strings = self.index.data.docid_strings
+        docid_strings = self.index.data.docid_strings  # merges pending ops first
+        gen = getattr(self.index, "_loaded_generation", 0)
+        if getattr(self, "_docs_emb", None) is not None and getattr(self, "_docs_emb_gen", 0) == gen:
+            return self._docs_emb
+        self._docs_emb = None
+        self._docs_emb_gen = gen
+        from capreolus_tpu.searcher import embedding_cache as ec
+
+        base_fn = self._doc_cache_file()
+        cache_fn = ec.generation_path(base_fn, gen)
+        self._active_cache_fn = cache_fn
         if cache_fn.exists():
             # memory-mapped: streaming/PRF/rescore touch only needed pages; the
             # resident paths read it once while uploading to HBM (the dense
@@ -292,9 +311,25 @@ class DenseSearcher(Searcher):
             emb = np.load(cache_fn, mmap_mode="r")
         else:
             self._embed_maxlen = int(self.config["maxdoclen"])
-            texts = [self.index.get_doc(d) for d in docid_strings]
-            logger.info("embedding %d documents with the %s encoder", len(texts), self.config["pretrained"])
-            emb = self._embed_texts(texts)
+
+            def encode(docids):
+                logger.info("embedding %d documents with the %s encoder",
+                            len(docids), self.config["pretrained"])
+                return self._embed_texts([self.index.get_doc(d) for d in docids])
+
+            prev, prev_gen = ec.find_previous(base_fn, gen)
+            if prev is None:
+                emb = encode(docid_strings)
+            else:
+                old = np.load(prev, mmap_mode="r")
+                src = ec.row_sources(ec.read_docids(prev), docid_strings)
+                emb = np.empty((len(docid_strings), old.shape[1]), dtype=old.dtype)
+                reused = ec.fill_kept_rows([emb], [old], src)
+                new_idx = np.flatnonzero(src < 0)
+                if len(new_idx):
+                    emb[new_idx] = encode([docid_strings[i] for i in new_idx])
+                logger.info("dense cache gen %d built from gen %d: reused %d rows, "
+                            "encoded %d new documents", gen, prev_gen, reused, len(new_idx))
             from capreolus_tpu.utils.caching import TargetFileExists, cached_file
 
             try:
@@ -302,6 +337,7 @@ class DenseSearcher(Searcher):
                     np.save(f, emb)
             except TargetFileExists:
                 pass  # a concurrent process won the race with identical content
+        ec.write_docids(cache_fn, docid_strings)
         import jax.numpy as jnp
 
         qmode = self.config.get("quantize", "none") or "none"
@@ -438,7 +474,7 @@ class DenseSearcher(Searcher):
         embedding cache (a tiny [Q, rescore]-row gather + host BLAS) and
         returns the exact ranking whenever the true top-k is inside the
         candidate pool (recall referee'd in tests/test_dense.py)."""
-        emb_mm = np.load(self._doc_cache_file(), mmap_mode="r")
+        emb_mm = np.load(self._current_doc_cache_file(), mmap_mode="r")
 
         def topk(q_emb, docs):
             s, o = base_topk(q_emb, docs)
@@ -505,7 +541,7 @@ class DenseSearcher(Searcher):
         beta = float(self.config["prfbeta"])
         scores, ords = topk(jnp.asarray(q_emb), docs)
         scores, ords = np.asarray(scores), np.asarray(ords)
-        emb = np.load(self._doc_cache_file(), mmap_mode="r")
+        emb = np.load(self._current_doc_cache_file(), mmap_mode="r")
         n = emb.shape[0]
         out = np.array(q_emb, dtype=np.float32, copy=True)
         for qi in range(len(out)):
@@ -579,7 +615,7 @@ class DenseSearcher(Searcher):
         (encoder/tokenizer/checkpoint/pooling identity) plus everything that
         changes the cells — clusters, kmeansiters, and the search-time corpus
         representation (int8 quantization rounds the rows k-means sees)."""
-        emb_fn = self._doc_cache_file()
+        emb_fn = self._current_doc_cache_file()
         tag = (f"{int(self.config['clusters'])}_{int(self.config['kmeansiters'])}_"
                f"{self.config.get('quantize') or 'none'}")
         return emb_fn.parent / f"{emb_fn.stem}_ivf_{tag}.npz"

@@ -252,39 +252,106 @@ class ImpactSearcher(Searcher):
         import os as _os
 
         self._encoder()
+        # "rawdocmajor" marks the round-4 cache format: RAW float impacts in
+        # doc-major order (quantization happens at load), so incremental merges
+        # can re-quantize over the new corpus max without re-encoding anything
         parts = [self.config["pretrained"], self.config["encoder"], self.config["gelu"],
                  str(self.config["topterms"]), str(self.config["maxdoclen"]),
-                 str(self.config["quantbits"]), self.tokenizer.fingerprint,
+                 "rawdocmajor", self.tokenizer.fingerprint,
                  "randominit" if getattr(self, "_random_init", False) else "pretrained"]
         ckpt = self.config.get("checkpointfile")
         if ckpt:
             st = _os.stat(ckpt)
             parts += [str(ckpt), str(st.st_size), str(st.st_mtime_ns)]
         key = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-        return self.index.get_cache_path() / "impact" / f"impact_index_{key}.npz"
+        return self.index.get_cache_path() / "impact" / f"impact_raw_{key}.npz"
+
+    def _encode_doc_major(self, docids):
+        """Encode documents into doc-major raw-impact arrays:
+        (doc_offsets [n+1], term_ids [P], raw_impacts f32 [P])."""
+        texts = [self.index.get_doc(d) for d in docids]
+        logger.info("encoding %d documents for the impact index (%s, %s)",
+                    len(texts), self.config["encoder"], self.config["pretrained"])
+        per_doc = self._doc_term_weights(texts)
+        offs = np.zeros(len(texts) + 1, dtype=np.int64)
+        terms, raws = [], []
+        for i, (uniq, impacts) in enumerate(per_doc):
+            offs[i + 1] = offs[i] + len(uniq)
+            terms.append(np.asarray(uniq, np.int64))
+            raws.append(np.asarray(impacts, np.float32))
+        return (offs,
+                np.concatenate(terms) if terms else np.zeros(0, np.int64),
+                np.concatenate(raws) if raws else np.zeros(0, np.float32))
+
+    def _raw_doc_major(self, docid_strings, gen):
+        """Load or build the generation's raw doc-major cache, reusing the
+        previous generation's rows for surviving documents (only added docs are
+        encoded — embedding_cache.py semantics for a variable-length layout)."""
+        from capreolus_tpu.searcher import embedding_cache as ec
+
+        base_fn = self._cache_file()
+        cache_fn = ec.generation_path(base_fn, gen)
+        if cache_fn.exists():
+            z = np.load(cache_fn)
+            return z["doc_offsets"], z["term_ids"], z["raw_impacts"]
+        prev, prev_gen = ec.find_previous(base_fn, gen)
+        if prev is None:
+            offs, terms, raw = self._encode_doc_major(docid_strings)
+        else:
+            z = np.load(prev)
+            old_offs, old_terms, old_raw = z["doc_offsets"], z["term_ids"], z["raw_impacts"]
+            src = ec.row_sources(ec.read_docids(prev), docid_strings)
+            keep = src >= 0
+            new_idx = np.flatnonzero(~keep)
+            if len(new_idx):
+                e_offs, e_terms, e_raw = self._encode_doc_major(
+                    [docid_strings[i] for i in new_idx])
+            else:
+                e_offs = np.zeros(1, np.int64)
+                e_terms, e_raw = np.zeros(0, np.int64), np.zeros(0, np.float32)
+            # one vectorized gather from [old ++ encoded]: per-doc source starts
+            # + within-doc offsets (the same repeat trick the tier builder uses)
+            n = len(docid_strings)
+            lengths = np.zeros(n, dtype=np.int64)
+            lengths[keep] = (old_offs[1:] - old_offs[:-1])[src[keep]]
+            lengths[new_idx] = e_offs[1:] - e_offs[:-1]
+            starts = np.zeros(n, dtype=np.int64)
+            starts[keep] = old_offs[:-1][src[keep]]
+            starts[new_idx] = len(old_terms) + e_offs[:-1]
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offs[1:])
+            total = int(offs[-1])
+            within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lengths)
+            gather = np.repeat(starts, lengths) + within
+            terms = np.concatenate([old_terms, e_terms])[gather]
+            raw = np.concatenate([old_raw, e_raw])[gather]
+            logger.info("impact cache gen %d built from gen %d: reused %d docs, "
+                        "encoded %d new", gen, prev_gen, int(keep.sum()), len(new_idx))
+        from capreolus_tpu.utils.caching import TargetFileExists, cached_file
+
+        try:
+            with cached_file(cache_fn, "wb") as f:
+                np.savez(f, doc_offsets=offs, term_ids=terms, raw_impacts=raw)
+        except TargetFileExists:
+            pass
+        ec.write_docids(cache_fn, docid_strings)
+        return offs, terms, raw
 
     def _impact_index(self):
         """Build (or load) the quantized impact CSR and wrap it in the shared
-        scoring engine. Returns (engine, docid_strings, scale)."""
-        if getattr(self, "_engine", None) is not None:
-            return self._engine
+        scoring engine. Returns (engine, docid_strings, scale). Generation-
+        aware: incremental index merges invalidate the engine and re-derive the
+        CSR from the (incrementally maintained) raw doc-major cache."""
         self.index.create_index()
-        docid_strings = list(self.index.data.docid_strings)
-        cache_fn = self._cache_file()
-        if cache_fn.exists():
-            z = np.load(cache_fn)
-            term_offsets, doc_ids, q_impacts, doclens, scale = (
-                z["term_offsets"], z["doc_ids"], z["impacts"], z["doclens"], float(z["scale"]))
-        else:
-            term_offsets, doc_ids, q_impacts, doclens, scale = self._build_impact_csr(docid_strings)
-            from capreolus_tpu.utils.caching import TargetFileExists, cached_file
-
-            try:
-                with cached_file(cache_fn, "wb") as f:
-                    np.savez(f, term_offsets=term_offsets, doc_ids=doc_ids, impacts=q_impacts,
-                             doclens=doclens, scale=np.float64(scale))
-            except TargetFileExists:
-                pass
+        docid_strings = list(self.index.data.docid_strings)  # merges pending ops
+        gen = getattr(self.index, "_loaded_generation", 0)
+        if getattr(self, "_engine", None) is not None and getattr(self, "_engine_gen", 0) == gen:
+            return self._engine
+        self._engine = None
+        self._engine_gen = gen
+        offs, term_ids_raw, raw = self._raw_doc_major(docid_strings, gen)
+        term_offsets, doc_ids, q_impacts, doclens, scale = self._csr_from_doc_major(
+            offs, term_ids_raw, raw, len(docid_strings))
 
         from capreolus_tpu.index.smallfloat import quantize_lengths
         from capreolus_tpu.index.tpu import IndexData
@@ -305,35 +372,24 @@ class ImpactSearcher(Searcher):
         self._engine = (engine, docid_strings, scale)
         return self._engine
 
-    def _build_impact_csr(self, docid_strings):
-        """Encode the corpus and build the (term-major, impact-desc) CSR.
+    def _csr_from_doc_major(self, doc_offsets, term_ids, raw_impacts, num_docs):
+        """Quantize raw impacts and build the (term-major, impact-desc) CSR.
 
         Document term impact = MAX weight over token occurrences; quantization
         is Anserini-style linear over the corpus max: q = round(w * scale),
-        scale = (2^b - 1) / max_w; zero-quantized postings are dropped."""
-        texts = [self.index.get_doc(d) for d in docid_strings]
-        logger.info("encoding %d documents for the impact index (%s, %s)",
-                    len(texts), self.config["encoder"], self.config["pretrained"])
-        vocab_size = 0
-        max_w = 0.0
-        per_doc = self._doc_term_weights(texts)  # (term_ids, impacts) per doc
-        for uniq, impacts in per_doc:
-            if len(uniq):
-                vocab_size = max(vocab_size, int(uniq[-1]) + 1)
-                max_w = max(max_w, float(impacts.max()))
-
+        scale = (2^b - 1) / max_w; zero-quantized postings are dropped. Runs at
+        every load from the raw doc-major cache (cheap numpy over O(postings)),
+        so an incremental merge that raises the corpus max re-quantizes the
+        whole corpus exactly like a fresh build would."""
+        vocab_size = int(term_ids.max()) + 1 if len(term_ids) else 0
+        max_w = float(raw_impacts.max()) if len(raw_impacts) else 0.0
         levels = (1 << int(self.config["quantbits"])) - 1
         scale = levels / max_w if max_w > 0 else 1.0
-        terms, docs, quants = [], [], []
-        for ord_, (uniq, impacts) in enumerate(per_doc):
-            q = np.rint(impacts * scale).astype(np.int32)
-            keep = q > 0
-            terms.append(uniq[keep].astype(np.int64))
-            docs.append(np.full(int(keep.sum()), ord_, np.int32))
-            quants.append(q[keep])
-        terms = np.concatenate(terms) if terms else np.zeros(0, np.int64)
-        docs = np.concatenate(docs) if docs else np.zeros(0, np.int32)
-        quants = np.concatenate(quants) if quants else np.zeros(0, np.int32)
+        quants = np.rint(raw_impacts * scale).astype(np.int32)
+        lengths = doc_offsets[1:] - doc_offsets[:-1]
+        docs = np.repeat(np.arange(num_docs, dtype=np.int32), lengths)
+        keep = quants > 0
+        terms, docs, quants = term_ids[keep], docs[keep], quants[keep]
         # term-major, impact descending within term (maxpostings-compatible),
         # doc ascending among impact ties (deterministic)
         order = np.lexsort((docs, -quants, terms))
@@ -341,7 +397,7 @@ class ImpactSearcher(Searcher):
         term_offsets = np.zeros(vocab_size + 1, dtype=np.int64)
         np.add.at(term_offsets, terms + 1, 1)
         term_offsets = np.cumsum(term_offsets)
-        doclens = np.zeros(len(docid_strings), dtype=np.int32)
+        doclens = np.zeros(num_docs, dtype=np.int32)
         ordc, counts = np.unique(docs, return_counts=True)
         doclens[ordc] = counts
         logger.info("impact index: %d postings over %d terms (scale %.3f, %d-bit)",

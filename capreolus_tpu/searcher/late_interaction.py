@@ -171,44 +171,87 @@ class LateInteractionSearcher(Searcher):
         # like the sparse tile cache; the mask lives beside it (_mask_file)
         return self.index.get_cache_path() / "colbert" / f"doc_token_embeddings_{key}.emb.npy"
 
+    @staticmethod
+    def _mask_for(emb_fn):
+        return Path(str(emb_fn)[: -len(".emb.npy")] + ".mask.npy")
+
     def _mask_file(self):
-        return Path(str(self._doc_cache_file())[: -len(".emb.npy")] + ".mask.npy")
+        return self._mask_for(self._doc_cache_file())
+
+    def _current_doc_cache_file(self):
+        """The generation-tagged token cache the loaded corpus came from (set
+        by _doc_tensors). Derived readers (int4 rescore, streaming) must use
+        THIS name, never the gen-0 base (see searcher/embedding_cache.py)."""
+        fn = getattr(self, "_active_cache_fn", None)
+        return fn if fn is not None else self._doc_cache_file()
+
+    def _encode_doc_batches(self, docids, maxlen):
+        """Encode the given docids' tokens in fixed-shape batches. Returns
+        ([n, Ld, dim] f16 embeddings, [n, Ld] int8 masks)."""
+        model, variables = self._encoder()
+        batch = int(self.config["batch"])
+        embs, masks = [], []
+        for start in range(0, len(docids), batch):
+            texts = [self.index.get_doc(d) for d in docids[start : start + batch]]
+            toks = self._tokenize(texts, maxlen)
+            if len(toks) < batch:  # fixed batch shape: one compiled executable
+                toks = np.concatenate([toks, np.zeros((batch - len(toks), maxlen), np.int32)])
+            e, m = self._encode_doc_jit(variables, toks)
+            embs.append(np.asarray(e, np.float16)[: len(texts)])
+            masks.append(np.asarray(m, np.int8)[: len(texts)])
+        emb = np.concatenate(embs) if embs else np.zeros((0, maxlen, int(self.config["dim"])), np.float16)
+        mask = np.concatenate(masks) if masks else np.zeros((0, maxlen), np.int8)
+        return emb, mask
 
     def _doc_tensors(self):
         """([N, Ld, dim] embeddings, [N, Ld] int8 masks, per-doc scales), disk-
         cached. With quantize=none the embeddings are bf16 and scales is None;
         with quantize=int8 they are int8 with f32 [N] per-doc scales derived at
         load (the disk cache stays full-precision, shared across both modes)."""
-        if getattr(self, "_docs_emb", None) is not None:
-            return self._docs_emb
         import jax.numpy as jnp
 
         self.index.create_index()
-        cache_fn = self._doc_cache_file()
-        mask_fn = self._mask_file()
-        docid_strings = self.index.data.docid_strings
+        docid_strings = self.index.data.docid_strings  # merges pending ops first
+        gen = getattr(self.index, "_loaded_generation", 0)
+        if getattr(self, "_docs_emb", None) is not None and getattr(self, "_docs_emb_gen", 0) == gen:
+            return self._docs_emb
+        self._docs_emb = None
+        self._docs_emb_gen = gen
+        from capreolus_tpu.searcher import embedding_cache as ec
+
+        base_fn = self._doc_cache_file()
+        cache_fn = ec.generation_path(base_fn, gen)
+        mask_fn = self._mask_for(cache_fn)
+        self._active_cache_fn = cache_fn
         if cache_fn.exists() and mask_fn.exists():
             # memory-mapped: streaming touches only the pages in flight, the
             # resident paths read once while uploading to HBM
             emb = np.load(cache_fn, mmap_mode="r")
             mask = np.load(mask_fn, mmap_mode="r")
         else:
-            model, variables = self._encoder()
             maxlen = int(self.config["maxdoclen"])
-            batch = int(self.config["batch"])
-            logger.info("embedding %d documents' tokens with the %s colbert encoder",
-                        len(docid_strings), self.config["pretrained"])
-            embs, masks = [], []
-            for start in range(0, len(docid_strings), batch):
-                texts = [self.index.get_doc(d) for d in docid_strings[start : start + batch]]
-                toks = self._tokenize(texts, maxlen)
-                if len(toks) < batch:  # fixed batch shape: one compiled executable
-                    toks = np.concatenate([toks, np.zeros((batch - len(toks), maxlen), np.int32)])
-                e, m = self._encode_doc_jit(variables, toks)
-                embs.append(np.asarray(e, np.float16)[: len(texts)])
-                masks.append(np.asarray(m, np.int8)[: len(texts)])
-            emb = np.concatenate(embs) if embs else np.zeros((0, maxlen, int(self.config["dim"])), np.float16)
-            mask = np.concatenate(masks) if masks else np.zeros((0, maxlen), np.int8)
+
+            def encode(docids):
+                logger.info("embedding %d documents' tokens with the %s colbert encoder",
+                            len(docids), self.config["pretrained"])
+                return self._encode_doc_batches(docids, maxlen)
+
+            prev, prev_gen = ec.find_previous(base_fn, gen)
+            if prev is None:
+                emb, mask = encode(docid_strings)
+            else:
+                old_e = np.load(prev, mmap_mode="r")
+                old_m = np.load(self._mask_for(prev), mmap_mode="r")
+                src = ec.row_sources(ec.read_docids(prev), docid_strings)
+                emb = np.empty((len(docid_strings),) + old_e.shape[1:], dtype=old_e.dtype)
+                mask = np.empty((len(docid_strings),) + old_m.shape[1:], dtype=old_m.dtype)
+                reused = ec.fill_kept_rows([emb, mask], [old_e, old_m], src)
+                new_idx = np.flatnonzero(src < 0)
+                if len(new_idx):
+                    ne, nm = encode([docid_strings[i] for i in new_idx])
+                    emb[new_idx], mask[new_idx] = ne, nm
+                logger.info("colbert cache gen %d built from gen %d: reused %d rows, "
+                            "encoded %d new documents", gen, prev_gen, reused, len(new_idx))
             from capreolus_tpu.utils.caching import TargetFileExists, cached_file
 
             # mask first, emb last: the existence check requires BOTH, and
@@ -223,6 +266,7 @@ class LateInteractionSearcher(Searcher):
                         np.save(f, arr)
                 except TargetFileExists:
                     pass
+        ec.write_docids(cache_fn, docid_strings)
         qmode = self.config.get("quantize", "none") or "none"
         quantized = qmode == "int8"
         n_docs, ld, dim = emb.shape
@@ -414,8 +458,8 @@ class LateInteractionSearcher(Searcher):
         the exact ranking whenever the true top-k is inside the candidate pool
         (recall referee'd in tests/test_colbert.py). The dense analogue is
         dense.py _rescore_wrap."""
-        emb_mm = np.load(self._doc_cache_file(), mmap_mode="r")
-        mask_mm = np.load(self._mask_file(), mmap_mode="r")
+        emb_mm = np.load(self._current_doc_cache_file(), mmap_mode="r")
+        mask_mm = np.load(self._mask_for(self._current_doc_cache_file()), mmap_mode="r")
 
         def topk(q_emb, *corpus):
             s, o = base_topk(q_emb, *corpus)

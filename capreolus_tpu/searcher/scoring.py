@@ -508,6 +508,7 @@ class ScoringEngine:
         self._prune_tiles_ok = {}  # (topk, k1, b) -> sticky do-spans-drop-tiles (shared sync + stream)
         self._prune_stream_effective = {}  # (topk, k1, b) -> sticky does-PIPELINED-pruning-pay
         self._span_executor = None  # lazy worker pool for search_stream host prep
+        self.last_stream_probe = None  # (t_pruned, t_exhaustive) of the last stream A/B
 
     def _check_accumulator_bounds(self, num_queries: int):
         # the exact path's flat accumulator index qidx * (num_docs+1) + doc is
@@ -1347,10 +1348,17 @@ class ScoringEngine:
                 e_out, t_e = run_segment(range(P), False, e_futs)
                 p_out, t_p = run_segment(range(P, 2 * P), True, p_futs)
                 effective = t_p < t_e
-                self._prune_stream_effective[key] = effective
+                # the verdict goes sticky only on a clear margin: a few-batch
+                # segment through a fluctuating transport (tunnel weather
+                # swings >2x, PERF.md) must not lock in a coin-flip — within
+                # 10% the decision holds for THIS stream and re-probes next time
+                self.last_stream_probe = (t_p, t_e)
+                if abs(t_p - t_e) > 0.1 * max(t_p, t_e):
+                    self._prune_stream_effective[key] = effective
                 logger.info("pruned-stream A/B probe (%d batches each): pruned %.1f ms vs "
-                            "exhaustive %.1f ms -> %s", P, t_p * 1e3, t_e * 1e3,
-                            "PRUNING ON" if effective else "exhaustive")
+                            "exhaustive %.1f ms -> %s%s", P, t_p * 1e3, t_e * 1e3,
+                            "PRUNING ON" if effective else "exhaustive",
+                            "" if key in self._prune_stream_effective else " (within noise; not sticky)")
                 for r in e_out:
                     yield r
                 for r in p_out:

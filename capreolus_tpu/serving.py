@@ -152,8 +152,30 @@ class _EmbeddingRetrievalService:
         self._n = n
         self.max_k = min(int(max_k), n)
         self._docids = searcher.index.data.docid_strings
+        self._generation = getattr(searcher.index, "generation", 0)
         self.batch_size = int(searcher.config["batch"])
         self._prepare()
+
+    def refresh(self) -> bool:
+        """NRT reopen for the embedding engines (mirrors RetrievalService
+        .refresh): merge pending incremental index ops; on a new generation the
+        searcher re-derives its embedding cache INCREMENTALLY (surviving docs'
+        rows are remapped, only added docs are encoded — embedding_cache.py)
+        and this service swaps in a rebuilt top-k engine. In-flight searches
+        keep the old engine; the swap is one reference assignment."""
+        index = self.searcher.index
+        if hasattr(index, "refresh"):
+            index.refresh()
+        gen = getattr(index, "generation", 0)
+        if gen == self._generation:
+            return False
+        topk, corpus, n = self.searcher.build_topk(self.max_k)
+        self._topk = topk
+        self._corpus = corpus if isinstance(corpus, tuple) else (corpus,)
+        self._n = n
+        self._docids = self.searcher.index.data.docid_strings
+        self._generation = gen
+        return True
 
     def _prepare(self):
         """Subclass hook: warm the query encoder."""
