@@ -115,7 +115,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     t_main = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
+    # default 700 s: the r03 driver accepted a 711 s bench; sections self-skip
+    # with reasons under pressure either way
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "700"))
 
     def remaining():
         return budget_s - (time.perf_counter() - t_main)
@@ -414,8 +416,13 @@ def main():
 
         if remaining() > 60:
             sengine = ScoringEngine(DeviceIndex(cdata, hbm_budget=50e6))
+            # two warmup passes per mode: streamed working-set buffers are
+            # bucketed per batch, so one pass can miss buckets a timed pass
+            # would then compile (a remote compile inside the timing read as
+            # pruned 0.85x in r4 run 3)
             for mode in ("exhaustive", "forced_pruned"):
-                one_pass(sengine, cqueries, 10, mode)  # warmup/compile
+                one_pass(sengine, cqueries, 10, mode)
+                one_pass(sengine, cqueries, 10, mode)
             t = {"exhaustive": [], "forced_pruned": []}
             for _ in range(3):
                 for m in t:

@@ -125,11 +125,15 @@ def generation(index_path: Path) -> int:
     return 0 if d == index_path else int(d.name.split("-", 1)[1])
 
 
-def store_dir(index_path: Path) -> Path:
+def store_dir(index_path: Path, art: Path = None) -> Path:
     """Directory holding the shared doc stores (docs.bin / docterms.bin) that
-    the CURRENT generation's spans point into: named by store_name.txt in the
-    artifacts dir (written by compact_doc_stores), else the index root."""
-    art = artifacts_dir(index_path)
+    a generation's spans point into: named by store_name.txt in the artifacts
+    dir (written by compact_doc_stores), else the index root. Callers that
+    already resolved an artifacts dir MUST pass it as ``art`` — resolving
+    CURRENT a second time could pair spans from one generation with the store
+    of a newer one committed in between."""
+    if art is None:
+        art = artifacts_dir(index_path)
     fn = art / "store_name.txt"
     if fn.exists():
         d = index_path / fn.read_text(encoding="utf-8").strip()
@@ -382,7 +386,7 @@ def _merge_pending_locked(index_path, save_artifacts, store_positions):
 
     docid_to_ord = {d: i for i, d in enumerate(docids)}
     alive = [True] * len(docids)
-    sdir = store_dir(index_path)
+    sdir = store_dir(index_path, art)
     docs_bin = sdir / "docs.bin"
     docterms_bin = sdir / "docterms.bin"
 
@@ -547,7 +551,7 @@ def compact_doc_stores(index_path: Path, store_positions: bool) -> int:
     Returns bytes reclaimed."""
     with _WriterLock(index_path):
         art = artifacts_dir(index_path)
-        old_store = store_dir(index_path)
+        old_store = store_dir(index_path, art)
         spans = np.load(art / "doc_spans.npy")
         old_docs = np.memmap(old_store / "docs.bin", dtype=np.uint8, mode="r")
         old_size = (old_store / "docs.bin").stat().st_size

@@ -555,7 +555,7 @@ class TpuIndex(Index):
         )
         self._docid_to_ord = {d: i for i, d in enumerate(docid_strings)}
         self._doc_spans = np.load(art / "doc_spans.npy")
-        sdir = segments.store_dir(index_path)
+        sdir = segments.store_dir(index_path, art)
         self._docs_bin = np.memmap(sdir / "docs.bin", dtype=np.uint8, mode="r")
         if (sdir / "docterms.bin").exists():
             self._docterm_spans = np.load(art / "docterm_spans.npy")

@@ -318,26 +318,35 @@ class DenseSearcher(Searcher):
                 return self._embed_texts([self.index.get_doc(d) for d in docids])
 
             prev, prev_gen = ec.find_previous(base_fn, gen)
-            if prev is None:
-                emb = encode(docid_strings)
-            else:
+            emb = None
+            if prev is not None:
                 old = np.load(prev, mmap_mode="r")
                 src = ec.row_sources(ec.read_docids(prev), docid_strings)
-                emb = np.empty((len(docid_strings), old.shape[1]), dtype=old.dtype)
-                reused = ec.fill_kept_rows([emb], [old], src)
-                new_idx = np.flatnonzero(src < 0)
-                if len(new_idx):
-                    emb[new_idx] = encode([docid_strings[i] for i in new_idx])
-                logger.info("dense cache gen %d built from gen %d: reused %d rows, "
-                            "encoded %d new documents", gen, prev_gen, reused, len(new_idx))
-            from capreolus_tpu.utils.caching import TargetFileExists, cached_file
+                if ec.identity_remap(src, old.shape[0]):
+                    # e.g. a doc-store compaction bumped the generation with
+                    # identical rows: hardlink, never copy corpus-sized bytes
+                    ec.link_identical(prev, cache_fn)
+                    emb = np.load(cache_fn, mmap_mode="r")
+                else:
+                    emb = np.empty((len(docid_strings), old.shape[1]), dtype=old.dtype)
+                    reused = ec.fill_kept_rows([emb], [old], src)
+                    new_idx = np.flatnonzero(src < 0)
+                    if len(new_idx):
+                        emb[new_idx] = encode([docid_strings[i] for i in new_idx])
+                    logger.info("dense cache gen %d built from gen %d: reused %d rows, "
+                                "encoded %d new documents", gen, prev_gen, reused, len(new_idx))
+            if emb is None:
+                emb = encode(docid_strings)
+            if not cache_fn.exists():
+                from capreolus_tpu.utils.caching import TargetFileExists, cached_file
 
-            try:
-                with cached_file(cache_fn, "wb") as f:
-                    np.save(f, emb)
-            except TargetFileExists:
-                pass  # a concurrent process won the race with identical content
+                try:
+                    with cached_file(cache_fn, "wb") as f:
+                        np.save(f, emb)
+                except TargetFileExists:
+                    pass  # a concurrent process won the race with identical content
         ec.write_docids(cache_fn, docid_strings)
+        ec.prune_old_generations(base_fn, gen)
         import jax.numpy as jnp
 
         qmode = self.config.get("quantize", "none") or "none"
@@ -398,12 +407,17 @@ class DenseSearcher(Searcher):
         tunnel HTTP 413)."""
         import jax
 
-        # IVF engines are memoized per requested hits: the build permutes the
-        # corpus and drops the unsorted original (1x HBM steady state), so a
-        # rebuild would otherwise re-load embeddings from disk every call
+        # IVF engines are memoized per (requested hits, index generation): the
+        # build permutes the corpus and drops the unsorted original (1x HBM
+        # steady state), so a rebuild would otherwise re-load embeddings from
+        # disk every call — but an incremental merge MUST invalidate it, or
+        # refresh() would serve ordinals over the pre-merge corpus ordering
+        self.index.create_index()
+        _ = self.index.data  # merges pending ops; stashes _loaded_generation
+        gen = getattr(self.index, "_loaded_generation", 0)
         requested_hits = int(hits)
         cached = getattr(self, "_ivf_engine", None)
-        if cached is not None and cached[0] == requested_hits and \
+        if cached is not None and cached[0] == (requested_hits, gen) and \
                 int(self.config.get("clusters", 0) or 0) > 0:
             _, topk, meta, n_corpus = cached
             return topk, meta, n_corpus
@@ -451,7 +465,7 @@ class DenseSearcher(Searcher):
                                   "streamed engines")
             topk, docs = self._ivf_topk(docs, n_corpus, hits,
                                         cache_file=self._ivf_cache_file())
-            self._ivf_engine = (requested_hits, topk, docs, n_corpus)
+            self._ivf_engine = ((requested_hits, gen), topk, docs, n_corpus)
         elif shards > 1:
             if isinstance(docs, dict) and "emb4" in docs:
                 from capreolus_tpu.core import ConfigError

@@ -24,6 +24,7 @@ This module makes every derived cache generation-aware and INCREMENTAL:
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -79,6 +80,57 @@ def row_sources(old_docids, new_docids) -> np.ndarray:
     old_pos = {d: i for i, d in enumerate(old_docids)}
     return np.fromiter((old_pos.get(d, -1) for d in new_docids),
                        dtype=np.int64, count=len(new_docids))
+
+
+def identity_remap(src: np.ndarray, old_rows: int) -> bool:
+    """True when the new corpus is row-for-row the old one (e.g. a doc-store
+    compaction bumped the generation without changing documents) — the cache
+    can be HARDLINKED instead of copied."""
+    return len(src) == old_rows and not (src < 0).any() and \
+        bool((src == np.arange(len(src))).all())
+
+
+def link_identical(prev: Path, cache_fn: Path) -> None:
+    """Hardlink (fallback: copy) an unchanged cache under the new generation's
+    name: zero bytes for identity merges; unlinking either name later is safe
+    (POSIX link counts; open mmaps keep their data)."""
+    import shutil
+
+    if Path(cache_fn).exists():
+        return
+    try:
+        os.link(prev, cache_fn)
+    except OSError:
+        shutil.copy2(prev, cache_fn)
+
+
+def prune_old_generations(base: Path, generation: int, keep: int = 1) -> None:
+    """Delete generation-tagged cache files older than ``generation - keep``
+    (sidecars, mask pairs, and derived int8/int4/ivf files share the root
+    prefix and are caught by the same glob). The previous generation is kept
+    so in-flight readers survive one refresh and the NEXT merge has a remap
+    source — mirroring index/segments.py's deferred deletion policy. Without
+    this, NRT serving with periodic merges writes one full corpus-sized cache
+    copy per merge and never reclaims any (round-4 review finding)."""
+    base = Path(base)
+    cutoff = generation - keep
+    if cutoff <= 0:
+        return
+    root = base.name.partition(".")[0]
+    for p in base.parent.glob(f"{root}*"):
+        if not p.is_file():
+            continue
+        tail = p.name[len(root):]
+        if tail.startswith("_gen"):
+            g_str = tail[4:].split(".", 1)[0].split("_", 1)[0]
+            try:
+                g = int(g_str)
+            except ValueError:
+                continue
+        else:
+            g = 0  # the untagged legacy generation-0 family
+        if g < cutoff:
+            p.unlink(missing_ok=True)
 
 
 def fill_kept_rows(out_arrays, old_arrays, src: np.ndarray, chunk: int = 4096) -> int:

@@ -292,9 +292,22 @@ class ImpactSearcher(Searcher):
         base_fn = self._cache_file()
         cache_fn = ec.generation_path(base_fn, gen)
         if cache_fn.exists():
+            # repair a crash-orphaned sidecar so the NEXT generation can still
+            # remap from this cache instead of re-encoding the whole corpus
+            ec.write_docids(cache_fn, docid_strings)
             z = np.load(cache_fn)
             return z["doc_offsets"], z["term_ids"], z["raw_impacts"]
         prev, prev_gen = ec.find_previous(base_fn, gen)
+        if prev is not None:
+            src_probe = ec.row_sources(ec.read_docids(prev), docid_strings)
+            with np.load(prev) as zp:
+                prev_rows = len(zp["doc_offsets"]) - 1
+            if ec.identity_remap(src_probe, prev_rows):
+                ec.link_identical(prev, cache_fn)
+                ec.write_docids(cache_fn, docid_strings)
+                ec.prune_old_generations(base_fn, gen)
+                z = np.load(cache_fn)
+                return z["doc_offsets"], z["term_ids"], z["raw_impacts"]
         if prev is None:
             offs, terms, raw = self._encode_doc_major(docid_strings)
         else:
@@ -335,6 +348,7 @@ class ImpactSearcher(Searcher):
         except TargetFileExists:
             pass
         ec.write_docids(cache_fn, docid_strings)
+        ec.prune_old_generations(base_fn, gen)
         return offs, terms, raw
 
     def _impact_index(self):

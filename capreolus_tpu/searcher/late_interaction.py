@@ -237,36 +237,45 @@ class LateInteractionSearcher(Searcher):
                 return self._encode_doc_batches(docids, maxlen)
 
             prev, prev_gen = ec.find_previous(base_fn, gen)
-            if prev is None:
-                emb, mask = encode(docid_strings)
-            else:
+            emb = None
+            if prev is not None:
                 old_e = np.load(prev, mmap_mode="r")
                 old_m = np.load(self._mask_for(prev), mmap_mode="r")
                 src = ec.row_sources(ec.read_docids(prev), docid_strings)
-                emb = np.empty((len(docid_strings),) + old_e.shape[1:], dtype=old_e.dtype)
-                mask = np.empty((len(docid_strings),) + old_m.shape[1:], dtype=old_m.dtype)
-                reused = ec.fill_kept_rows([emb, mask], [old_e, old_m], src)
-                new_idx = np.flatnonzero(src < 0)
-                if len(new_idx):
-                    ne, nm = encode([docid_strings[i] for i in new_idx])
-                    emb[new_idx], mask[new_idx] = ne, nm
-                logger.info("colbert cache gen %d built from gen %d: reused %d rows, "
-                            "encoded %d new documents", gen, prev_gen, reused, len(new_idx))
-            from capreolus_tpu.utils.caching import TargetFileExists, cached_file
+                if ec.identity_remap(src, old_e.shape[0]):
+                    ec.link_identical(self._mask_for(prev), mask_fn)
+                    ec.link_identical(prev, cache_fn)
+                    emb = np.load(cache_fn, mmap_mode="r")
+                    mask = np.load(mask_fn, mmap_mode="r")
+                else:
+                    emb = np.empty((len(docid_strings),) + old_e.shape[1:], dtype=old_e.dtype)
+                    mask = np.empty((len(docid_strings),) + old_m.shape[1:], dtype=old_m.dtype)
+                    reused = ec.fill_kept_rows([emb, mask], [old_e, old_m], src)
+                    new_idx = np.flatnonzero(src < 0)
+                    if len(new_idx):
+                        ne, nm = encode([docid_strings[i] for i in new_idx])
+                        emb[new_idx], mask[new_idx] = ne, nm
+                    logger.info("colbert cache gen %d built from gen %d: reused %d rows, "
+                                "encoded %d new documents", gen, prev_gen, reused, len(new_idx))
+            if emb is None:
+                emb, mask = encode(docid_strings)
+            if not (cache_fn.exists() and mask_fn.exists()):
+                from capreolus_tpu.utils.caching import TargetFileExists, cached_file
 
-            # mask first, emb last: the existence check requires BOTH, and
-            # cached_file writes are atomic, so a crash between the two never
-            # leaves a loadable half-pair. Each write gets its OWN race guard:
-            # a crash-orphaned mask must not stop the emb from being written
-            # on the retry (the pair would otherwise never self-heal and every
-            # run would re-encode the corpus)
-            for fn, arr in ((mask_fn, mask), (cache_fn, emb)):
-                try:
-                    with cached_file(fn, "wb") as f:
-                        np.save(f, arr)
-                except TargetFileExists:
-                    pass
+                # mask first, emb last: the existence check requires BOTH, and
+                # cached_file writes are atomic, so a crash between the two never
+                # leaves a loadable half-pair. Each write gets its OWN race guard:
+                # a crash-orphaned mask must not stop the emb from being written
+                # on the retry (the pair would otherwise never self-heal and every
+                # run would re-encode the corpus)
+                for fn, arr in ((mask_fn, mask), (cache_fn, emb)):
+                    try:
+                        with cached_file(fn, "wb") as f:
+                            np.save(f, arr)
+                    except TargetFileExists:
+                        pass
         ec.write_docids(cache_fn, docid_strings)
+        ec.prune_old_generations(base_fn, gen)
         qmode = self.config.get("quantize", "none") or "none"
         quantized = qmode == "int8"
         n_docs, ld, dim = emb.shape

@@ -1340,6 +1340,16 @@ class ScoringEngine:
             # into a regime where span building loses)
             P = max(2, min(window, len(batches) // 2))
             if use_pruned and adaptive and decided is None and len(batches) >= 2 * P:
+                # warm BOTH modes' executables on batch 0 UNTIMED first: a
+                # first compile over a remote-compile tunnel runs 20-40 s and
+                # would otherwise land inside a probe segment and lock a wrong
+                # sticky verdict in for the life of the engine
+                fetch(self.search(batches[0], model=model, params=params, topk=topk,
+                                  _prebuilt=prepare(batches[0], None, False),
+                                  exact_topk=False, **kw))
+                fetch(self.search(batches[0], model=model, params=params, topk=topk,
+                                  _prebuilt=prepare(batches[0], spans0, True),
+                                  exact_topk=False, **kw))
                 # wall-clock A/B probe: both segments' host prep is submitted up
                 # front so the pruned segment's spans overlap the exhaustive
                 # segment's device time, mimicking steady-state pipelining
@@ -1351,14 +1361,19 @@ class ScoringEngine:
                 # the verdict goes sticky only on a clear margin: a few-batch
                 # segment through a fluctuating transport (tunnel weather
                 # swings >2x, PERF.md) must not lock in a coin-flip — within
-                # 10% the decision holds for THIS stream and re-probes next time
+                # 10% the decision holds for THIS stream only. A >3x ratio is
+                # anomalous for a genuine mode difference (real losses measure
+                # 0.6-0.9x) — almost certainly a residual compile on an unseen
+                # tier bucket or a weather cliff mid-probe — so it does not
+                # stick either.
                 self.last_stream_probe = (t_p, t_e)
-                if abs(t_p - t_e) > 0.1 * max(t_p, t_e):
+                ratio = max(t_p, t_e) / max(1e-9, min(t_p, t_e))
+                if abs(t_p - t_e) > 0.1 * max(t_p, t_e) and ratio < 3.0:
                     self._prune_stream_effective[key] = effective
                 logger.info("pruned-stream A/B probe (%d batches each): pruned %.1f ms vs "
                             "exhaustive %.1f ms -> %s%s", P, t_p * 1e3, t_e * 1e3,
                             "PRUNING ON" if effective else "exhaustive",
-                            "" if key in self._prune_stream_effective else " (within noise; not sticky)")
+                            "" if key in self._prune_stream_effective else " (not sticky)")
                 for r in e_out:
                     yield r
                 for r in p_out:

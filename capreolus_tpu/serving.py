@@ -144,15 +144,21 @@ class _EmbeddingRetrievalService:
 
         self.searcher = searcher
         self._np = np
+        self._requested_k = int(max_k)  # refresh() re-clamps against the NEW corpus
         topk, corpus, n = searcher.build_topk(max_k)
         self._topk = topk
         # normalize to an argument tuple: dense passes one corpus pytree,
         # colbert a (docs, mask[, scale]) tuple, streaming an empty tuple
         self._corpus = corpus if isinstance(corpus, tuple) else (corpus,)
         self._n = n
-        self.max_k = min(int(max_k), n)
+        self.max_k = min(self._requested_k, n)
         self._docids = searcher.index.data.docid_strings
-        self._generation = getattr(searcher.index, "generation", 0)
+        # key on the generation the engine's artifacts were actually LOADED
+        # from (stashed by TpuIndex._load) — a fresh CURRENT read could name a
+        # generation another process committed after our load (the stale-cache
+        # race fixed in TpuSearcherMixin.get_engine)
+        self._generation = getattr(searcher.index, "_loaded_generation",
+                                   getattr(searcher.index, "generation", 0))
         self.batch_size = int(searcher.config["batch"])
         self._prepare()
 
@@ -166,15 +172,18 @@ class _EmbeddingRetrievalService:
         index = self.searcher.index
         if hasattr(index, "refresh"):
             index.refresh()
-        gen = getattr(index, "generation", 0)
+        gen = getattr(index, "_loaded_generation", getattr(index, "generation", 0))
         if gen == self._generation:
             return False
-        topk, corpus, n = self.searcher.build_topk(self.max_k)
+        # rebuild at the ORIGINALLY requested k: a service constructed over a
+        # small corpus must serve the full request once the corpus grows
+        topk, corpus, n = self.searcher.build_topk(self._requested_k)
         self._topk = topk
         self._corpus = corpus if isinstance(corpus, tuple) else (corpus,)
         self._n = n
+        self.max_k = min(self._requested_k, n)
         self._docids = self.searcher.index.data.docid_strings
-        self._generation = gen
+        self._generation = getattr(index, "_loaded_generation", gen)
         return True
 
     def _prepare(self):

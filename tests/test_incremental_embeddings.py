@@ -154,6 +154,63 @@ def test_impact_incremental_matches_fresh(tmpdir_as_cache, monkeypatch):
     np.testing.assert_array_equal(np.asarray(d1.host_tfs), np.asarray(d2.host_tfs))
 
 
+def test_dense_ivf_refresh_not_stale(tmpdir_as_cache):
+    """The IVF engine memo must invalidate on a new index generation: it
+    permutes the corpus cluster-major, so serving a pre-merge engine after a
+    delete+merge would return the WRONG documents' docids for every ordinal
+    (round-4 review finding). nprobe=clusters keeps results exact."""
+    from capreolus_tpu.serving import DenseRetrievalService
+
+    svc = DenseRetrievalService.from_config(
+        collection="incr_emb_sliceable", pretrained="tiny", allowrandominit=True,
+        maxdoclen=32, maxqlen=8, batch=4, clusters=2, nprobe=2)
+    n0 = svc._n
+    svc.searcher.index.add_documents([("NEWIVF", "zebra stampede savanna dusk")])
+    assert svc.refresh() is True
+    assert svc._n == n0 + 1
+    hits = svc.search(["zebra stampede savanna dusk"], k=3)[0]
+    assert any(d == "NEWIVF" for d, _ in hits)
+    # deletion shifts every later ordinal: a stale engine surfaces wrong docids
+    svc.searcher.index.delete_documents(["E0000", "E0005"])
+    assert svc.refresh() is True
+    docids = [d for d, _ in svc.search(["zebra stampede savanna dusk"], k=5)[0]]
+    assert "NEWIVF" in docids
+    assert "E0000" not in docids and "E0005" not in docids
+
+
+def test_cache_gc_and_identity_hardlink(tmpdir_as_cache):
+    """Old generations' corpus-sized caches are reclaimed (keep current +
+    previous, mirroring index gen deletion), and an identity merge (same rows,
+    e.g. after compact_doc_stores) hardlinks instead of copying."""
+    import os
+
+    from capreolus_tpu.searcher import embedding_cache as ec
+
+    searcher = Searcher.create("dense", {"pretrained": "tiny", "allowrandominit": True,
+                                         "maxdoclen": 32, "maxqlen": 8, "batch": 128,
+                                         "index": _index_cfg(12)})
+    searcher._doc_matrix()
+    base = searcher._doc_cache_file()
+    for i in range(3):  # three merges -> generations 1..3
+        searcher.index.add_documents([ALL_DOCS[12 + i]])
+        searcher.index.refresh()
+        searcher._doc_matrix()
+    assert ec.generation_path(base, 3).exists()
+    assert ec.generation_path(base, 2).exists()  # previous kept (deferred)
+    assert not ec.generation_path(base, 1).exists()  # reclaimed
+    assert not base.exists()  # gen-0 family reclaimed too
+
+    # identity merge: doc-store compaction bumps the generation, rows unchanged
+    searcher.index.delete_documents([ALL_DOCS[12][0]])
+    searcher.index.refresh()
+    searcher._doc_matrix()  # gen 4: real remap (one row dropped)
+    searcher.index.compact_doc_stores()  # gen 5: identical rows
+    searcher._doc_matrix()
+    g4, g5 = ec.generation_path(base, 4), ec.generation_path(base, 5)
+    assert g5.exists()
+    assert os.stat(g4).st_ino == os.stat(g5).st_ino  # hardlinked, not copied
+
+
 def test_embedding_service_refresh_nrt(tmpdir_as_cache):
     """DenseRetrievalService.refresh() — the embedding-family analog of the
     sparse service's NRT reopen (tests/test_incremental.py)."""
