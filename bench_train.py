@@ -57,8 +57,10 @@ def measure(configure_cache=True, budget_s=90.0):
     tx = optax.adam(3e-5)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, inp, mask, seg):
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))  # like the production
+    def step(params, opt_state, inp, mask, seg):  # trainer (jax_trainer.py:511)
         def loss_fn(p):
             scores = model.apply(p, inp, mask, seg)  # [2B]: pos then neg
             pos, neg = scores[:BATCH_PAIRS], scores[BATCH_PAIRS:]
