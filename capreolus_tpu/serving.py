@@ -280,6 +280,106 @@ class ColbertRetrievalService(_EmbeddingRetrievalService):
         return q_emb
 
 
+class ImpactRetrievalService:
+    """Low-latency learned-sparse (uniCOIL/SPLADE impact) serving.
+
+    Keeps the quantized impact index resident in HBM and the query-weighting
+    encoder jitted across calls; same ``search(queries, k) -> [[(docid,
+    score)]]`` contract as the other services, so it composes with
+    MicroBatcher/HTTP and HybridRetrievalService. Scores are true
+    quantized-impact dot products (dequantization folded into the query
+    weights, searcher/impact.py _search_all).
+
+        svc = ImpactRetrievalService.from_config(
+            collection="nf", checkpointfile=".../dev.best.params")
+        hits = svc.search(["dietary supplements cancer prevention"], k=10)
+    """
+
+    def __init__(self, searcher):
+        searcher._impact_index()  # build/load eagerly so first request is warm
+        self.searcher = searcher
+        self.batch_size = max(1, int(searcher.config["batch"]))
+        self._served_gen = getattr(searcher, "_engine_gen", 0)
+
+    @property
+    def index(self):
+        return self.searcher.index
+
+    @property
+    def _docids(self):  # /health corpus_size
+        return self.searcher._impact_index()[1]
+
+    def refresh(self) -> bool:
+        """NRT reopen (mirrors RetrievalService.refresh): merge pending
+        incremental index ops; on a new generation _impact_index() re-derives
+        the quantized CSR from the incrementally-maintained raw doc-major
+        cache (survivors remapped, only added docs encoded) and re-quantizes
+        over the new corpus max exactly like a fresh build. In-flight searches
+        keep the old engine — search() snapshots the engine tuple once."""
+        index = self.searcher.index
+        if hasattr(index, "refresh"):
+            index.refresh()
+        # _impact_index() re-reads index.data (merging any remaining pending
+        # ops) and rebuilds the engine when the loaded generation moved
+        self.searcher._impact_index()
+        new_gen = getattr(self.searcher, "_engine_gen", 0)
+        changed = new_gen != self._served_gen
+        self._served_gen = new_gen
+        return changed
+
+    @classmethod
+    def from_config(cls, collection: str = "dummy", collection_path: Optional[str] = None,
+                    **searcher_config):
+        import capreolus_tpu
+
+        capreolus_tpu.load_all_modules()
+        from capreolus_tpu.searcher import Searcher
+
+        coll_cfg = {"name": collection}
+        if collection_path:
+            coll_cfg["path"] = collection_path
+        index_cfg = searcher_config.pop("index", {})
+        searcher = Searcher.create("impact",
+                                   {**searcher_config,
+                                    "index": {**index_cfg, "collection": coll_cfg}})
+        return cls(searcher)
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        """Returns, per query, the top-k (docid, score) pairs."""
+        # point-in-time snapshot: a concurrent refresh() swaps the searcher's
+        # cached engine tuple atomically; we keep the one we started with
+        engine, docids, scale = self.searcher._impact_index()
+        nt = engine.dindex.num_terms
+        offs = engine.dindex.term_offsets
+        maxpost = int(self.searcher.config["maxpostings"])
+        results: List[List[Tuple[str, float]]] = []
+        for start in range(0, len(queries), self.batch_size):
+            batch = list(queries[start : start + self.batch_size])
+            term_lists = [[(t, w / scale) for t, w in qw
+                           if t < nt and offs[t + 1] > offs[t]]
+                          for qw in self.searcher.query_weights_batch(batch)]
+            scores, ords = engine.search(term_lists, model="impact", params={},
+                                         topk=k, max_postings_per_term=maxpost)
+            for qi in range(len(batch)):
+                hits = []
+                for s, o in zip(scores[qi], ords[qi]):
+                    if s <= 0.0:
+                        break  # scores descend; zero/sentinel tail follows
+                    if int(o) >= len(docids):
+                        continue
+                    hits.append((docids[int(o)], float(s)))
+                results.append(hits)
+        return results
+
+    def get_document(self, docid: str) -> Optional[str]:
+        return self.searcher.index.get_doc(docid)
+
+    def snippets(self, query: str, hits) -> List[str]:
+        from capreolus_tpu.analysis.highlight import snippets_for_hits
+
+        return snippets_for_hits(self.searcher.index, query, hits)
+
+
 class HybridRetrievalService:
     """Serving-level hybrid retrieval: fuse two warm services' rankings per
     query (reciprocal rank fusion by default — searcher/fusion.py math over

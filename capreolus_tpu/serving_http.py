@@ -1,5 +1,6 @@
 """HTTP serving frontend: a JSON API + cross-request micro-batching over any
-retrieval service (sparse RetrievalService, DenseRetrievalService, or
+retrieval service (sparse RetrievalService, DenseRetrievalService,
+ColbertRetrievalService, learned-sparse ImpactRetrievalService, or
 retrieve-then-rerank RerankingService).
 
 The reference stops at experiment pipelines; this framework also targets
@@ -278,7 +279,7 @@ def main(argv: Optional[List[str]] = None):
     p = argparse.ArgumentParser(description="capreolus_tpu retrieval HTTP server")
     p.add_argument("--collection", default="dummy")
     p.add_argument("--collection-path", default=None)
-    p.add_argument("--backend", choices=["sparse", "dense", "colbert", "rerank", "hybrid"],
+    p.add_argument("--backend", choices=["sparse", "dense", "colbert", "impact", "rerank", "hybrid"],
                    default="sparse")
     p.add_argument("--model", default="bm25", help="sparse scoring model")
     p.add_argument("--config", default="", help="dotted k=v searcher/reranker config "
@@ -318,6 +319,13 @@ def main(argv: Optional[List[str]] = None):
             collection=args.collection, collection_path=args.collection_path, **cfg)
     elif args.backend == "colbert":
         service = ColbertRetrievalService.from_config(
+            collection=args.collection, collection_path=args.collection_path, **cfg)
+    elif args.backend == "impact":
+        # learned-sparse serving (uniCOIL/SPLADE impact index); --config keys
+        # address the impact searcher, e.g. "encoder=splade checkpointfile=..."
+        from capreolus_tpu.serving import ImpactRetrievalService
+
+        service = ImpactRetrievalService.from_config(
             collection=args.collection, collection_path=args.collection_path, **cfg)
     elif args.backend == "rerank":
         if not args.checkpoint:

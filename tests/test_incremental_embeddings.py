@@ -230,3 +230,28 @@ def test_embedding_service_refresh_nrt(tmpdir_as_cache):
     svc.searcher.index.delete_documents(["NEWDOC"])
     assert svc.refresh() is True
     assert all(d != "NEWDOC" for d, _ in svc.search(["zebra stampede savanna"], k=3)[0])
+
+
+def test_impact_service_refresh_nrt(tmpdir_as_cache):
+    """ImpactRetrievalService.refresh() — the learned-sparse analog of the
+    sparse/dense services' NRT reopen: pending add/delete ops merge, the
+    quantized CSR re-derives from the incrementally-maintained raw cache,
+    and the served engine swaps in one reference assignment."""
+    from capreolus_tpu.serving import ImpactRetrievalService
+
+    svc = ImpactRetrievalService.from_config(
+        collection="incr_emb_sliceable", pretrained="tiny", allowrandominit=True,
+        maxdoclen=32, maxqlen=8, batch=8)
+    assert svc.refresh() is False  # nothing pending
+    n0 = len(svc._docids)
+    svc.searcher.index.add_documents([("NEWIMP", "zebra stampede savanna dawn")])
+    assert svc.refresh() is True
+    assert len(svc._docids) == n0 + 1
+    hits = svc.search(["zebra stampede savanna dawn"], k=n0 + 1)[0]
+    assert any(d == "NEWIMP" for d, _ in hits)
+    assert svc.get_document("NEWIMP") == "zebra stampede savanna dawn"
+    svc.searcher.index.delete_documents(["NEWIMP"])
+    assert svc.refresh() is True
+    assert len(svc._docids) == n0
+    assert all(d != "NEWIMP" for d, _ in
+               svc.search(["zebra stampede savanna dawn"], k=n0)[0])

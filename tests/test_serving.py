@@ -396,3 +396,40 @@ def test_hybrid_retrieval_service(tmpdir_as_cache):
     # legs (symmetric fusion depths), never silently asymmetric
     deep = HybridRetrievalService(sparse, dense, depth=50)
     assert deep.depth == dense.max_k
+
+
+def test_impact_retrieval_service(tmpdir_as_cache):
+    """ImpactRetrievalService: learned-sparse serving returns the searcher's
+    own dequantized dot products under the standard (docid, score) contract,
+    and composes with the MicroBatcher like every other service."""
+    import numpy as np
+
+    from capreolus_tpu.serving import ImpactRetrievalService
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    svc = ImpactRetrievalService.from_config(
+        collection="dummy", pretrained="tiny", maxdoclen=32, maxqlen=8, batch=4)
+    queries = ["distant galaxies collide", "whales ocean"]
+    results = svc.search(queries, k=3)
+    assert len(results) == 2
+
+    engine, docids, scale = svc.searcher._impact_index()
+    host = engine.dindex.host
+    for q, hits in zip(queries, results):
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        # expected score: dequantized impact dot product over the CSR
+        expected = np.zeros(len(docids))
+        for t, w in svc.searcher.query_weights(q):
+            if t < host.num_terms:
+                docs_t, tfs_t = host.postings(t)
+                expected[docs_t] += (w / scale) * tfs_t
+        for docid, score in hits:
+            assert score == pytest.approx(expected[docids.index(docid)], rel=1e-5)
+
+    batcher = MicroBatcher(svc, window_ms=1.0)
+    try:
+        assert batcher.search(queries[0], k=3) == results[0]
+    finally:
+        batcher.close()
