@@ -160,6 +160,40 @@ def unpack_doc_ords(packed: np.ndarray) -> np.ndarray:
     return packed[..., 0] | (packed[..., 1] << 8) | (packed[..., 2] << 16)
 
 
+def ord_pack_bits(num_docs: int) -> int:
+    """Bit width for device-side ordinal packing: the narrowest width that
+    represents every doc ordinal PLUS the pad sentinel ``num_docs``. The k=1000
+    headline is result-transfer bound through the tunnel (PERF.md round 4:
+    5 B/result x 2048 q x 1000 = 10.2 MB/pass at the tunnel's ~28-39 MB/s), so
+    ordinals travel at ceil(log2) bits instead of 3 fixed bytes — 18 bits at
+    the 200k-doc bench scale, a 1.17x cut in result bytes."""
+    bits = max(int(num_docs).bit_length(), 1)  # represents values 0..num_docs
+    return min(bits, 24)
+
+
+def _ord_pack_geometry(bits: int) -> Tuple[int, int]:
+    """(group_size, words_per_group): the smallest group of b-bit values whose
+    packed bitstream is whole uint32 words. Groups concatenate into one
+    continuous little-endian b-bit stream (group g, local i = global g*G + i
+    at stream bit b*(g*G + i)), so the host unpack below is geometry-free."""
+    import math
+
+    g = 32 // math.gcd(bits, 32)
+    return g, bits * g // 32
+
+
+def unpack_doc_ords_bits(packed: np.ndarray, k: int, bits: int) -> np.ndarray:
+    """Inverse of the device-side b-bit ordinal packing
+    ([..., n_groups, words_per_group] uint32 -> [..., k] int32)."""
+    lead = packed.shape[:-2]
+    w = packed.reshape(*lead, -1).astype(np.uint64)
+    w = np.concatenate([w, np.zeros((*lead, 1), np.uint64)], axis=-1)
+    u = w[..., :-1] | (w[..., 1:] << np.uint64(32))  # 64-bit windows at each word
+    start = np.arange(k, dtype=np.int64) * bits
+    vals = (u[..., start // 32] >> (start % 32).astype(np.uint64)) & np.uint64((1 << bits) - 1)
+    return vals.astype(np.int32)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -432,7 +466,7 @@ class TieredResult:
     (copy_to_host_async) so transfers overlap subsequent batches' compute."""
 
     def __init__(self, engine, outs, tier_layout, inv_order, num_queries, topk,
-                 grid_shape, score_dtype, pack_ords):
+                 grid_shape, score_dtype, ord_bits):
         self.engine = engine
         self.outs = outs  # [(scores, ords)] per non-empty tier
         self.tier_layout = tier_layout  # [(qbase, qt_real)] per non-empty tier
@@ -441,7 +475,7 @@ class TieredResult:
         self.topk = topk
         self.grid_shape = tuple(grid_shape)
         self.score_dtype = score_dtype
-        self.pack_ords = pack_ords
+        self.ord_bits = ord_bits  # 0 = raw int32 ordinals
         for s, o in outs:
             s.copy_to_host_async()
             o.copy_to_host_async()
@@ -455,8 +489,8 @@ class TieredResult:
         for (qbase, qt), (s, o) in zip(self.tier_layout, self.outs):
             s = np.asarray(s)
             o = np.asarray(o)
-            if self.pack_ords:
-                o = unpack_doc_ords(o)
+            if self.ord_bits:
+                o = unpack_doc_ords_bits(o, self.topk, self.ord_bits)
             scores[..., qbase:qbase + qt, :] = s[..., :qt, :]
             ords[..., qbase:qbase + qt, :] = o[..., :qt, :]
         # un-permute the tier-sorted query axis
@@ -820,19 +854,19 @@ class ScoringEngine:
         return packed, tiers, np.asarray(u0s, np.int32), inv_order, r_max
 
     @functools.partial(jax.jit, static_argnames=(
-        "self", "model", "topk", "param_axes", "r_max", "tier_shapes", "score_dtype", "pack_ords"))
+        "self", "model", "topk", "param_axes", "r_max", "tier_shapes", "score_dtype", "ord_bits"))
     def _score_tiered(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                      pack_ords, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
+                      ord_bits, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
         """Fused per-batch executable. The tile sources are jit ARGUMENTS, never
         closure captures: the resident path passes device arrays (free), the
         streaming path passes host working-set buffers (real transfers) — and a
         captured multi-GB constant would blow the tunnel's remote-compile
         payload limit (observed HTTP 413 at 1.5 GB; CLAUDE.md convention)."""
         return self._tiered_impl(model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                                 pack_ords, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles)
+                                 ord_bits, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles)
 
     def _tiered_impl(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                     pack_ords, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
+                     ord_bits, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
         """Score all lanes, then per-tier sort-dedup-rank.
 
         tier_shapes: ((unit_width, qt_pad), ...) static; u0s: per-tier unit offsets.
@@ -880,12 +914,31 @@ class ScoringEngine:
                     [top_scores, jnp.full((qt, topk - k), -1.0)], axis=1)
                 top_docs = jnp.concatenate(
                     [top_docs, jnp.full((qt, topk - k), d.num_docs, jnp.int32)], axis=1)
-            if pack_ords:
-                top_docs = jnp.stack([
-                    (top_docs & 0xFF).astype(jnp.uint8),
-                    ((top_docs >> 8) & 0xFF).astype(jnp.uint8),
-                    ((top_docs >> 16) & 0xFF).astype(jnp.uint8),
-                ], axis=-1)
+            if ord_bits:
+                # ordinals travel at ceil(log2(num_docs)) bits: groups of G
+                # values pack into whole uint32 words (one continuous b-bit
+                # stream; unpack_doc_ords_bits is the inverse). The headline is
+                # result-transfer bound through the tunnel, so every bit of the
+                # 5 B/result payload is wall-clock (PERF.md round 4).
+                g, wpg = _ord_pack_geometry(ord_bits)
+                kp = _round_up(topk, g)
+                v = top_docs.astype(jnp.uint32)
+                if kp > topk:
+                    v = jnp.concatenate(
+                        [v, jnp.full((qt, kp - topk), d.num_docs, jnp.uint32)], axis=1)
+                v = v.reshape(qt, kp // g, g)
+                words = []
+                for j in range(wpg):
+                    w = jnp.zeros((qt, kp // g), jnp.uint32)
+                    lo_bit = 32 * j  # word j covers stream bits [32j, 32j+32)
+                    for i in range(g):
+                        v0 = ord_bits * i  # value i covers [b*i, b*i + b)
+                        if v0 + ord_bits <= lo_bit or v0 >= lo_bit + 32:
+                            continue
+                        w = w | (v[:, :, i] >> (lo_bit - v0) if lo_bit >= v0
+                                 else v[:, :, i] << (v0 - lo_bit))
+                    words.append(w)
+                top_docs = jnp.stack(words, axis=-1)  # [qt, kp//g, wpg]
             return top_scores.astype(jnp.dtype(score_dtype)), top_docs
 
         def score_with(p):
@@ -1500,7 +1553,10 @@ class ScoringEngine:
                 return scores, doc_ords
             return np.asarray(scores).astype(np.dtype(score_dtype)), np.asarray(doc_ords)
 
-        pack_ords = bool(pack_ords) and self.dindex.num_docs < (1 << 24)
+        # ordinal transfer compression; >= 2^24 docs would need wider packing
+        # than the 24-bit cap, so those corpora fall back to raw int32
+        ord_bits = (ord_pack_bits(self.dindex.num_docs)
+                    if pack_ords and self.dindex.num_docs < (1 << 24) else 0)
         if _prebuilt is not None:
             packed, tiers, u0s, inv_order, r_max, stream_buffers = _prebuilt
         else:
@@ -1517,11 +1573,11 @@ class ScoringEngine:
             buffers = (d.doc_tiles, d.tf_tiles,
                        d.norm_dl_tiles if model in _NORM_DL_MODELS else d.exact_dl_tiles)
         outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
-                                  str(score_dtype), pack_ords, packed, u0s, device_params,
+                                  str(score_dtype), ord_bits, packed, u0s, device_params,
                                   *buffers)
         result = TieredResult(self, list(outs), [(qbase, qt) for _, _, qt, qbase in tiers],
                               inv_order, num_queries, topk, grid_shape,
-                              score_dtype, pack_ords)
+                              score_dtype, ord_bits)
         if not materialize:
             return result
         return result.get()

@@ -68,7 +68,8 @@ def test_search_fused_matches_search():
 
 
 def test_packed_ords_roundtrip():
-    from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine, unpack_doc_ords
+    from capreolus_tpu.searcher.scoring import (DeviceIndex, ScoringEngine, _ord_pack_geometry,
+                                                ord_pack_bits)
 
     data = make_synthetic_index(num_docs=300, num_terms=40, seed=2)
     engine = ScoringEngine(DeviceIndex(data))
@@ -81,9 +82,37 @@ def test_packed_ords_roundtrip():
     # materialize=False returns a pending result whose .get() yields the same arrays
     pending = engine.search(queries, params={"k1": 0.9, "b": 0.4}, topk=20, exact_topk=False,
                             pack_ords=True, materialize=False)
-    # the raw device buffers are uint8-packed ordinals
-    assert all(np.asarray(po).dtype == np.uint8 and np.asarray(po).shape[-1] == 3
+    # the raw device buffers are bit-packed ordinal words: ceil(log2) bits per
+    # ordinal (9 bits for a 300-doc corpus) in whole uint32 words per group
+    bits = ord_pack_bits(300)
+    _, wpg = _ord_pack_geometry(bits)
+    assert bits == 9
+    assert all(np.asarray(po).dtype == np.uint32 and np.asarray(po).shape[-1] == wpg
                for _, po in pending.outs)
     ps, po = pending.get()
     np.testing.assert_allclose(ps, ref_s, rtol=1e-6)
     np.testing.assert_array_equal(po, ref_o)
+
+
+def test_ord_bit_packing_all_widths():
+    """unpack_doc_ords_bits inverts the device packing convention (one
+    continuous little-endian b-bit stream in uint32 words) for every width the
+    engine can choose."""
+    from capreolus_tpu.searcher.scoring import _ord_pack_geometry, unpack_doc_ords_bits
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    for bits in range(1, 25):
+        g, wpg = _ord_pack_geometry(bits)
+        assert g * bits == 32 * wpg
+        k = 37
+        kp = ((k + g - 1) // g) * g
+        vals = rng.integers(0, 1 << bits, size=(3, kp), dtype=np.uint64)
+        words = np.zeros((3, kp * bits // 32), np.uint32)
+        for r in range(3):  # reference packer: python big-int bitstream
+            stream = 0
+            for i, v in enumerate(vals[r].tolist()):
+                stream |= int(v) << (bits * i)
+            for j in range(words.shape[1]):
+                words[r, j] = (stream >> (32 * j)) & 0xFFFFFFFF
+        out = unpack_doc_ords_bits(words.reshape(3, kp // g, wpg), k, bits)
+        np.testing.assert_array_equal(out, vals[:, :k].astype(np.int32))
