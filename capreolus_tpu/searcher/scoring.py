@@ -463,40 +463,30 @@ class DeviceIndex:
 
 class TieredResult:
     """Pending device results of a tiered search; fetches are started eagerly
-    (copy_to_host_async) so transfers overlap subsequent batches' compute."""
+    (copy_to_host_async) so transfers overlap subsequent batches' compute.
+    Rows arrive compacted + unpermuted (device-side out_index gather), so
+    ``get`` only unpacks ordinal bits and trims Q padding — no host assemble."""
 
-    def __init__(self, engine, outs, tier_layout, inv_order, num_queries, topk,
+    def __init__(self, engine, scores, ords, num_queries, topk,
                  grid_shape, score_dtype, ord_bits):
         self.engine = engine
-        self.outs = outs  # [(scores, ords)] per non-empty tier
-        self.tier_layout = tier_layout  # [(qbase, qt_real)] per non-empty tier
-        self.inv_order = inv_order
+        self.scores = scores  # [*grid, Q_pad, topk] device array
+        self.ords = ords  # [*grid, Q_pad, topk] int32 or bit-packed words
         self.num_queries = num_queries
         self.topk = topk
         self.grid_shape = tuple(grid_shape)
         self.score_dtype = score_dtype
         self.ord_bits = ord_bits  # 0 = raw int32 ordinals
-        for s, o in outs:
-            s.copy_to_host_async()
-            o.copy_to_host_async()
+        scores.copy_to_host_async()
+        ords.copy_to_host_async()
 
     def get(self):
-        """Assemble ([*grid, Q, topk] scores, [...] doc ords) numpy arrays."""
-        d = self.engine.dindex
-        shape = self.grid_shape + (self.num_queries, self.topk)
-        scores = np.full(shape, -1.0, dtype=np.dtype(self.score_dtype))
-        ords = np.full(shape, d.num_docs, dtype=np.int32)
-        for (qbase, qt), (s, o) in zip(self.tier_layout, self.outs):
-            s = np.asarray(s)
-            o = np.asarray(o)
-            if self.ord_bits:
-                o = unpack_doc_ords_bits(o, self.topk, self.ord_bits)
-            scores[..., qbase:qbase + qt, :] = s[..., :qt, :]
-            ords[..., qbase:qbase + qt, :] = o[..., :qt, :]
-        # un-permute the tier-sorted query axis
-        scores = np.take(scores, self.inv_order, axis=-2)
-        ords = np.take(ords, self.inv_order, axis=-2)
-        return scores, ords
+        """([*grid, Q, topk] scores, [...] doc ords) numpy arrays."""
+        scores = np.asarray(self.scores)
+        ords = np.asarray(self.ords)
+        if self.ord_bits:
+            ords = unpack_doc_ords_bits(ords, self.topk, self.ord_bits)
+        return scores[..., : self.num_queries, :], ords[..., : self.num_queries, :]
 
 
 class _ReadyResult:
@@ -856,21 +846,26 @@ class ScoringEngine:
     @functools.partial(jax.jit, static_argnames=(
         "self", "model", "topk", "param_axes", "r_max", "tier_shapes", "score_dtype", "ord_bits"))
     def _score_tiered(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                      ord_bits, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
+                      ord_bits, packed, u0s, out_index, params, doc_tiles, tf_tiles, dl_tiles):
         """Fused per-batch executable. The tile sources are jit ARGUMENTS, never
         closure captures: the resident path passes device arrays (free), the
         streaming path passes host working-set buffers (real transfers) — and a
         captured multi-GB constant would blow the tunnel's remote-compile
         payload limit (observed HTTP 413 at 1.5 GB; CLAUDE.md convention)."""
         return self._tiered_impl(model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                                 ord_bits, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles)
+                                 ord_bits, packed, u0s, out_index, params, doc_tiles, tf_tiles, dl_tiles)
 
     def _tiered_impl(self, model, topk, param_axes, r_max, tier_shapes, score_dtype,
-                     ord_bits, packed, u0s, params, doc_tiles, tf_tiles, dl_tiles):
-        """Score all lanes, then per-tier sort-dedup-rank.
+                     ord_bits, packed, u0s, out_index, params, doc_tiles, tf_tiles, dl_tiles):
+        """Score all lanes, then per-tier sort-dedup-rank, then compact rows.
 
-        tier_shapes: ((unit_width, qt_pad), ...) static; u0s: per-tier unit offsets.
-        Returns a list of (scores [*grid, qt_pad, topk], ords) per tier.
+        tier_shapes: ((unit_width, qt_pad), ...) static; u0s: per-tier unit
+        offsets; out_index [Q_pad] maps each ORIGINAL query position to its
+        padded-concat tier row. Returns ONE (scores [*grid, Q_pad, topk], ords)
+        pair in original query order: the device gathers only real query rows
+        before the transfer, so tier qt padding (28% of result bytes at the
+        bench shape) never crosses the tunnel, and the host-side
+        assemble/unpermute disappears (PERF.md round 4).
         """
         d = self.dindex
         tile_idx = packed[0]
@@ -914,37 +909,48 @@ class ScoringEngine:
                     [top_scores, jnp.full((qt, topk - k), -1.0)], axis=1)
                 top_docs = jnp.concatenate(
                     [top_docs, jnp.full((qt, topk - k), d.num_docs, jnp.int32)], axis=1)
-            if ord_bits:
-                # ordinals travel at ceil(log2(num_docs)) bits: groups of G
-                # values pack into whole uint32 words (one continuous b-bit
-                # stream; unpack_doc_ords_bits is the inverse). The headline is
-                # result-transfer bound through the tunnel, so every bit of the
-                # 5 B/result payload is wall-clock (PERF.md round 4).
-                g, wpg = _ord_pack_geometry(ord_bits)
-                kp = _round_up(topk, g)
-                v = top_docs.astype(jnp.uint32)
-                if kp > topk:
-                    v = jnp.concatenate(
-                        [v, jnp.full((qt, kp - topk), d.num_docs, jnp.uint32)], axis=1)
-                v = v.reshape(qt, kp // g, g)
-                words = []
-                for j in range(wpg):
-                    w = jnp.zeros((qt, kp // g), jnp.uint32)
-                    lo_bit = 32 * j  # word j covers stream bits [32j, 32j+32)
-                    for i in range(g):
-                        v0 = ord_bits * i  # value i covers [b*i, b*i + b)
-                        if v0 + ord_bits <= lo_bit or v0 >= lo_bit + 32:
-                            continue
-                        w = w | (v[:, :, i] >> (lo_bit - v0) if lo_bit >= v0
-                                 else v[:, :, i] << (v0 - lo_bit))
-                    words.append(w)
-                top_docs = jnp.stack(words, axis=-1)  # [qt, kp//g, wpg]
-            return top_scores.astype(jnp.dtype(score_dtype)), top_docs
+            return top_scores, top_docs
+
+        def pack_bits(v):
+            # ordinals travel at ceil(log2(num_docs)) bits: groups of G values
+            # pack into whole uint32 words (one continuous b-bit stream;
+            # unpack_doc_ords_bits is the inverse). The headline is
+            # result-transfer bound through the tunnel, so every bit of the
+            # result payload is wall-clock (PERF.md round 4).
+            g, wpg = _ord_pack_geometry(ord_bits)
+            kp = _round_up(topk, g)
+            rows = v.shape[0]
+            v = v.astype(jnp.uint32)
+            if kp > topk:
+                v = jnp.concatenate(
+                    [v, jnp.full((rows, kp - topk), d.num_docs, jnp.uint32)], axis=1)
+            v = v.reshape(rows, kp // g, g)
+            words = []
+            for j in range(wpg):
+                w = jnp.zeros((rows, kp // g), jnp.uint32)
+                lo_bit = 32 * j  # word j covers stream bits [32j, 32j+32)
+                for i in range(g):
+                    v0 = ord_bits * i  # value i covers [b*i, b*i + b)
+                    if v0 + ord_bits <= lo_bit or v0 >= lo_bit + 32:
+                        continue
+                    w = w | (v[:, :, i] >> (lo_bit - v0) if lo_bit >= v0
+                             else v[:, :, i] << (v0 - lo_bit))
+                words.append(w)
+            return jnp.stack(words, axis=-1)  # [rows, kp//g, wpg]
 
         def score_with(p):
             s = model_fn(tfs, dl, w1[:, None], w2[:, None], p, d.stats)
             s = jnp.where(mask, s, -1.0)
-            return tuple(one_tier(s, ti, uw, qt) for ti, (uw, qt) in enumerate(tier_shapes))
+            outs = [one_tier(s, ti, uw, qt) for ti, (uw, qt) in enumerate(tier_shapes)]
+            # device-side row compaction: gather the real query rows (already
+            # in original order via out_index) from the padded tier concat
+            sc = jnp.take(jnp.concatenate([ts for ts, _ in outs], axis=0),
+                          out_index, axis=0)
+            dc = jnp.take(jnp.concatenate([td for _, td in outs], axis=0),
+                          out_index, axis=0)
+            if ord_bits:
+                dc = pack_bits(dc)
+            return sc.astype(jnp.dtype(score_dtype)), dc
 
         fn = score_with
         for axis_name in reversed(param_axes):
@@ -1572,12 +1578,22 @@ class ScoringEngine:
         else:
             buffers = (d.doc_tiles, d.tf_tiles,
                        d.norm_dl_tiles if model in _NORM_DL_MODELS else d.exact_dl_tiles)
-        outs = self._score_tiered(model, topk, param_axes, r_max, tier_shapes,
-                                  str(score_dtype), ord_bits, packed, u0s, device_params,
-                                  *buffers)
-        result = TieredResult(self, list(outs), [(qbase, qt) for _, _, qt, qbase in tiers],
-                              inv_order, num_queries, topk, grid_shape,
-                              score_dtype, ord_bits)
+        # original query position -> its padded-concat tier row (the device
+        # gathers these rows before the transfer: tier qt padding never
+        # crosses the tunnel and results arrive already unpermuted)
+        pad_bases = np.cumsum([0] + [qt_pad for _, qt_pad, _, _ in tiers])
+        row_of_sorted = np.zeros(max(num_queries, 1), np.int32)
+        for ti, (_, _, qt, qbase) in enumerate(tiers):
+            row_of_sorted[qbase:qbase + qt] = pad_bases[ti] + np.arange(qt, dtype=np.int32)
+        out_index = row_of_sorted[inv_order] if num_queries else row_of_sorted
+        q_pad = _bucket(max(num_queries, 1), minimum=4)
+        if q_pad > len(out_index):  # pad rows are trimmed by TieredResult.get
+            out_index = np.concatenate([out_index, np.zeros(q_pad - len(out_index), np.int32)])
+        scores_out, ords_out = self._score_tiered(
+            model, topk, param_axes, r_max, tier_shapes, str(score_dtype), ord_bits,
+            packed, u0s, out_index, device_params, *buffers)
+        result = TieredResult(self, scores_out, ords_out, num_queries, topk,
+                              grid_shape, score_dtype, ord_bits)
         if not materialize:
             return result
         return result.get()

@@ -82,13 +82,13 @@ def test_packed_ords_roundtrip():
     # materialize=False returns a pending result whose .get() yields the same arrays
     pending = engine.search(queries, params={"k1": 0.9, "b": 0.4}, topk=20, exact_topk=False,
                             pack_ords=True, materialize=False)
-    # the raw device buffers are bit-packed ordinal words: ceil(log2) bits per
+    # the raw device buffer is bit-packed ordinal words: ceil(log2) bits per
     # ordinal (9 bits for a 300-doc corpus) in whole uint32 words per group
     bits = ord_pack_bits(300)
     _, wpg = _ord_pack_geometry(bits)
     assert bits == 9
-    assert all(np.asarray(po).dtype == np.uint32 and np.asarray(po).shape[-1] == wpg
-               for _, po in pending.outs)
+    po = np.asarray(pending.ords)
+    assert po.dtype == np.uint32 and po.shape[-1] == wpg
     ps, po = pending.get()
     np.testing.assert_allclose(ps, ref_s, rtol=1e-6)
     np.testing.assert_array_equal(po, ref_o)
