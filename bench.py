@@ -168,7 +168,9 @@ def main():
     # swings >2x on minute timescales (observed 5-39 MB/s); alternating modes
     # sees the same weather. Keep sampling while far below the best this
     # engine has recorded (PERF.md), under a hard wall-clock cap.
-    BEST_KNOWN_QPS = 7315.0
+    # round-4 transfer work (18-bit ords + device row compaction) cut result
+    # bytes 1.5x; keep sampling toward the new engine's recorded ceiling
+    BEST_KNOWN_QPS = 8500.0
     times = {"exhaustive": [], "adaptive": []}
     timed_start = time.perf_counter()
     for pass_i in range(12):
@@ -242,16 +244,22 @@ def main():
                 mb.search(queries[i % len(queries)], k=10)
                 lat.append(time.perf_counter() - t0)
             lat.sort()
-            # saturated: many queued submitters coalescing into shared calls
-            slots = [mb.submit(queries[i % 512], k=10) for i in range(256)]
-            t0 = time.perf_counter()
-            for s in slots:
-                mb.result(s)
-            sat = 256 / (time.perf_counter() - t0)
-            return {"batch1_p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
-                    "batch1_p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3, 2),
-                    "batch1_samples": len(lat),
-                    "coalesced_qps": round(sat, 1)}
+            out = {"batch1_p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+                   "batch1_p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3, 2),
+                   "batch1_samples": len(lat)}
+            # saturated: many queued submitters coalescing into shared calls.
+            # Guarded: a weather stall inside the batch-1 loop must not drag
+            # this into the remaining sections' budget (r4 run 5: one 27 s
+            # stall ate 250 s of the line).
+            if remaining() > 60:
+                slots = [mb.submit(queries[i % 512], k=10) for i in range(256)]
+                t0 = time.perf_counter()
+                for s in slots:
+                    mb.result(s)
+                out["coalesced_qps"] = round(256 / (time.perf_counter() - t0), 1)
+            else:
+                out["coalesced_qps_skipped"] = f"deadline: {remaining():.0f}s left, needs 60s"
+            return out
         finally:
             mb.close()
 
