@@ -221,11 +221,21 @@ def main():
             def __init__(self, eng):
                 self.eng = eng
 
+            def search_async(self, qs, k=10):
+                # dispatch-now/collect-later (serving.py contract): lets the
+                # MicroBatcher pipeline batch N+1 behind batch N's transfer
+                res = self.eng.search(list(qs), model="bm25", params=PARAMS,
+                                      topk=k, exact_topk=False, materialize=False)
+
+                def collect():
+                    scores, ords = res.get() if hasattr(res, "get") else res
+                    return [[(int(o), float(s)) for s, o in zip(sr, orow) if int(o) < NUM_DOCS]
+                            for sr, orow in zip(np.asarray(scores), np.asarray(ords))]
+
+                return collect
+
             def search(self, qs, k=10):
-                scores, ords = self.eng.search(list(qs), model="bm25", params=PARAMS,
-                                               topk=k, exact_topk=False)
-                return [[(int(o), float(s)) for s, o in zip(sr, orow) if int(o) < NUM_DOCS]
-                        for sr, orow in zip(np.asarray(scores), np.asarray(ords))]
+                return self.search_async(qs, k)()
 
         svc = _EngineService(engine)
         mb = MicroBatcher(svc, window_ms=2.0)

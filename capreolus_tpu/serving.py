@@ -84,31 +84,62 @@ class RetrievalService:
         counts = Counter(self.index.analyze(query))
         return [(vocab[t], float(c)) for t, c in counts.items() if t in vocab]
 
-    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
-        """Returns, per query, the top-k (docid, score) pairs."""
+    def search_async(self, queries: Sequence[str], k: int = 10):
+        """Dispatch-now / collect-later variant of ``search`` (identical
+        results): the device work and the async result fetch are already in
+        flight when this returns, and the returned zero-arg callable
+        materializes the hit lists. A pipelining caller (MicroBatcher) can
+        dispatch the NEXT batch while this one's results cross the wire, so
+        at saturation the per-call device round-trip overlaps compute
+        instead of serializing with it (PERF.md round-4 serving economics)."""
         # point-in-time view: vocab/docids come from the ENGINE's own host
         # data so a concurrent refresh() can never mix generations
         engine = self.engine
         host = engine.dindex.host
         docids = host.docid_strings
-        results: List[List[Tuple[str, float]]] = []
+        pending = []
         for start in range(0, len(queries), self.batch_size):
             batch = queries[start : start + self.batch_size]
             term_lists = [self._analyze(q, host.vocab) for q in batch]
             if self.pruning and engine.supports_pruning(self.model):
-                scores, ords = engine.search_pruned(term_lists, model=self.model,
-                                                    params=self.params, topk=k)
+                res = engine.search_pruned(term_lists, model=self.model,
+                                           params=self.params, topk=k,
+                                           materialize=False)
             else:
-                scores, ords = engine.search(term_lists, model=self.model,
-                                             params=self.params, topk=k)
-            for qi in range(len(batch)):
-                hits = []
-                for s, o in zip(scores[qi], ords[qi]):
-                    if s <= 0.0:
-                        break
-                    hits.append((docids[int(o)], float(s)))
-                results.append(hits)
-        return results
+                res = engine.search(term_lists, model=self.model,
+                                    params=self.params, topk=k,
+                                    materialize=False)
+            if isinstance(res, tuple):  # exact-topk path: raw device arrays
+                for arr in res:
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
+            pending.append((len(batch), res))
+
+        def collect() -> List[List[Tuple[str, float]]]:
+            import numpy as np
+
+            results: List[List[Tuple[str, float]]] = []
+            for n, res in pending:
+                # tiered path: a pending TieredResult; exact-topk path: the
+                # raw device arrays whose fetch started at dispatch
+                scores, ords = res.get() if hasattr(res, "get") else map(np.asarray, res)
+                for qi in range(n):
+                    hits = []
+                    for s, o in zip(scores[qi], ords[qi]):
+                        if s <= 0.0:
+                            break
+                        hits.append((docids[int(o)], float(s)))
+                    results.append(hits)
+            return results
+
+        return collect
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        """Returns, per query, the top-k (docid, score) pairs."""
+        # call the class's own implementation: RerankingService hides
+        # search_async from the batcher (sets it to None) but still routes its
+        # first stage through this method
+        return RetrievalService.search_async(self, queries, k)()
 
     def get_document(self, docid: str) -> Optional[str]:
         return self.index.get_doc(docid)
@@ -211,26 +242,45 @@ class _EmbeddingRetrievalService:
                                     "index": {**index_cfg, "collection": coll_cfg}})
         return cls(searcher, max_k=max_k)
 
-    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
-        """Returns, per query, the top-k (docid, score) pairs."""
+    def search_async(self, queries: Sequence[str], k: int = 10):
+        """Dispatch-now / collect-later variant of ``search`` (identical
+        results; see RetrievalService.search_async): the top-k executables and
+        async result fetches are in flight when this returns. Engine state
+        (corpus, docids, n) is snapshotted at dispatch so a concurrent
+        refresh() can never mix generations inside one call."""
         np = self._np
         k = min(int(k), self.max_k)
-        results: List[List[Tuple[str, float]]] = []
+        topk, corpus, n, docids = self._topk, self._corpus, self._n, self._docids
+        pending = []
         for start in range(0, len(queries), self.batch_size):
             chunk = list(queries[start : start + self.batch_size])
             q_emb = self._embed_batch(chunk)
-            scores, ords = self._topk(q_emb, *self._corpus)
-            scores, ords = np.asarray(scores), np.asarray(ords)
-            for qi in range(len(chunk)):
-                hits = []
-                for s, o in zip(scores[qi][:k], ords[qi][:k]):
-                    # -inf slots (fewer finite candidates than k) carry
-                    # sentinel/padded ordinals — never surface them
-                    if int(o) >= self._n or not np.isfinite(s):
-                        continue
-                    hits.append((self._docids[int(o)], float(s)))
-                results.append(hits)
-        return results
+            scores, ords = topk(q_emb, *corpus)
+            for arr in (scores, ords):
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+            pending.append((len(chunk), scores, ords))
+
+        def collect() -> List[List[Tuple[str, float]]]:
+            results: List[List[Tuple[str, float]]] = []
+            for cn, dscores, dords in pending:
+                scores, ords = np.asarray(dscores), np.asarray(dords)
+                for qi in range(cn):
+                    hits = []
+                    for s, o in zip(scores[qi][:k], ords[qi][:k]):
+                        # -inf slots (fewer finite candidates than k) carry
+                        # sentinel/padded ordinals — never surface them
+                        if int(o) >= n or not np.isfinite(s):
+                            continue
+                        hits.append((docids[int(o)], float(s)))
+                    results.append(hits)
+            return results
+
+        return collect
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        """Returns, per query, the top-k (docid, score) pairs."""
+        return self.search_async(queries, k)()
 
     def get_document(self, docid: str) -> Optional[str]:
         return self.searcher.index.get_doc(docid)
@@ -344,32 +394,51 @@ class ImpactRetrievalService:
                                     "index": {**index_cfg, "collection": coll_cfg}})
         return cls(searcher)
 
-    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
-        """Returns, per query, the top-k (docid, score) pairs."""
-        # point-in-time snapshot: a concurrent refresh() swaps the searcher's
-        # cached engine tuple atomically; we keep the one we started with
+    def search_async(self, queries: Sequence[str], k: int = 10):
+        """Dispatch-now / collect-later variant of ``search`` (identical
+        results; see RetrievalService.search_async). The engine tuple is
+        snapshotted once at dispatch — a concurrent refresh() swaps the
+        searcher's cached tuple atomically and this call keeps its own."""
+        import numpy as np
+
         engine, docids, scale = self.searcher._impact_index()
         nt = engine.dindex.num_terms
         offs = engine.dindex.term_offsets
         maxpost = int(self.searcher.config["maxpostings"])
-        results: List[List[Tuple[str, float]]] = []
+        pending = []
         for start in range(0, len(queries), self.batch_size):
             batch = list(queries[start : start + self.batch_size])
             term_lists = [[(t, w / scale) for t, w in qw
                            if t < nt and offs[t + 1] > offs[t]]
                           for qw in self.searcher.query_weights_batch(batch)]
-            scores, ords = engine.search(term_lists, model="impact", params={},
-                                         topk=k, max_postings_per_term=maxpost)
-            for qi in range(len(batch)):
-                hits = []
-                for s, o in zip(scores[qi], ords[qi]):
-                    if s <= 0.0:
-                        break  # scores descend; zero/sentinel tail follows
-                    if int(o) >= len(docids):
-                        continue
-                    hits.append((docids[int(o)], float(s)))
-                results.append(hits)
-        return results
+            res = engine.search(term_lists, model="impact", params={}, topk=k,
+                                max_postings_per_term=maxpost, materialize=False)
+            if isinstance(res, tuple):  # exact-topk path: raw device arrays
+                for arr in res:
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
+            pending.append((len(batch), res))
+
+        def collect() -> List[List[Tuple[str, float]]]:
+            results: List[List[Tuple[str, float]]] = []
+            for n, res in pending:
+                scores, ords = res.get() if hasattr(res, "get") else map(np.asarray, res)
+                for qi in range(n):
+                    hits = []
+                    for s, o in zip(scores[qi], ords[qi]):
+                        if s <= 0.0:
+                            break  # scores descend; zero/sentinel tail follows
+                        if int(o) >= len(docids):
+                            continue
+                        hits.append((docids[int(o)], float(s)))
+                    results.append(hits)
+            return results
+
+        return collect
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        """Returns, per query, the top-k (docid, score) pairs."""
+        return self.search_async(queries, k)()
 
     def get_document(self, docid: str) -> Optional[str]:
         return self.searcher.index.get_doc(docid)
@@ -415,22 +484,37 @@ class HybridRetrievalService:
                               getattr(service2, "batch_size", 64))
         self._docids = getattr(service1, "_docids", [])  # /health corpus_size
 
-    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
-        from capreolus_tpu.searcher.fusion import interp_fuse, rrf_fuse
-
+    def search_async(self, queries: Sequence[str], k: int = 10):
+        """Dispatch-now / collect-later variant of ``search`` (identical
+        results): BOTH legs are dispatched before either is collected, so
+        their device work overlaps even in a single synchronous call."""
         depth = max(self.depth, k)
         if self._depth_limit is not None:
             depth = min(depth, self._depth_limit)
-        runs = []
+        collectors = []
         for svc in self.services:
-            hits = svc.search(queries, k=depth)
-            runs.append({str(i): dict(h) for i, h in enumerate(hits)})
-        if self.method == "rrf":
-            fused = rrf_fuse(runs, k=self.k_rrf, hits=k)
-        else:
-            fused = interp_fuse(runs[0], runs[1], alpha=self.alpha, hits=k)
-        return [sorted(fused.get(str(i), {}).items(), key=lambda kv: (-kv[1], kv[0]))
-                for i in range(len(queries))]
+            dispatch = getattr(svc, "search_async", None)
+            if callable(dispatch):
+                collectors.append(dispatch(queries, k=depth))
+            else:
+                hits = svc.search(queries, k=depth)
+                collectors.append(lambda h=hits: h)
+
+        def collect() -> List[List[Tuple[str, float]]]:
+            from capreolus_tpu.searcher.fusion import interp_fuse, rrf_fuse
+
+            runs = [{str(i): dict(h) for i, h in enumerate(c())} for c in collectors]
+            if self.method == "rrf":
+                fused = rrf_fuse(runs, k=self.k_rrf, hits=k)
+            else:
+                fused = interp_fuse(runs[0], runs[1], alpha=self.alpha, hits=k)
+            return [sorted(fused.get(str(i), {}).items(), key=lambda kv: (-kv[1], kv[0]))
+                    for i in range(len(queries))]
+
+        return collect
+
+    def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
+        return self.search_async(queries, k)()
 
     def get_document(self, docid: str) -> Optional[str]:
         return self.services[0].get_document(docid)
@@ -441,6 +525,13 @@ class HybridRetrievalService:
 
 class RerankingService(RetrievalService):
     """Retrieve-then-rerank serving: first-stage engine + a trained reranker."""
+
+    # rerank is multi-stage (first-stage search -> extractor -> reranker) with
+    # host work between the device calls; a single dispatch/collect split
+    # doesn't apply, so MicroBatcher pipelining falls back to sync search().
+    # (RetrievalService.search still works here: it goes through the parent's
+    # search_async internally, which this None only hides from the batcher.)
+    search_async = None
 
     def __init__(self, index, reranker, checkpoint_path, topn: int = 100,
                  extractor_state_path: Optional[str] = None, **kwargs):

@@ -81,12 +81,24 @@ class MicroBatcher:
     window) or until ``max_batch`` requests are waiting, whichever is first;
     the worker thread then drains the queue and runs ONE ``service.search``
     over the union. The engine executes under the worker thread only, so
-    services with per-call instance state need no extra locking."""
+    services with per-call instance state need no extra locking.
 
-    def __init__(self, service, window_ms: float = 2.0, max_batch: Optional[int] = None):
+    Services that expose ``search_async(queries, k) -> collect`` (all the
+    single-stage retrieval services, serving.py) are PIPELINED: the worker
+    dispatches batch N+1 while batch N's results are still crossing the
+    device link, keeping up to ``pipeline_depth`` batches in flight. Through
+    a high-RTT link (the tunneled dev chip) this overlaps the per-call
+    round-trip with device compute; idle-arrival latency is unchanged (an
+    only batch is collected immediately)."""
+
+    def __init__(self, service, window_ms: float = 2.0, max_batch: Optional[int] = None,
+                 pipeline_depth: int = 2):
         self.service = service
         self.window_s = float(window_ms) / 1000.0
         self.max_batch = int(max_batch or getattr(service, "batch_size", 64))
+        dispatch = getattr(service, "search_async", None)
+        self._dispatch = dispatch if callable(dispatch) else None
+        self.pipeline_depth = max(1, int(pipeline_depth)) if self._dispatch else 1
         self._pending = deque()  # (query, k, slot) triples
         self._lock = threading.Lock()
         self._wakeup = threading.Condition(self._lock)
@@ -131,41 +143,69 @@ class MicroBatcher:
             self._wakeup.notify()
         self._worker.join(timeout=5)
 
+    def _deliver(self, batch, results, t0):
+        if len(results) != len(batch):  # fail loudly, never hang waiters
+            raise RuntimeError(f"service returned {len(results)} result lists "
+                               f"for {len(batch)} queries")
+        self.stats.record_batch(len(batch), time.monotonic() - t0)
+        for (_, k, slot), hits in zip(batch, results):
+            slot["result"] = hits[:k]
+            slot["event"].set()
+
+    def _fail(self, batch, e):
+        logger.exception("micro-batched search failed")
+        self.stats.record_error()
+        for _, _, slot in batch:
+            slot["error"] = e
+            slot["event"].set()
+
     def _run(self):
-        while True:
-            with self._lock:
-                while not self._pending and not self._closed:
-                    self._wakeup.wait()
-                if self._closed and not self._pending:
-                    return
-                # batching window: wait out the window (or until full) so
-                # near-simultaneous requests ride the same executable
-                deadline = time.monotonic() + self.window_s
-                while len(self._pending) < self.max_batch:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0 or self._closed:
-                        break
-                    self._wakeup.wait(timeout=remaining)
-                batch = [self._pending.popleft()
-                         for _ in range(min(len(self._pending), self.max_batch))]
-            queries = [q for q, _, _ in batch]
-            k_max = max(k for _, k, _ in batch)
+        inflight = deque()  # (batch, collect, t0) — dispatched, not yet collected
+
+        def collect_oldest():
+            batch, collect, t0 = inflight.popleft()
             try:
+                self._deliver(batch, collect(), t0)
+            except Exception as e:
+                self._fail(batch, e)
+
+        while True:
+            batch = []
+            with self._lock:
+                while not self._pending and not self._closed and not inflight:
+                    self._wakeup.wait()
+                if self._closed and not self._pending and not inflight:
+                    return
+                if self._pending:
+                    # batching window: wait out the window (or until full) so
+                    # near-simultaneous requests ride the same executable.
+                    # With results already in flight, skip the wait — the
+                    # collect below is a natural accumulation window.
+                    if not inflight:
+                        deadline = time.monotonic() + self.window_s
+                        while len(self._pending) < self.max_batch:
+                            remaining = deadline - time.monotonic()
+                            if remaining <= 0 or self._closed:
+                                break
+                            self._wakeup.wait(timeout=remaining)
+                    batch = [self._pending.popleft()
+                             for _ in range(min(len(self._pending), self.max_batch))]
+            if batch:
+                queries = [q for q, _, _ in batch]
+                k_max = max(k for _, k, _ in batch)
                 t0 = time.monotonic()
-                results = self.service.search(queries, k=k_max)
-                if len(results) != len(batch):  # fail loudly, never hang waiters
-                    raise RuntimeError(f"service returned {len(results)} result lists "
-                                       f"for {len(batch)} queries")
-                self.stats.record_batch(len(batch), time.monotonic() - t0)
-                for (_, k, slot), hits in zip(batch, results):
-                    slot["result"] = hits[:k]
-                    slot["event"].set()
-            except Exception as e:  # deliver the failure to every waiter
-                logger.exception("micro-batched search failed")
-                self.stats.record_error()
-                for _, _, slot in batch:
-                    slot["error"] = e
-                    slot["event"].set()
+                try:
+                    if self._dispatch is not None:
+                        inflight.append((batch, self._dispatch(queries, k=k_max), t0))
+                    else:
+                        self._deliver(batch, self.service.search(queries, k=k_max), t0)
+                except Exception as e:
+                    self._fail(batch, e)
+            # collect when the pipeline is full, or when there's nothing left
+            # to dispatch (idle arrivals are collected immediately)
+            while inflight and (len(inflight) >= self.pipeline_depth
+                                or not (self._pending or batch)):
+                collect_oldest()
 
 
 def make_server(service, host: str = "127.0.0.1", port: int = 0,

@@ -433,3 +433,106 @@ def test_impact_retrieval_service(tmpdir_as_cache):
         assert batcher.search(queries[0], k=3) == results[0]
     finally:
         batcher.close()
+
+
+def test_micro_batcher_pipelines_async_services():
+    """A service exposing search_async (serving.py contract) is PIPELINED:
+    batch N+1 is dispatched before batch N is collected (the device-link
+    overlap that pays through a high-RTT tunnel), while results still land
+    with the right waiters in submission order."""
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    events = []
+
+    class Async:
+        batch_size = 2
+
+        def search_async(self, queries, k=10):
+            qs = list(queries)
+            events.append(("dispatch", tuple(qs)))
+
+            def collect():
+                events.append(("collect", tuple(qs)))
+                return [[(q.upper(), float(k))] for q in qs]
+
+            return collect
+
+        def search(self, queries, k=10):
+            return self.search_async(queries, k)()
+
+    batcher = MicroBatcher(Async(), window_ms=200.0, max_batch=2, pipeline_depth=2)
+    slots = [batcher.submit(f"q{i}", k=1) for i in range(6)]
+    out = [batcher.result(s) for s in slots]
+    batcher.close()
+
+    assert out == [[(f"Q{i}", 1.0)] for i in range(6)]
+    dispatches = [i for i, (kind, _) in enumerate(events) if kind == "dispatch"]
+    collects = [i for i, (kind, _) in enumerate(events) if kind == "collect"]
+    assert len(dispatches) == len(collects) == 3
+    # the overlap contract: the second dispatch precedes the first collect
+    assert dispatches[1] < collects[0], f"no pipelining observed: {events}"
+
+
+def test_micro_batcher_async_collect_error_isolated():
+    """A collect() failure errors ONLY its own batch's waiters; batches
+    before and after it still succeed (the pipeline keeps flowing)."""
+    import pytest
+
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    class Async:
+        batch_size = 1
+
+        def search_async(self, queries, k=10):
+            qs = list(queries)
+
+            def collect():
+                if "boom" in qs:
+                    raise RuntimeError("collect failed")
+                return [[(q, 1.0)] for q in qs]
+
+            return collect
+
+        def search(self, queries, k=10):
+            return self.search_async(queries, k)()
+
+    batcher = MicroBatcher(Async(), window_ms=1.0, max_batch=1, pipeline_depth=2)
+    s1 = batcher.submit("ok1", k=1)
+    s2 = batcher.submit("boom", k=1)
+    s3 = batcher.submit("ok2", k=1)
+    assert batcher.result(s1) == [("ok1", 1.0)]
+    with pytest.raises(RuntimeError, match="collect failed"):
+        batcher.result(s2)
+    assert batcher.result(s3) == [("ok2", 1.0)]
+    batcher.close()
+
+
+def test_micro_batcher_sync_fallback_when_search_async_is_none():
+    """RerankingService-style services set search_async=None to opt out of
+    pipelining; the batcher must fall back to the sync search path."""
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    class Sync:
+        search_async = None  # multi-stage service: no dispatch/collect split
+        batch_size = 4
+
+        def search(self, queries, k=10):
+            return [[(q, 1.0)] for q in queries]
+
+    batcher = MicroBatcher(Sync(), window_ms=1.0)
+    assert batcher.pipeline_depth == 1
+    assert batcher.search("x", k=1) == [("x", 1.0)]
+    batcher.close()
+
+
+def test_retrieval_service_search_async_interleaved(tmpdir_as_cache):
+    """Two dispatches may be in flight before either collects (what the
+    pipelined batcher does); results equal the synchronous path."""
+    from capreolus_tpu.serving import RetrievalService
+
+    svc = RetrievalService.from_config(collection="dummy")
+    q1, q2 = ["galaxies collide"], ["whales in the ocean"]
+    direct = svc.search(q1 + q2, k=3)
+    c1 = svc.search_async(q1, k=3)
+    c2 = svc.search_async(q2, k=3)  # dispatched before c1 collects
+    assert c1() + c2() == direct
