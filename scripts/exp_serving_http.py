@@ -1,0 +1,143 @@
+"""Saturated + idle-latency measurement through the FULL HTTP serving path.
+
+exp_serving_pipeline.py measures the in-process MicroBatcher (pipelined
+dispatch: 1.85k q/s serial -> 5.6k at depth 4). This script closes VERDICT
+r3 #4's "HTTP loopback if feasible": the same bench engine behind
+serving_http.make_server, driven over real sockets on loopback —
+stdlib ThreadingHTTPServer + JSON framing + per-request threads included.
+
+Measures:
+  - saturated q/s: N keep-alive client threads, single-query POST /search each
+  - batch-1 idle p50/p99: one sequential client
+  - /stats snapshot at the end (mean batch size shows the coalescing)
+
+Usage:  python scripts/exp_serving_http.py
+"""
+
+import http.client
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import bench
+from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
+from capreolus_tpu.serving_http import make_server
+
+
+class EngineService:
+    """serving.py-contract wrapper over the raw bench engine (term-id queries
+    arrive as JSON lists, so no analyzer dependency)."""
+
+    batch_size = 64
+
+    def __init__(self, engine):
+        self.engine = engine
+
+    def search_async(self, qs, k=10):
+        term_lists = [q if isinstance(q, list) else json.loads(q) for q in qs]
+        term_lists = [[(int(t), float(w)) for t, w in q] for q in term_lists]
+        res = self.engine.search(term_lists, model="bm25", params=bench.PARAMS,
+                                 topk=k, exact_topk=False, materialize=False)
+
+        def collect():
+            scores, ords = res.get() if hasattr(res, "get") else res
+            return [[(int(o), float(s)) for s, o in zip(sr, orow)
+                     if int(o) < bench.NUM_DOCS]
+                    for sr, orow in zip(np.asarray(scores), np.asarray(ords))]
+
+        return collect
+
+    def search(self, qs, k=10):
+        return self.search_async(qs, k)()
+
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_SMOKE"):  # CPU validation of the measurement logic
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                   ".bench_cache", "jax_cache"))
+    data = bench.synth_index()
+    engine = ScoringEngine(DeviceIndex(data))
+    queries = bench._make_queries(data, seed=1)
+    qjson = [json.dumps(q) for q in queries[:512]]
+
+    svc = EngineService(engine)
+    for size in (1, 3, 6, 12, 24, 48, 64):  # warm every qt bucket
+        svc.search(qjson[:size], k=10)
+    print("warm", flush=True)
+
+    server = make_server(svc, port=0)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post_search(conn, qi, k=10):
+        body = json.dumps({"queries": [qjson[qi % len(qjson)]], "k": k}).encode()
+        conn.request("POST", "/search", body, {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = json.loads(resp.read())
+        assert resp.status == 200 and len(out["results"]) == 1, out
+        return out
+
+    try:
+        # ---- saturated: keep-alive client threads hammering single queries
+        for n_clients in (8, 32, 64):
+            done = threading.Event()
+            counts = [0] * n_clients
+
+            def client(ci):
+                conn = http.client.HTTPConnection(host, port)
+                qi = ci * 17
+                while not done.is_set():
+                    try:
+                        post_search(conn, qi)
+                    except (http.client.HTTPException, ConnectionError):
+                        conn.close()  # keep-alive dropped: reconnect, retry
+                        conn = http.client.HTTPConnection(host, port)
+                        continue
+                    qi += 1
+                    counts[ci] += 1
+                conn.close()
+
+            threads = [threading.Thread(target=client, args=(ci,)) for ci in range(n_clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            time.sleep(6.0)
+            done.set()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            print(f"clients={n_clients} saturated {sum(counts) / dt:.1f} q/s "
+                  f"({sum(counts)} reqs in {dt:.1f}s)", flush=True)
+
+        # ---- idle arrivals: one sequential client
+        conn = http.client.HTTPConnection(host, port)
+        lat = []
+        for i in range(60):
+            t0 = time.perf_counter()
+            post_search(conn, i)
+            lat.append(time.perf_counter() - t0)
+        conn.close()
+        lat.sort()
+        print(f"batch-1 HTTP p50 {lat[len(lat) // 2] * 1e3:.1f} ms "
+              f"p99 {lat[min(len(lat) - 1, int(0.99 * len(lat)))] * 1e3:.1f} ms", flush=True)
+
+        stats = server.batcher.stats.snapshot()
+        print("stats:", json.dumps(stats), flush=True)
+    finally:
+        server.shutdown()
+        server.server_close()
+        server.batcher.close()
+
+
+if __name__ == "__main__":
+    main()
