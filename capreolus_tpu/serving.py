@@ -526,13 +526,6 @@ class HybridRetrievalService:
 class RerankingService(RetrievalService):
     """Retrieve-then-rerank serving: first-stage engine + a trained reranker."""
 
-    # rerank is multi-stage (first-stage search -> extractor -> reranker) with
-    # host work between the device calls; a single dispatch/collect split
-    # doesn't apply, so MicroBatcher pipelining falls back to sync search().
-    # (RetrievalService.search still works here: it goes through the parent's
-    # search_async internally, which this None only hides from the batcher.)
-    search_async = None
-
     def __init__(self, index, reranker, checkpoint_path, topn: int = 100,
                  extractor_state_path: Optional[str] = None, **kwargs):
         super().__init__(index, **kwargs)
@@ -605,8 +598,20 @@ class RerankingService(RetrievalService):
                 "extractor state — pass extractor_state_path= pointing at a file "
                 "written by extractor.save_state() after training")
 
+    def search_async(self, queries: Sequence[str], k: int = 10):
+        """Two-stage dispatch/collect split: DISPATCH sends the first-stage
+        retrieval (device work + async fetch in flight at return); COLLECT
+        runs extraction + the reranker. Under the pipelined MicroBatcher,
+        batch N's rerank (the heavy stage) overlaps batch N+1's first-stage
+        round-trip. All extractor-state mutation happens inside collect(),
+        which the batcher serializes on its single worker thread."""
+        first_collect = RetrievalService.search_async(self, queries, k=max(self.topn, k))
+        return lambda: self._rerank_stage(queries, first_collect(), k)
+
     def search(self, queries: Sequence[str], k: int = 10):
-        first_stage = super().search(queries, k=max(self.topn, k))
+        return self.search_async(queries, k)()
+
+    def _rerank_stage(self, queries: Sequence[str], first_stage, k: int):
         extractor = self.reranker.extractor
 
         results = []

@@ -51,6 +51,13 @@ def test_reranking_service(tmpdir_as_cache, tmp_path):
     docids = [d for d, _ in results[0]]
     assert set(docids) <= {"D001", "D002", "D003"}
 
+    # two-stage dispatch/collect split: two dispatches in flight before either
+    # collects (what the pipelined batcher does) equal the sync path
+    c1 = svc.search_async(["distant galaxies telescope"], k=3)
+    c2 = svc.search_async(["whales in the ocean"], k=3)
+    assert c1() == results
+    assert c2() == svc.search(["whales in the ocean"], k=3)
+
 
 def test_reranking_service_int8(tmpdir_as_cache, tmp_path):
     """Serving with quantize=int8 calibrates on the first batch (prepare_inference
