@@ -42,6 +42,9 @@ def bench(fn, args, n_queries):
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_SMOKE"):  # CPU validation of the measurement logic
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import capreolus_tpu
@@ -98,6 +101,32 @@ def main():
     print(f"IVF nprobe={NPROBE}: {qs_ivf:,.0f} q/s ({ms_ivf * 1e3:.1f} ms) = "
           f"{qs_ivf / qs_ex:.2f}x exact, recall@10 of exact top-10 = {rec:.3f}",
           flush=True)
+
+    if os.environ.get("EXP_SERVING"):
+        # IVF's claimed lane (PERF.md round 3): SMALL-BATCH serving latency,
+        # where exact still pays the full corpus read per call but IVF touches
+        # only nprobe x cell rows. Sequential per-call latency, exact vs IVF,
+        # at serving batch sizes; interleaved so both see the same weather.
+        reps = int(os.environ.get("EXP_REPS", 40))
+        for bs in (1, 8):
+            qb = jnp.asarray(q[:bs])
+            for name, fn, args in (("exact", exact_topk, (qb, d_bf16)),
+                                   ("ivf  ", ivf_topk, (qb, meta))):
+                s, _ = fn(*args)
+                np.asarray(s)  # compile + warm outside the timed loop
+            lat = {"exact": [], "ivf  ": []}
+            for _ in range(reps):
+                for name, fn, args in (("exact", exact_topk, (qb, d_bf16)),
+                                       ("ivf  ", ivf_topk, (qb, meta))):
+                    t0 = time.perf_counter()
+                    s, _ = fn(*args)
+                    np.asarray(s)
+                    lat[name].append(time.perf_counter() - t0)
+            for name, xs in lat.items():
+                xs.sort()
+                print(f"serving batch={bs} {name}: p50 {xs[len(xs) // 2] * 1e3:.1f} ms "
+                      f"min {xs[0] * 1e3:.1f} ms p90 {xs[int(0.9 * len(xs))] * 1e3:.1f} ms",
+                      flush=True)
 
 
 if __name__ == "__main__":
