@@ -543,3 +543,31 @@ def test_retrieval_service_search_async_interleaved(tmpdir_as_cache):
     c1 = svc.search_async(q1, k=3)
     c2 = svc.search_async(q2, k=3)  # dispatched before c1 collects
     assert c1() + c2() == direct
+
+
+def test_micro_batcher_close_drains_inflight():
+    """close() with dispatched-but-uncollected batches still delivers every
+    waiter's result before the worker exits."""
+    import time
+
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    class Slow:
+        batch_size = 1
+
+        def search_async(self, queries, k=10):
+            qs = list(queries)
+
+            def collect():
+                time.sleep(0.05)  # results "in flight" when close() lands
+                return [[(q, 1.0)] for q in qs]
+
+            return collect
+
+        def search(self, queries, k=10):
+            return self.search_async(queries, k)()
+
+    batcher = MicroBatcher(Slow(), window_ms=1.0, max_batch=1, pipeline_depth=4)
+    slots = [batcher.submit(f"q{i}", k=1) for i in range(4)]
+    batcher.close()  # worker must drain inflight + pending before exiting
+    assert [batcher.result(s) for s in slots] == [[(f"q{i}", 1.0)] for i in range(4)]
