@@ -156,12 +156,17 @@ def main():
     engine = ScoringEngine(DeviceIndex(data))
     queries = _make_queries(data, seed=1)
 
-    # warmup/compile: one full pass per measured headline mode (covers every
-    # tier bucket). Optional-section warmups come AFTER headline timing.
+    # warmup/compile: ONE batch per measured headline mode — the headline
+    # only ever dispatches the batch-256 shape, so a single batch compiles
+    # the same executables and first-touches the mmapped tile cache with 8x
+    # fewer bytes than a full pass (r4 run 2: a data-plane stall during a
+    # full-pass warmup ate 640 s of the 700 s budget; smaller warmups clear
+    # a trickling link 8x sooner). Optional-section warmups come AFTER
+    # headline timing.
     progress("warmup k=1000 exhaustive")
-    one_pass(engine, queries, TOPK, "exhaustive")
+    one_pass(engine, queries[:BATCH], TOPK, "exhaustive")
     progress("warmup k=1000 adaptive")
-    one_pass(engine, queries, TOPK, "adaptive")
+    one_pass(engine, queries[:BATCH], TOPK, "adaptive")
     progress("warmup done; timing headline")
 
     # timed: best + median of alternating passes. The tunnel's transfer rate
