@@ -1167,13 +1167,21 @@ class ScoringEngine:
         q_offsets = np.searchsorted(qix, np.arange(len(term_lists) + 1)).astype(np.int64)
         arrs = getattr(self, "_native_prune_arrays", None)
         if arrs is None:
-            arrs = self._native_prune_arrays = tuple(np.ascontiguousarray(a) for a in (
-                pt["rt_offsets"].astype(np.int64), pt["rt_range"].astype(np.int32),
-                pt["rt_start"].astype(np.int64), pt["rt_end"].astype(np.int64),
-                pt["rt_max_tf"].astype(np.float32), pt["rt_min_dl"].astype(np.float32),
-                pt["gmax_tf"].astype(np.float32), pt["gmin_dl"].astype(np.float32),
-                d.host.doc_ids.astype(np.int32), np.asarray(d.host_tfs, np.int32),
-                d.host.norm_doclens.astype(np.int32)))
+            def as_native(a, dt):
+                # the index builder already stores these at the native dtypes —
+                # astype(copy=True) here cost ~110 ms of one-time O(postings)
+                # copying that polluted the first stream-probe measurement
+                a = np.asarray(a)
+                return a if a.dtype == dt and a.flags["C_CONTIGUOUS"] else \
+                    np.ascontiguousarray(a, dtype=dt)
+
+            arrs = self._native_prune_arrays = (
+                as_native(pt["rt_offsets"], np.int64), as_native(pt["rt_range"], np.int32),
+                as_native(pt["rt_start"], np.int64), as_native(pt["rt_end"], np.int64),
+                as_native(pt["rt_max_tf"], np.float32), as_native(pt["rt_min_dl"], np.float32),
+                as_native(pt["gmax_tf"], np.float32), as_native(pt["gmin_dl"], np.float32),
+                as_native(d.host.doc_ids, np.int32), as_native(d.host_tfs, np.int32),
+                as_native(d.host.norm_doclens, np.int32))
         rt_off = arrs[0]
         cap = int((rt_off[tids + 1] - rt_off[tids]).sum()) + len(tids) + 1
         out_qix = np.empty(cap, np.int32)
