@@ -419,9 +419,11 @@ def main():
         """Block-max pruning where it PAYS, driver-captured (VERDICT r3 #2):
         the hbmbudget streaming engine is transfer-bound, so skipped tiles cut
         upload bytes — pruned >= 1.1x pipelined (PERF.md r3). The in-HBM
-        clustered numbers are forced-mode diagnostics: at 200k docs the host
-        span build (13 ms/batch, 1-core) exceeds the whole exhaustive batch
-        (7 ms), so the adaptive probe correctly serves exhaustive there."""
+        clustered numbers report forced-mode diagnostics AND the adaptive
+        mode; since the native-array staging fix the steady-state span build
+        (4 ms/batch) fits under the ~7 ms exhaustive batch wall, so the
+        in-stream wall-clock probe decides per stream (PERF.md round-4 late
+        correction)."""
         cdata = synth_clustered_index()
         cqueries = _make_queries(cdata, seed=4)
         out = {}
