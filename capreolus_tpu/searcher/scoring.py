@@ -1417,13 +1417,34 @@ class ScoringEngine:
                 fetch(self.search(batches[0], model=model, params=params, topk=topk,
                                   _prebuilt=prepare(batches[0], spans0, True),
                                   exact_topk=False, **kw))
-                # wall-clock A/B probe: both segments' host prep is submitted up
-                # front so the pruned segment's spans overlap the exhaustive
-                # segment's device time, mimicking steady-state pipelining
-                e_futs = [submit(i, False) for i in range(P)]
-                p_futs = [submit(i, True) for i in range(P, 2 * P)]
-                e_out, t_e = run_segment(range(P), False, e_futs)
-                p_out, t_p = run_segment(range(P, 2 * P), True, p_futs)
+                # wall-clock A/B probe: both modes' host prep is submitted up
+                # front so the pruned segments' spans overlap the exhaustive
+                # segments' device time, mimicking steady-state pipelining.
+                # Segments are INTERLEAVED half-rounds (E,P,E,P) and each mode
+                # takes its per-batch MINIMUM across rounds: the tunnel's
+                # transfer rate swings >2x on segment timescales, and a single
+                # E-then-P comparison inherits whatever the weather did
+                # between the two segments (a r4 bench probe window locked
+                # pruned sticky at 0.67x this way). Adjacent half-rounds see
+                # closer weather, and min-per-mode drops each mode's worst
+                # window.
+                half = max(1, P // 2)
+                segs, pos = [], 0
+                for r_i in range(2):
+                    for seg_prune in (False, True):
+                        n = half if r_i == 0 else P - half
+                        if n > 0:
+                            segs.append((seg_prune, range(pos, pos + n)))
+                            pos += n
+                seg_futs = [(sp, idxs, [submit(i, sp) for i in idxs])
+                            for sp, idxs in segs]
+                probe_out, t_by = [], {False: [], True: []}
+                for seg_prune, idxs, futs in seg_futs:
+                    out, t = run_segment(idxs, seg_prune, futs)
+                    t_by[seg_prune].append(t / len(idxs))
+                    probe_out.extend(out)
+                t_e = min(t_by[False])
+                t_p = min(t_by[True])
                 effective = t_p < t_e
                 # the verdict goes sticky only on a clear margin: a few-batch
                 # segment through a fluctuating transport (tunnel weather
@@ -1437,13 +1458,12 @@ class ScoringEngine:
                 ratio = max(t_p, t_e) / max(1e-9, min(t_p, t_e))
                 if abs(t_p - t_e) > 0.1 * max(t_p, t_e) and ratio < 3.0:
                     self._prune_stream_effective[key] = effective
-                logger.info("pruned-stream A/B probe (%d batches each): pruned %.1f ms vs "
-                            "exhaustive %.1f ms -> %s%s", P, t_p * 1e3, t_e * 1e3,
+                logger.info("pruned-stream A/B probe (%d batches/mode, interleaved rounds, "
+                            "min/batch): pruned %.1f ms vs exhaustive %.1f ms -> %s%s",
+                            P, t_p * 1e3, t_e * 1e3,
                             "PRUNING ON" if effective else "exhaustive",
                             "" if key in self._prune_stream_effective else " (not sticky)")
-                for r in e_out:
-                    yield r
-                for r in p_out:
+                for r in probe_out:
                     yield r
                 start, do_prune = 2 * P, effective
             else:
