@@ -55,23 +55,29 @@ def main():
             return self.search_async(qs, k)()
 
     svc = _EngineService()
-    # warm every qt bucket the batcher can hit
-    for size in (1, 3, 6, 12, 24, 48, 64):
+    # warm every qt bucket the batcher can hit (incl. the max_batch sweep's)
+    for size in (1, 3, 6, 12, 24, 48, 64, 128, 256):
         svc.search(queries[:size], k=10)
     print("warm", flush=True)
 
-    for depth in (1, 2, 4, 1, 2, 4):  # interleaved reps: same tunnel weather
-        mb = MicroBatcher(svc, window_ms=2.0, pipeline_depth=depth)
+    for depth, max_batch in ((1, 64), (2, 64), (4, 64), (4, 128), (4, 256),
+                             (1, 64), (2, 64), (4, 64), (4, 128), (4, 256)):
+        # interleaved reps: same tunnel weather. max_batch > batch_size lets a
+        # saturated backlog coalesce into bigger engine calls (the service
+        # chunks internally at batch_size, all chunks dispatched before any
+        # collect — intra-call pipelining); idle latency is unaffected since
+        # big batches only form under backlog.
+        mb = MicroBatcher(svc, window_ms=2.0, pipeline_depth=depth, max_batch=max_batch)
         try:
-            # saturated: all 256 queries queued before the first collect
+            # saturated: all 512 queries queued before the first collect
             for rep in range(3):
-                slots = [mb.submit(queries[i % 512], k=10) for i in range(256)]
+                slots = [mb.submit(queries[i % 512], k=10) for i in range(512)]
                 t0 = time.perf_counter()
                 for s in slots:
                     mb.result(s)
                 dt = time.perf_counter() - t0
-                print(f"depth={depth} rep={rep} coalesced {256 / dt:.1f} q/s "
-                      f"({dt * 1e3:.0f} ms)", flush=True)
+                print(f"depth={depth} max_batch={max_batch} rep={rep} coalesced "
+                      f"{512 / dt:.1f} q/s ({dt * 1e3:.0f} ms)", flush=True)
         finally:
             mb.close()
 
