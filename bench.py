@@ -32,6 +32,39 @@ import numpy as np
 BASELINE_QPS = 5000.0
 
 NUM_DOCS = 200_000
+
+
+class BenchEngineService:
+    """serving.py-contract wrapper over the raw synthetic-corpus engine —
+    ONE definition shared by bench.py's serving_stack section and the
+    serving experiment scripts (exp_serving_pipeline / exp_serving_http).
+    ``decode_json=True`` accepts term-id queries as JSON strings so the HTTP
+    experiment needs no analyzer. search_async is the dispatch-now /
+    collect-later contract that lets the MicroBatcher pipeline batch N+1
+    behind batch N's transfer."""
+
+    batch_size = 64
+
+    def __init__(self, engine, decode_json=False):
+        self.engine = engine
+        self.decode_json = decode_json
+
+    def search_async(self, qs, k=10):
+        if self.decode_json:
+            qs = [q if isinstance(q, list) else json.loads(q) for q in qs]
+            qs = [[(int(t), float(w)) for t, w in q] for q in qs]
+        res = self.engine.search(list(qs), model="bm25", params=PARAMS,
+                                 topk=k, exact_topk=False, materialize=False)
+
+        def collect():
+            scores, ords = res.get() if hasattr(res, "get") else res
+            return [[(int(o), float(s)) for s, o in zip(sr, orow) if int(o) < NUM_DOCS]
+                    for sr, orow in zip(np.asarray(scores), np.asarray(ords))]
+
+        return collect
+
+    def search(self, qs, k=10):
+        return self.search_async(qs, k)()
 NUM_TERMS = 50_000
 AVG_UNIQUE_TERMS = 120
 NUM_QUERIES = 2048
@@ -220,29 +253,7 @@ def main():
         query-count buckets are already compiled."""
         from capreolus_tpu.serving_http import MicroBatcher
 
-        class _EngineService:
-            batch_size = 64
-
-            def __init__(self, eng):
-                self.eng = eng
-
-            def search_async(self, qs, k=10):
-                # dispatch-now/collect-later (serving.py contract): lets the
-                # MicroBatcher pipeline batch N+1 behind batch N's transfer
-                res = self.eng.search(list(qs), model="bm25", params=PARAMS,
-                                      topk=k, exact_topk=False, materialize=False)
-
-                def collect():
-                    scores, ords = res.get() if hasattr(res, "get") else res
-                    return [[(int(o), float(s)) for s, o in zip(sr, orow) if int(o) < NUM_DOCS]
-                            for sr, orow in zip(np.asarray(scores), np.asarray(ords))]
-
-                return collect
-
-            def search(self, qs, k=10):
-                return self.search_async(qs, k)()
-
-        svc = _EngineService(engine)
+        svc = BenchEngineService(engine)
         mb = MicroBatcher(svc, window_ms=2.0)
         try:
             # warm every query-count bucket the batcher can hit (qt buckets are
@@ -260,22 +271,29 @@ def main():
                 lat.append(time.perf_counter() - t0)
             lat.sort()
             out = {"batch1_p50_ms": round(lat[len(lat) // 2] * 1e3, 2),
+                   "batch1_p90_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.90))] * 1e3, 2),
                    "batch1_p99_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.99))] * 1e3, 2),
                    "batch1_samples": len(lat)}
             # saturated: many queued submitters coalescing into shared calls.
             # Guarded: a weather stall inside the batch-1 loop must not drag
             # this into the remaining sections' budget (r4 run 5: one 27 s
-            # stall ate 250 s of the line).
+            # stall ate 250 s of the line), and stalled coalesced reps must
+            # not either (r4 run 12: serving_stack spent 224 s and starved
+            # dense/colbert/streamed-pruning) — the rep loop re-checks an
+            # overall section cap between reps.
             if remaining() > 60:
                 reps = []
                 for _ in range(3):  # best-of-3: one stalled rep is weather
+                    if time.perf_counter() - sec_start > 90 and reps:
+                        break  # stalled reps: keep what we have
                     slots = [mb.submit(queries[i % 512], k=10) for i in range(256)]
                     t0 = time.perf_counter()
                     for s in slots:
                         mb.result(s)
                     reps.append(256 / (time.perf_counter() - t0))
                 out["coalesced_qps"] = round(max(reps), 1)
-                out["coalesced_qps_median"] = round(sorted(reps)[1], 1)
+                out["coalesced_qps_median"] = round(sorted(reps)[len(reps) // 2], 1)
+                out["coalesced_reps"] = len(reps)
                 out["pipeline_depth"] = mb.pipeline_depth
             else:
                 out["coalesced_qps_skipped"] = f"deadline: {remaining():.0f}s left, needs 60s"
@@ -428,63 +446,74 @@ def main():
         cqueries = _make_queries(cdata, seed=4)
         out = {}
 
-        cengine = ScoringEngine(DeviceIndex(cdata))
-        diag = {}
-        for topk, tag in ((10, "k10"), (TOPK, "k1000")):
-            for mode in ("exhaustive", "forced_pruned", "adaptive"):
-                one_pass(cengine, cqueries, topk, mode)  # warmup/compile
-            t = {m: [] for m in ("exhaustive", "forced_pruned", "adaptive")}
-            for _ in range(2):
-                for m in t:
-                    t[m].append(one_pass(cengine, cqueries, topk, m))
-            diag[f"{tag}_exhaustive_qps"] = _qps(t["exhaustive"])
-            diag[f"{tag}_forced_pruned_qps"] = _qps(t["forced_pruned"])
-            diag[f"{tag}_adaptive_qps"] = _qps(t["adaptive"])
-        st = cengine.last_prune_stats
-        diag["kept_tiles_last"] = round(st["kept_tiles"] / max(1, st["total_tiles"]), 3)
-        out["clustered_diagnostics"] = diag
+        # the judged configuration (where pruning PAYS, VERDICT r3 #2) runs
+        # FIRST: r4 run 12 spent its whole allowance on the diagnostics and
+        # skipped this
+        sengine = ScoringEngine(DeviceIndex(cdata, hbm_budget=50e6))
+        # two warmup passes per mode: streamed working-set buffers are
+        # bucketed per batch, so one pass can miss buckets a timed pass
+        # would then compile (a remote compile inside the timing read as
+        # pruned 0.85x in r4 run 3)
+        for mode in ("exhaustive", "forced_pruned"):
+            one_pass(sengine, cqueries, 10, mode)
+            one_pass(sengine, cqueries, 10, mode)
+        t = {"exhaustive": [], "forced_pruned": []}
+        for _ in range(3):
+            for m in t:
+                t[m].append(one_pass(sengine, cqueries, 10, m))
+        speedup = min(t["exhaustive"]) / min(t["forced_pruned"])
+        # a fresh adaptive stream re-probes wall-clock in THIS regime
+        sengine._prune_stream_effective.clear()
+        a = [one_pass(sengine, cqueries, 10, "adaptive") for _ in range(2)]
+        out["streamed_50mb"] = {
+            "k10_pruned_qps": _qps(t["forced_pruned"]),
+            "k10_exhaustive_qps": _qps(t["exhaustive"]),
+            "k10_speedup": round(speedup, 3),
+            "k10_adaptive_qps": _qps(a),
+            "adaptive_decision": sengine._prune_stream_effective.get(
+                (10, PARAMS["k1"], PARAMS["b"])),
+            "exact": True,
+        }
+        del sengine
 
-        if remaining() > 60:
-            sengine = ScoringEngine(DeviceIndex(cdata, hbm_budget=50e6))
-            # two warmup passes per mode: streamed working-set buffers are
-            # bucketed per batch, so one pass can miss buckets a timed pass
-            # would then compile (a remote compile inside the timing read as
-            # pruned 0.85x in r4 run 3)
-            for mode in ("exhaustive", "forced_pruned"):
-                one_pass(sengine, cqueries, 10, mode)
-                one_pass(sengine, cqueries, 10, mode)
-            t = {"exhaustive": [], "forced_pruned": []}
-            for _ in range(3):
-                for m in t:
-                    t[m].append(one_pass(sengine, cqueries, 10, m))
-            speedup = min(t["exhaustive"]) / min(t["forced_pruned"])
-            # a fresh adaptive stream re-probes wall-clock in THIS regime
-            sengine._prune_stream_effective.clear()
-            a = [one_pass(sengine, cqueries, 10, "adaptive") for _ in range(2)]
-            out["streamed_50mb"] = {
-                "k10_pruned_qps": _qps(t["forced_pruned"]),
-                "k10_exhaustive_qps": _qps(t["exhaustive"]),
-                "k10_speedup": round(speedup, 3),
-                "k10_adaptive_qps": _qps(a),
-                "adaptive_decision": sengine._prune_stream_effective.get(
-                    (10, PARAMS["k1"], PARAMS["b"])),
-                "exact": True,
-            }
+        if remaining() > 80:
+            cengine = ScoringEngine(DeviceIndex(cdata))
+            diag = {}
+            for topk, tag in ((10, "k10"), (TOPK, "k1000")):
+                if tag == "k1000" and remaining() < 40:
+                    skipped["pruning_clustered_k1000"] = (
+                        f"deadline: {remaining():.0f}s left, needs 40s")
+                    break
+                for mode in ("exhaustive", "forced_pruned", "adaptive"):
+                    one_pass(cengine, cqueries, topk, mode)  # warmup/compile
+                t = {m: [] for m in ("exhaustive", "forced_pruned", "adaptive")}
+                for _ in range(2):
+                    for m in t:
+                        t[m].append(one_pass(cengine, cqueries, topk, m))
+                diag[f"{tag}_exhaustive_qps"] = _qps(t["exhaustive"])
+                diag[f"{tag}_forced_pruned_qps"] = _qps(t["forced_pruned"])
+                diag[f"{tag}_adaptive_qps"] = _qps(t["adaptive"])
+            st = cengine.last_prune_stats
+            diag["kept_tiles_last"] = round(st["kept_tiles"] / max(1, st["total_tiles"]), 3)
+            out["clustered_diagnostics"] = diag
         else:
-            skipped["pruning_streamed"] = f"deadline: {remaining():.0f}s left, needs 60s"
+            skipped["pruning_clustered"] = f"deadline: {remaining():.0f}s left, needs 80s"
         return out
 
     # ordered by judged value: the baseline-targeted metrics (secondary, train)
     # must survive a bad-weather window that eats the budget; extras after
+    # dense/colbert are cheap scoreboard sections (VERDICT r3 #7) and run
+    # BEFORE the expensive pruning section (r4 run 12: pruning's 266 s
+    # starved both)
     for name, min_budget, fn in [
         ("secondary", 60, rerank_secondary),
         ("train", 50, train_step),
         ("serving_k10", 40, serving_topk),
         ("serving_stack", 20, serving_stack),
         ("impact", 55, impact_section),
-        ("pruning", 80, pruning_section),
         ("dense", 30, dense_section),
         ("colbert", 40, colbert_section),
+        ("pruning", 80, pruning_section),
     ]:
         out = run_section(name, min_budget, fn)
         if out:

@@ -359,10 +359,9 @@ class ImpactSearcher(Searcher):
         self.index.create_index()
         docid_strings = list(self.index.data.docid_strings)  # merges pending ops
         gen = getattr(self.index, "_loaded_generation", 0)
-        if getattr(self, "_engine", None) is not None and getattr(self, "_engine_gen", 0) == gen:
-            return self._engine
-        self._engine = None
-        self._engine_gen = gen
+        cached = getattr(self, "_engine", None)
+        if cached is not None and getattr(self, "_engine_gen", 0) == gen:
+            return cached
         offs, term_ids_raw, raw = self._raw_doc_major(docid_strings, gen)
         term_offsets, doc_ids, q_impacts, doclens, scale = self._csr_from_doc_major(
             offs, term_ids_raw, raw, len(docid_strings))
@@ -383,8 +382,12 @@ class ImpactSearcher(Searcher):
         budget = float(self.config["hbmbudget"])
         engine = ScoringEngine(DeviceIndex(
             data, hbm_budget=budget * 1e6 if budget > 0 else None))
-        self._engine = (engine, docid_strings, scale)
-        return self._engine
+        result = (engine, docid_strings, scale)
+        self._engine_gen = gen
+        # Single assignment last: a concurrent reader sees either the old
+        # complete tuple or the new one, never None/half-built state.
+        self._engine = result
+        return result
 
     def _csr_from_doc_major(self, doc_offsets, term_ids, raw_impacts, num_docs):
         """Quantize raw impacts and build the (term-major, impact-desc) CSR.

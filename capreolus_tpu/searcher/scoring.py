@@ -467,15 +467,12 @@ class TieredResult:
     Rows arrive compacted + unpermuted (device-side out_index gather), so
     ``get`` only unpacks ordinal bits and trims Q padding — no host assemble."""
 
-    def __init__(self, engine, scores, ords, num_queries, topk,
-                 grid_shape, score_dtype, ord_bits):
-        self.engine = engine
+    def __init__(self, scores, ords, num_queries, topk, grid_shape, ord_bits):
         self.scores = scores  # [*grid, Q_pad, topk] device array
         self.ords = ords  # [*grid, Q_pad, topk] int32 or bit-packed words
         self.num_queries = num_queries
         self.topk = topk
         self.grid_shape = tuple(grid_shape)
-        self.score_dtype = score_dtype
         self.ord_bits = ord_bits  # 0 = raw int32 ordinals
         scores.copy_to_host_async()
         ords.copy_to_host_async()
@@ -1568,6 +1565,15 @@ class ScoringEngine:
             device_params[k] = jnp.asarray(np.asarray(grid[k], dtype=np.float32))
         grid_shape = tuple(len(grid[k]) for k in param_axes)
 
+        if num_queries == 0 and not exact_topk:
+            # An empty batch builds zero tiers, and _score_tiered would hit
+            # jnp.concatenate([]) at trace time — honor the tiered contract
+            # with ready empty arrays instead (the exact path below handles
+            # Q=0 natively via its zero-row accumulator).
+            shape = grid_shape + (0, topk)
+            empty = (np.zeros(shape, np.dtype(score_dtype)), np.zeros(shape, np.int32))
+            return empty if materialize else _ReadyResult(empty)
+
         if exact_topk:
             self._check_accumulator_bounds(num_queries)
             tile_idx, qidx, w1, w2, lo, hi, n = self._build_work_units(term_lists, model)
@@ -1620,8 +1626,8 @@ class ScoringEngine:
         scores_out, ords_out = self._score_tiered(
             model, topk, param_axes, r_max, tier_shapes, str(score_dtype), ord_bits,
             packed, u0s, out_index, device_params, *buffers)
-        result = TieredResult(self, scores_out, ords_out, num_queries, topk,
-                              grid_shape, score_dtype, ord_bits)
+        result = TieredResult(scores_out, ords_out, num_queries, topk,
+                              grid_shape, ord_bits)
         if not materialize:
             return result
         return result.get()

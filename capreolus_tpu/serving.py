@@ -136,10 +136,7 @@ class RetrievalService:
 
     def search(self, queries: Sequence[str], k: int = 10) -> List[List[Tuple[str, float]]]:
         """Returns, per query, the top-k (docid, score) pairs."""
-        # call the class's own implementation: RerankingService hides
-        # search_async from the batcher (sets it to None) but still routes its
-        # first stage through this method
-        return RetrievalService.search_async(self, queries, k)()
+        return self.search_async(queries, k)()
 
     def get_document(self, docid: str) -> Optional[str]:
         return self.index.get_doc(docid)
@@ -346,9 +343,14 @@ class ImpactRetrievalService:
     """
 
     def __init__(self, searcher):
-        searcher._impact_index()  # build/load eagerly so first request is warm
         self.searcher = searcher
         self.batch_size = max(1, int(searcher.config["batch"]))
+        # Snapshot the (engine, docids, scale) tuple ONCE: the hot path never
+        # re-derives it (searcher._impact_index() copies every docid string
+        # and merges pending incremental ops — O(corpus) host work that does
+        # not belong on the latency path), and refresh() swaps the snapshot in
+        # one assignment so concurrent dispatches keep the tuple they read.
+        self._snapshot = searcher._impact_index()
         self._served_gen = getattr(searcher, "_engine_gen", 0)
 
     @property
@@ -357,7 +359,7 @@ class ImpactRetrievalService:
 
     @property
     def _docids(self):  # /health corpus_size
-        return self.searcher._impact_index()[1]
+        return self._snapshot[1]
 
     def refresh(self) -> bool:
         """NRT reopen (mirrors RetrievalService.refresh): merge pending
@@ -370,8 +372,10 @@ class ImpactRetrievalService:
         if hasattr(index, "refresh"):
             index.refresh()
         # _impact_index() re-reads index.data (merging any remaining pending
-        # ops) and rebuilds the engine when the loaded generation moved
-        self.searcher._impact_index()
+        # ops) and rebuilds the engine when the loaded generation moved; the
+        # snapshot swap below is one assignment, so in-flight dispatches keep
+        # the tuple they already read.
+        self._snapshot = self.searcher._impact_index()
         new_gen = getattr(self.searcher, "_engine_gen", 0)
         changed = new_gen != self._served_gen
         self._served_gen = new_gen
@@ -396,12 +400,12 @@ class ImpactRetrievalService:
 
     def search_async(self, queries: Sequence[str], k: int = 10):
         """Dispatch-now / collect-later variant of ``search`` (identical
-        results; see RetrievalService.search_async). The engine tuple is
-        snapshotted once at dispatch — a concurrent refresh() swaps the
-        searcher's cached tuple atomically and this call keeps its own."""
+        results; see RetrievalService.search_async). The engine tuple is the
+        service's snapshot — a concurrent refresh() swaps the snapshot in one
+        assignment and this call keeps the tuple it read here."""
         import numpy as np
 
-        engine, docids, scale = self.searcher._impact_index()
+        engine, docids, scale = self._snapshot
         nt = engine.dindex.num_terms
         offs = engine.dindex.term_offsets
         maxpost = int(self.searcher.config["maxpostings"])

@@ -40,24 +40,33 @@ logger = get_logger(__name__)
 
 
 class ServingStats:
-    """Thread-safe serving counters + a bounded latency reservoir.
+    """Thread-safe serving counters + bounded latency reservoirs.
 
-    Latencies are kept in a ring (last ``maxlen`` observations) so the /stats
+    Latencies are kept in rings (last ``maxlen`` observations) so the /stats
     endpoint reports RECENT percentiles at O(1) memory regardless of uptime.
+    Two distributions are tracked: ``batch_latency_ms`` is dispatch→deliver —
+    under pipelining this INCLUDES time parked in flight behind up to
+    ``pipeline_depth - 1`` older batches, i.e. what a request experiences;
+    ``service_ms`` is the service call (collect) duration alone, the number
+    to watch for engine regressions independent of pipeline depth.
     """
 
     def __init__(self, maxlen: int = 4096):
         self._lock = threading.Lock()
         self._lat = deque(maxlen=maxlen)
+        self._svc = deque(maxlen=maxlen)
         self.queries = 0
         self.batches = 0
         self.errors = 0
 
-    def record_batch(self, n_queries: int, seconds: float):
+    def record_batch(self, n_queries: int, seconds: float,
+                     service_seconds: Optional[float] = None):
         with self._lock:
             self.queries += n_queries
             self.batches += 1
             self._lat.append(seconds)
+            if service_seconds is not None:
+                self._svc.append(service_seconds)
 
     def record_error(self):
         with self._lock:
@@ -66,12 +75,19 @@ class ServingStats:
     def snapshot(self) -> dict:
         with self._lock:
             lat = sorted(self._lat)
+            svc = sorted(self._svc)
             out = {"queries": self.queries, "batches": self.batches, "errors": self.errors,
                    "mean_batch_size": round(self.queries / self.batches, 2) if self.batches else 0.0}
+
+        def _pcts(xs):
+            pct = lambda p: round(1e3 * xs[min(len(xs) - 1, int(p * len(xs)))], 3)
+            return {"p50": pct(0.50), "p90": pct(0.90),
+                    "p99": pct(0.99), "max": round(1e3 * xs[-1], 3)}
+
         if lat:
-            pct = lambda p: round(1e3 * lat[min(len(lat) - 1, int(p * len(lat)))], 3)
-            out["batch_latency_ms"] = {"p50": pct(0.50), "p90": pct(0.90),
-                                       "p99": pct(0.99), "max": round(1e3 * lat[-1], 3)}
+            out["batch_latency_ms"] = _pcts(lat)
+        if svc:
+            out["service_ms"] = _pcts(svc)
         return out
 
 
@@ -146,11 +162,11 @@ class MicroBatcher:
             self._wakeup.notify()
         self._worker.join(timeout=5)
 
-    def _deliver(self, batch, results, t0):
+    def _deliver(self, batch, results, t0, svc_s=None):
         if len(results) != len(batch):  # fail loudly, never hang waiters
             raise RuntimeError(f"service returned {len(results)} result lists "
                                f"for {len(batch)} queries")
-        self.stats.record_batch(len(batch), time.monotonic() - t0)
+        self.stats.record_batch(len(batch), time.monotonic() - t0, svc_s)
         for (_, k, slot), hits in zip(batch, results):
             slot["result"] = hits[:k]
             slot["event"].set()
@@ -168,7 +184,9 @@ class MicroBatcher:
         def collect_oldest():
             batch, collect, t0 = inflight.popleft()
             try:
-                self._deliver(batch, collect(), t0)
+                t1 = time.monotonic()
+                results = collect()
+                self._deliver(batch, results, t0, time.monotonic() - t1)
             except Exception as e:
                 self._fail(batch, e)
 
@@ -201,7 +219,8 @@ class MicroBatcher:
                     if self._dispatch is not None:
                         inflight.append((batch, self._dispatch(queries, k=k_max), t0))
                     else:
-                        self._deliver(batch, self.service.search(queries, k=k_max), t0)
+                        results = self.service.search(queries, k=k_max)
+                        self._deliver(batch, results, t0, time.monotonic() - t0)
                 except Exception as e:
                     self._fail(batch, e)
             # collect when the pipeline is full, or when there's nothing left

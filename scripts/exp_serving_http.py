@@ -30,31 +30,9 @@ from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
 from capreolus_tpu.serving_http import make_server
 
 
-class EngineService:
-    """serving.py-contract wrapper over the raw bench engine (term-id queries
-    arrive as JSON lists, so no analyzer dependency)."""
-
-    batch_size = 64
-
-    def __init__(self, engine):
-        self.engine = engine
-
-    def search_async(self, qs, k=10):
-        term_lists = [q if isinstance(q, list) else json.loads(q) for q in qs]
-        term_lists = [[(int(t), float(w)) for t, w in q] for q in term_lists]
-        res = self.engine.search(term_lists, model="bm25", params=bench.PARAMS,
-                                 topk=k, exact_topk=False, materialize=False)
-
-        def collect():
-            scores, ords = res.get() if hasattr(res, "get") else res
-            return [[(int(o), float(s)) for s, o in zip(sr, orow)
-                     if int(o) < bench.NUM_DOCS]
-                    for sr, orow in zip(np.asarray(scores), np.asarray(ords))]
-
-        return collect
-
-    def search(self, qs, k=10):
-        return self.search_async(qs, k)()
+"""Term-id queries arrive as JSON lists, so no analyzer dependency:
+bench.BenchEngineService(engine, decode_json=True)."""
+EngineService = bench.BenchEngineService
 
 
 def main():
@@ -70,7 +48,7 @@ def main():
     queries = bench._make_queries(data, seed=1)
     qjson = [json.dumps(q) for q in queries[:512]]
 
-    svc = EngineService(engine)
+    svc = EngineService(engine, decode_json=True)
     for size in (1, 3, 6, 12, 24, 48, 64):  # warm every qt bucket
         svc.search(qjson[:size], k=10)
     print("warm", flush=True)

@@ -36,25 +36,7 @@ def main():
     engine = ScoringEngine(DeviceIndex(data))
     queries = bench._make_queries(data, seed=1)
 
-    class _EngineService:
-        batch_size = 64
-
-        def search_async(self, qs, k=10):
-            res = engine.search(list(qs), model="bm25", params=bench.PARAMS,
-                                topk=k, exact_topk=False, materialize=False)
-
-            def collect():
-                scores, ords = res.get() if hasattr(res, "get") else res
-                return [[(int(o), float(s)) for s, o in zip(sr, orow)
-                         if int(o) < bench.NUM_DOCS]
-                        for sr, orow in zip(np.asarray(scores), np.asarray(ords))]
-
-            return collect
-
-        def search(self, qs, k=10):
-            return self.search_async(qs, k)()
-
-    svc = _EngineService()
+    svc = bench.BenchEngineService(engine)
     # warm every qt bucket the batcher can hit (incl. the max_batch sweep's)
     for size in (1, 3, 6, 12, 24, 48, 64, 128, 256):
         svc.search(queries[:size], k=10)

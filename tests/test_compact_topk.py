@@ -116,3 +116,25 @@ def test_ord_bit_packing_all_widths():
                 words[r, j] = (stream >> (32 * j)) & 0xFFFFFFFF
         out = unpack_doc_ords_bits(words.reshape(3, kp // g, wpg), k, bits)
         np.testing.assert_array_equal(out, vals[:, :k].astype(np.int32))
+
+
+def test_tiered_empty_query_batch():
+    """An empty batch must return (0, topk)-shaped arrays on the tiered path
+    (regression: zero tiers reached jnp.concatenate([]) at trace time after
+    the device-side row-compaction rewrite)."""
+    data = make_synthetic_index(num_docs=300, num_terms=40, seed=2)
+    engine = ScoringEngine(DeviceIndex(data))
+    params = {"k1": 0.9, "b": 0.4}
+
+    scores, ords = engine.search([], model="bm25", params=params, topk=20, exact_topk=False)
+    assert scores.shape == (0, 20) and ords.shape == (0, 20)
+
+    res = engine.search([], model="bm25", params=params, topk=20,
+                        exact_topk=False, materialize=False)
+    scores, ords = res.get()
+    assert scores.shape == (0, 20) and ords.shape == (0, 20)
+
+    # grid axes keep their leading shape on the empty batch too
+    scores, ords = engine.search([], model="bm25", params={"b": 0.4}, topk=20,
+                                 exact_topk=False, grid={"k1": [0.8, 0.9, 1.2]})
+    assert scores.shape == (3, 0, 20) and ords.shape == (3, 0, 20)

@@ -515,8 +515,9 @@ def test_micro_batcher_async_collect_error_isolated():
 
 
 def test_micro_batcher_sync_fallback_when_search_async_is_none():
-    """RerankingService-style services set search_async=None to opt out of
-    pipelining; the batcher must fall back to the sync search path."""
+    """A service may publish search_async=None to opt out of pipelining
+    (e.g. one whose stages can't split); the batcher must fall back to the
+    sync search path at depth 1."""
     from capreolus_tpu.serving_http import MicroBatcher
 
     class Sync:
