@@ -462,7 +462,10 @@ def main():
             for m in t:
                 t[m].append(one_pass(sengine, cqueries, 10, m))
         speedup = min(t["exhaustive"]) / min(t["forced_pruned"])
-        # a fresh adaptive stream re-probes wall-clock in THIS regime
+        # adaptive: a settled on-disk verdict (persisted next to the corpus
+        # cache by an earlier run/probe) is served immediately; only a fresh
+        # regime probes. Clear the in-memory copy so this measures what a
+        # fresh ENGINE does, which is the production entry path.
         sengine._prune_stream_effective.clear()
         a = [one_pass(sengine, cqueries, 10, "adaptive") for _ in range(2)]
         out["streamed_50mb"] = {
@@ -493,8 +496,14 @@ def main():
                 diag[f"{tag}_exhaustive_qps"] = _qps(t["exhaustive"])
                 diag[f"{tag}_forced_pruned_qps"] = _qps(t["forced_pruned"])
                 diag[f"{tag}_adaptive_qps"] = _qps(t["adaptive"])
-            st = cengine.last_prune_stats
-            diag["kept_tiles_last"] = round(st["kept_tiles"] / max(1, st["total_tiles"]), 3)
+                # forced_pruned just ran at THIS k: capture its span stats now
+                # (r4 reported a single kept_tiles_last that the k1000 run had
+                # overwritten, which misread as "probe ran at kept=1.0")
+                st = cengine.last_prune_stats
+                diag[f"{tag}_kept_tiles"] = round(
+                    st["kept_tiles"] / max(1, st["total_tiles"]), 3)
+                diag[f"{tag}_adaptive_verdict"] = cengine._prune_stream_effective.get(
+                    (topk, PARAMS["k1"], PARAMS["b"]))
             out["clustered_diagnostics"] = diag
         else:
             skipped["pruning_clustered"] = f"deadline: {remaining():.0f}s left, needs 80s"

@@ -33,10 +33,14 @@ def load_index_npz(cache_fn: str):
     if not os.path.exists(fn):
         return None
     z = np.load(fn)
-    return IndexData(term_offsets=z["term_offsets"], doc_ids=z["doc_ids"], tfs=z["tfs"],
-                     doclens=z["doclens"], norm_doclens=z["norm_doclens"],
-                     docid_strings=None, vocab=None,
-                     prune_tables={k[3:]: z[k] for k in z.files if k.startswith("pt_")})
+    idx = IndexData(term_offsets=z["term_offsets"], doc_ids=z["doc_ids"], tfs=z["tfs"],
+                    doclens=z["doclens"], norm_doclens=z["norm_doclens"],
+                    docid_strings=None, vocab=None,
+                    prune_tables={k[3:]: z[k] for k in z.files if k.startswith("pt_")})
+    # settled pruning A/B verdicts live next to the corpus cache so fresh
+    # processes (e.g. successive driver bench runs) skip re-probing
+    idx.verdict_path = fn + ".verdicts.json"
+    return idx
 
 
 def assemble_index(term_ids, doc_ords, rng, num_docs: int, num_terms: int,
@@ -78,9 +82,12 @@ def assemble_index_from_key(key, rng, num_docs: int, num_terms: int,
         np.savez(_versioned(cache_fn), term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
                  tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
                  **{f"pt_{k}": v for k, v in pt.items()})
-    return IndexData(term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
-                     tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
-                     docid_strings=None, vocab=None, prune_tables=pt)
+    idx = IndexData(term_offsets=offsets, doc_ids=doc_ords.astype(np.int32),
+                    tfs=tfs.astype(np.int32), doclens=doclens, norm_doclens=norm,
+                    docid_strings=None, vocab=None, prune_tables=pt)
+    if cache_fn is not None:
+        idx.verdict_path = _versioned(cache_fn) + ".verdicts.json"
+    return idx
 
 
 def synth_uniform_index(num_docs: int, num_terms: int, avg_unique: int, seed: int = 0,

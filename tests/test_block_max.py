@@ -437,3 +437,103 @@ def test_pruned_stream_bit_identical_and_pipelined():
         es, eo = rengine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
         np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
         np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+
+
+def test_prune_verdict_persistence(tmp_path):
+    """Settled pruning A/B verdicts persist next to the index (VERDICT r4 #1):
+    a clear-margin or structural verdict written by one engine is honored by a
+    FRESH engine (and a fresh process) without re-probing; within-noise ties
+    serve exhaustive for the engine's life and retire pruning on disk after
+    PRUNE_TIE_LIMIT independent ties."""
+    data, rng = _make_corpus(seed=21, clustered=False)  # random: structural no-savings
+    data.verdict_path = str(tmp_path / "v.json")
+    engine = ScoringEngine(DeviceIndex(data))
+    df = np.diff(data.term_offsets)
+    cands = np.where(df > 50)[0]
+    batches = [[[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
+                for _ in range(8)] for _ in range(2)]
+    list(engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
+                                     topk=10, materialize=False))
+    key = (10, PARAMS["k1"], PARAMS["b"])
+    assert engine._prune_tiles_ok.get(key) is False
+    import json
+    import os
+
+    assert os.path.exists(data.verdict_path)
+    vs = json.load(open(data.verdict_path))
+    assert any(v.get("verdict") is False for v in vs.values())
+
+    # a FRESH engine honors the persisted structural verdict without ever
+    # building spans (no tile probe, no wall-clock probe)
+    engine2 = ScoringEngine(DeviceIndex(data))
+    engine2.last_prune_stats = None
+    engine2._build_prune_spans = None  # would raise if any span build were attempted
+    out = list(engine2.search_pruned_stream(batches, model="bm25", params=PARAMS,
+                                            topk=10, materialize=False))
+    assert len(out) == len(batches)
+    assert engine2._prune_tiles_ok.get(key) is False
+    assert engine2.last_prune_stats is None
+
+    # ties: within-noise probes accumulate and retire pruning after the limit
+    engine3 = ScoringEngine(DeviceIndex(data))
+    tkey = (77, 0.9, 0.4)
+    engine3._record_verdict("stream", tkey, tie=True)
+    assert engine3._persisted_verdict("stream", tkey) is None  # not settled yet
+    engine3._record_verdict("stream", tkey, tie=True)
+    assert engine3._persisted_verdict("stream", tkey) is False  # retired
+    # a fresh engine reads the retired verdict from disk
+    engine4 = ScoringEngine(DeviceIndex(data))
+    assert engine4._persisted_verdict("stream", tkey) is False
+
+    # sync entry point honors persistence too: search_pruned on a fresh engine
+    # serves exhaustive immediately (state loaded from disk, no probe)
+    engine5 = ScoringEngine(DeviceIndex(data))
+    q = batches[0]
+    ps, po = engine5.search_pruned(q, model="bm25", params=PARAMS, topk=10)
+    es, eo = engine5.search(q, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+    np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+    np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+    assert engine5._prune_effective.get(key) is False
+
+
+def test_prune_stream_tie_goes_exhaustive_and_engine_sticky(monkeypatch, tmp_path):
+    """A within-noise wall-clock probe serves exhaustive for the REST of the
+    stream and goes sticky for the engine's life (no '(not sticky)' re-probe on
+    later streams) — the r4 regression served the losing pruned mode and
+    re-paid the probe every pass."""
+    data, rng = _make_corpus(seed=22, clustered=True)
+    data.verdict_path = str(tmp_path / "v.json")
+    engine = ScoringEngine(DeviceIndex(data))
+    df = np.diff(data.term_offsets)
+    cands = np.where(df > 50)[0]
+    batches = [[[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
+                for _ in range(8)] for _ in range(8)]
+    key = (10, PARAMS["k1"], PARAMS["b"])
+
+    # force the probe into the tie regime: equal segment walls
+    import capreolus_tpu.searcher.scoring as sc
+
+    real_pc = sc.time.perf_counter
+    monkeypatch.setattr(sc.time, "perf_counter", lambda: 0.0)
+    try:
+        results = list(engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
+                                                   topk=10, materialize=False, window=2))
+    finally:
+        monkeypatch.setattr(sc.time, "perf_counter", real_pc)
+    assert len(results) == len(batches)
+    # tie -> exhaustive, sticky for this engine
+    assert engine._prune_stream_effective.get(key) is False
+    # results all bit-identical to exhaustive
+    for b, res in zip(batches, results):
+        ps, po = res.get()
+        es, eo = engine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+
+    # the next stream does NOT probe again (build_prune_spans never called)
+    calls = []
+    orig = engine._build_prune_spans
+    engine._build_prune_spans = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    list(engine.search_pruned_stream(batches[:2], model="bm25", params=PARAMS,
+                                     topk=10, materialize=False, window=2))
+    assert calls == []
