@@ -40,11 +40,20 @@ def _mask_padding(sim, query_tok, doc_tok):
 
 
 def cosine_similarity_matrix(q_emb, d_emb, query_tok, doc_tok, eps=1e-9):
-    """Cosine similarity [B, Q, D] with padding masked to 0 (parity: common.py:160-167)."""
-    q_norm = jnp.linalg.norm(q_emb, axis=2, keepdims=True)  # [B, Q, 1]
-    d_norm = jnp.linalg.norm(d_emb, axis=2, keepdims=True)  # [B, D, 1]
+    """Cosine similarity [B, Q, D] with padding masked to 0 (parity: common.py:160-167).
+
+    The norm is clamped BELOW the sqrt (``sqrt(max(sum_sq, eps^2))``) rather than
+    added after it: ``jnp.linalg.norm`` has a NaN gradient at an exactly-zero
+    vector (d sqrt(u)/du -> inf at u=0, then 0*inf), and the all-zero padding
+    embedding row sits in every batch — with trainable embeddings (KNRM
+    finetune=True) one step poisons all params. The clamp's gradient is zero
+    below eps, matching torch ``cosine_similarity``'s clamp_min semantics that
+    the reference relies on.
+    """
+    q_norm = jnp.sqrt(jnp.maximum(jnp.sum(q_emb * q_emb, axis=2, keepdims=True), eps * eps))
+    d_norm = jnp.sqrt(jnp.maximum(jnp.sum(d_emb * d_emb, axis=2, keepdims=True), eps * eps))
     sim = jnp.einsum("bqe,bde->bqd", q_emb, d_emb, preferred_element_type=jnp.float32)
-    sim = sim / (q_norm + eps) / (jnp.swapaxes(d_norm, 1, 2) + eps)
+    sim = sim / q_norm / jnp.swapaxes(d_norm, 1, 2)
     return _mask_padding(sim, query_tok, doc_tok)
 
 
