@@ -16,7 +16,7 @@ from pathlib import Path
 
 from capreolus_tpu.core import ConfigOption, ModuleBase, constants, import_all_modules, register_module_type
 from capreolus_tpu.utils.loginit import get_logger
-from capreolus_tpu.utils.trec import iterate_jsonl_docs, iterate_trec_docs
+from capreolus_tpu.utils.trec import iterate_jsonl_docs, iterate_trec_docs, iterate_trecweb_docs
 
 logger = get_logger(__name__)
 
@@ -25,8 +25,9 @@ logger = get_logger(__name__)
 class Collection(ModuleBase):
     """Base class for Collection modules.
 
-    Subclasses set ``collection_type`` ("trec", "jsonl", or "tsv") describing the
-    on-disk format, and either a ``_path`` or a ``download_if_missing`` method.
+    Subclasses set ``collection_type`` ("trec", "trecweb", "jsonl", or "tsv")
+    describing the on-disk format, and either a ``_path`` or a
+    ``download_if_missing`` method.
     """
 
     module_type = "collection"
@@ -61,6 +62,8 @@ class Collection(ModuleBase):
         for fn in self._document_files(path):
             if self.collection_type == "trec":
                 yield from iterate_trec_docs(fn)
+            elif self.collection_type == "trecweb":
+                yield from iterate_trecweb_docs(fn)
             elif self.collection_type == "jsonl":
                 yield from iterate_jsonl_docs(fn)
             elif self.collection_type == "tsv":

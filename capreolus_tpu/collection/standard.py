@@ -135,23 +135,36 @@ class _LicensedTrecCollection(Collection):
 
 @Collection.register
 class Gov2Collection(_LicensedTrecCollection):
-    """GOV2 web corpus (parity: collection/gov2.py)."""
+    """GOV2 web corpus (parity: collection/gov2.py:15 — TrecwebCollection).
+
+    Trecweb format: DOCHDR blocks (URL + HTTP response headers) are skipped
+    and the raw crawled HTML is reduced to visible text (utils/trec.py
+    iterate_trecweb_docs), matching Anserini's TrecwebCollection + Jsoup
+    pipeline the reference indexes gov2 with.
+    """
 
     module_name = "gov2"
+    collection_type = "trecweb"
 
 
 @Collection.register
 class CDSCollection(_LicensedTrecCollection):
-    """TREC Clinical Decision Support (parity: collection/cds.py)."""
+    """TREC Clinical Decision Support (parity: collection/cds.py:18 —
+    JsonCollection of {"id", "contents"} records; the reference materializes
+    contents as title+abstract+body via doc_as_json)."""
 
     module_name = "cds"
+    collection_type = "jsonl"
 
 
 @Collection.register
 class NYTCollection(_LicensedTrecCollection):
-    """New York Times annotated corpus (parity: collection/nyt.py)."""
+    """New York Times annotated corpus (parity: collection/nyt.py:18 —
+    JsonCollection of {"id", "contents"} records; the reference materializes
+    contents as headline+body via doc_as_json)."""
 
     module_name = "nyt"
+    collection_type = "jsonl"
 
 
 @Collection.register
@@ -164,9 +177,12 @@ class WapoCollection(_LicensedTrecCollection):
 
 @Collection.register
 class HighwireCollection(_LicensedTrecCollection):
-    """Highwire (TREC Genomics) corpus (parity: collection/highwire.py)."""
+    """Highwire (TREC Genomics) corpus (parity: collection/highwire.py:17 —
+    JsonCollection of {"id", "contents"} records; the reference materializes
+    contents by joining legal span texts via doc_as_json)."""
 
     module_name = "highwire"
+    collection_type = "jsonl"
 
 
 @Collection.register

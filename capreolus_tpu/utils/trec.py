@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import gzip
 from collections import defaultdict
+from html.parser import HTMLParser
 from pathlib import Path
 
 from capreolus_tpu.utils.loginit import get_logger
@@ -249,6 +250,95 @@ def iterate_trec_docs(path, content_tags=TREC_CONTENT_TAGS):
             else:
                 if stripped and tag_stack and any(t in content_tags for t in tag_stack):
                     contents.append(stripped)
+
+
+class _HTMLTextExtractor(HTMLParser):
+    """Collect visible text from HTML: skip script/style/noscript subtrees,
+    keep title and body text, decode entities (convert_charrefs)."""
+
+    _SKIP = {"script", "style", "noscript"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.parts = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        pass  # <br/> etc: no depth change
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if not self._skip_depth and data.strip():
+            self.parts.append(data)
+
+
+def html_to_text(html: str) -> str:
+    """Visible text of an HTML fragment, whitespace-collapsed.
+
+    From-scratch equivalent of the Jsoup ``parse(s).text()`` transform Anserini
+    applies to Trecweb documents (the reference routes gov2 through
+    TrecwebCollection, /root/reference/capreolus/collection/gov2.py:15). Uses
+    the stdlib tolerant HTMLParser: script/style/noscript content is dropped,
+    entities are decoded, tags become word boundaries.
+    """
+    p = _HTMLTextExtractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # malformed markup: keep whatever was extracted
+        pass
+    return " ".join(" ".join(p.parts).split())
+
+
+def iterate_trecweb_docs(path):
+    """Yield (docid, text) pairs from a Trecweb-format file (GOV2, WT10g).
+
+    Trecweb wraps raw crawled HTML in TREC-style envelopes::
+
+        <DOC>
+        <DOCNO>GX000-00-0000000</DOCNO>
+        <DOCHDR>
+        http://example.gov/ ...HTTP response headers...
+        </DOCHDR>
+        <html>...raw page...</html>
+        </DOC>
+
+    Parity with Anserini's TrecwebCollection semantics (the reference's gov2
+    type, collection/gov2.py:15): the DOCHDR block (URL + HTTP headers) is
+    skipped entirely, and everything between ``</DOCHDR>`` and ``</DOC>`` is
+    treated as raw HTML and reduced to visible text — indexing a real GOV2
+    directory must never index HTTP headers or markup.
+    """
+    docid = None
+    in_hdr = False
+    seen_hdr = False
+    html_lines = []
+
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            stripped = line.strip()
+            low = stripped.lower()
+            if low.startswith("<doc>"):
+                docid, in_hdr, seen_hdr, html_lines = None, False, False, []
+            elif low.startswith("</doc>"):
+                if docid is not None:
+                    yield docid, html_to_text("\n".join(html_lines))
+                docid = None
+            elif low.startswith("<docno>"):
+                docid = stripped[len("<docno>"):].replace("</DOCNO>", "").replace("</docno>", "").strip()
+            elif low.startswith("<dochdr>"):
+                in_hdr = True
+            elif low.startswith("</dochdr>"):
+                in_hdr, seen_hdr = False, True
+            elif docid is not None and seen_hdr and not in_hdr:
+                html_lines.append(line.rstrip("\n"))
 
 
 def iterate_jsonl_docs(path, id_field="id", content_fields=("contents",)):
