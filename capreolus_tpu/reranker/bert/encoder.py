@@ -203,11 +203,25 @@ class BertSelfAttention(nn.Module):
         c = self.config
         dtype = jnp.dtype(c.dtype)
         b, l, _ = hidden.shape
+
         # separate q/k/v projections measured faster than a fused [H, 3H] matmul on
-        # v5e (the split output forces an extra copy that outweighs the MXU win)
-        q = nn.Dense(c.hidden_size, name="query", dtype=dtype)(hidden)
-        k = nn.Dense(c.hidden_size, name="key", dtype=dtype)(hidden)
-        v = nn.Dense(c.hidden_size, name="value", dtype=dtype)(hidden)
+        # v5e (the split output forces an extra copy that outweighs the MXU win).
+        # With quantize=int8 every projection (q/k/v/out) runs as an int8 MXU
+        # matmul with dynamic per-token activation scales — the attention
+        # projections are a third of BERT's matmul FLOPs and were the last
+        # bf16 island in the int8 inference path. Scores/softmax/context stay
+        # bf16 (quantizing post-softmax probabilities measurably hurts ranking
+        # fidelity for no bandwidth win at these shapes).
+        if c.quantize == "int8":
+            def proj(name):
+                return Int8Dense(c.hidden_size, name=name, dtype=dtype)
+        else:
+            def proj(name):
+                return nn.Dense(c.hidden_size, name=name, dtype=dtype)
+
+        q = proj("query")(hidden)
+        k = proj("key")(hidden)
+        v = proj("value")(hidden)
         if c.lora_rank > 0:
             # standard LoRA placement (q and v); up-projection starts at zero,
             # so step 0 is exactly the pretrained model
@@ -224,7 +238,7 @@ class BertSelfAttention(nn.Module):
                                   dropout_rate=c.attention_dropout_prob if train else 0.0,
                                   dropout_rng=drop_rng)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, c.hidden_size)
-        return nn.Dense(c.hidden_size, name="output", dtype=dtype)(out)
+        return proj("output")(out)
 
 
 class BertLayer(nn.Module):

@@ -24,13 +24,11 @@ logger = get_logger(__name__)
 
 class RetrievalService:
     def __init__(self, index, model: str = "bm25", params: Optional[dict] = None, batch_size: int = 64,
-                 hbm_budget_mb: float = 12000.0, pruning: bool = True):
+                 hbm_budget_mb: float = 12000.0, pruning: bool = True, shards: int = 0):
         from capreolus_tpu.searcher.scoring import DeviceIndex, ScoringEngine
 
         index.create_index()
         self.index = index
-        self.engine = ScoringEngine(DeviceIndex(
-            index.data, hbm_budget=hbm_budget_mb * 1e6 if hbm_budget_mb > 0 else None))
         self.model = model
         self.params = dict(params or {"k1": 0.9, "b": 0.4})
         self.batch_size = batch_size
@@ -40,9 +38,38 @@ class RetrievalService:
         self.pruning = bool(pruning)
         self._generation = getattr(index, "generation", 0)
         self._hbm_budget_mb = hbm_budget_mb
+        # multi-chip serving: shards>1 doc-partitions the postings over a
+        # 'shard' mesh axis; each chip scores its partition and the per-shard
+        # top-k merge rides an ICI allgather (parallel/sharded_search.py).
+        # Block-max pruning is a single-device span structure and doesn't
+        # compose with the sharded path — the partitioning itself is the win.
+        self.shards = int(shards)
+        if self.shards > 1:
+            self.engine = None
+            self._build_sharded(index.data)
+        else:
+            self._sindex = None
+            self.engine = ScoringEngine(DeviceIndex(
+                index.data, hbm_budget=hbm_budget_mb * 1e6 if hbm_budget_mb > 0 else None))
+
+    def _build_sharded(self, data):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from capreolus_tpu.parallel.sharded_search import ShardedDeviceIndex
+
+        devices = jax.devices()
+        if len(devices) < self.shards:
+            raise ValueError(f"shards={self.shards} but only {len(devices)} devices present")
+        mesh = Mesh(np.array(devices[: self.shards]), ("shard",))
+        self._sindex = ShardedDeviceIndex(data, mesh)
+        self._shard_host = data
 
     @property
     def _docids(self):
+        if self._sindex is not None:
+            return self._shard_host.docid_strings
         return self.engine.dindex.host.docid_strings
 
     def refresh(self) -> bool:
@@ -59,14 +86,18 @@ class RetrievalService:
         if gen == self._generation:
             return False
         data = self.index.data
-        self.engine = ScoringEngine(DeviceIndex(
-            data, hbm_budget=self._hbm_budget_mb * 1e6 if self._hbm_budget_mb > 0 else None))
+        if self._sindex is not None:
+            self._build_sharded(data)
+        else:
+            self.engine = ScoringEngine(DeviceIndex(
+                data, hbm_budget=self._hbm_budget_mb * 1e6 if self._hbm_budget_mb > 0 else None))
         self._generation = gen
         return True
 
     @classmethod
     def from_config(cls, collection: str = "dummy", collection_path: Optional[str] = None,
-                    model: str = "bm25", params: Optional[dict] = None, **index_config):
+                    model: str = "bm25", params: Optional[dict] = None, shards: int = 0,
+                    **index_config):
         import capreolus_tpu
 
         capreolus_tpu.load_all_modules()
@@ -76,7 +107,7 @@ class RetrievalService:
         if collection_path:
             coll_cfg["path"] = collection_path
         index = Index.create("tpu", {**index_config, "collection": coll_cfg})
-        return cls(index, model=model, params=params)
+        return cls(index, model=model, params=params, shards=shards)
 
     def _analyze(self, query: str, vocab=None):
         if vocab is None:
@@ -92,6 +123,8 @@ class RetrievalService:
         dispatch the NEXT batch while this one's results cross the wire, so
         at saturation the per-call device round-trip overlaps compute
         instead of serializing with it (PERF.md round-4 serving economics)."""
+        if self._sindex is not None:
+            return self._search_async_sharded(queries, k)
         # point-in-time view: vocab/docids come from the ENGINE's own host
         # data so a concurrent refresh() can never mix generations
         engine = self.engine
@@ -123,6 +156,43 @@ class RetrievalService:
                 # tiered path: a pending TieredResult; exact-topk path: the
                 # raw device arrays whose fetch started at dispatch
                 scores, ords = res.get() if hasattr(res, "get") else map(np.asarray, res)
+                for qi in range(n):
+                    hits = []
+                    for s, o in zip(scores[qi], ords[qi]):
+                        if s <= 0.0:
+                            break
+                        hits.append((docids[int(o)], float(s)))
+                    results.append(hits)
+            return results
+
+        return collect
+
+    def _search_async_sharded(self, queries: Sequence[str], k: int):
+        """Multi-chip dispatch: doc-partitioned scoring over the 'shard' mesh,
+        per-shard top-k, ICI allgather merge (parallel/sharded_search.py).
+        Same collect-later contract as the single-device path."""
+        from capreolus_tpu.parallel.sharded_search import sharded_search
+
+        sindex, host = self._sindex, self._shard_host
+        docids = host.docid_strings
+        pending = []
+        for start in range(0, len(queries), self.batch_size):
+            batch = queries[start : start + self.batch_size]
+            term_lists = [self._analyze(q, host.vocab) for q in batch]
+            units = sindex.build_work_units(term_lists, model=self.model)
+            scores, ords = sharded_search(sindex, units, num_queries=len(batch),
+                                          topk=k, model=self.model, params=self.params)
+            for arr in (scores, ords):
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+            pending.append((len(batch), scores, ords))
+
+        def collect() -> List[List[Tuple[str, float]]]:
+            import numpy as np
+
+            results: List[List[Tuple[str, float]]] = []
+            for n, scores, ords in pending:
+                scores, ords = np.asarray(scores), np.asarray(ords)
                 for qi in range(n):
                     hits = []
                     for s, o in zip(scores[qi], ords[qi]):

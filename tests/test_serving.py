@@ -572,3 +572,33 @@ def test_micro_batcher_close_drains_inflight():
     slots = [batcher.submit(f"q{i}", k=1) for i in range(4)]
     batcher.close()  # worker must drain inflight + pending before exiting
     assert [batcher.result(s) for s in slots] == [[(f"q{i}", 1.0)] for i in range(4)]
+
+
+def test_sharded_retrieval_service(tmpdir_as_cache):
+    """Multi-chip serving: shards=N doc-partitions the postings over a 'shard'
+    mesh with an ICI allgather top-k merge; hit lists must equal the
+    single-device service's, and NRT refresh() must rebuild the sharded view
+    (the two round-5 dryrun legs, as a suite test)."""
+    import jax
+
+    from capreolus_tpu.serving import RetrievalService
+
+    n = min(4, len(jax.devices()))
+    sharded = RetrievalService.from_config(collection="dummy", shards=n)
+    single = RetrievalService.from_config(collection="dummy")
+    queries = ["galaxies collide", "whales in the ocean", "orbit telescope launch"]
+    sh, si = sharded.search(queries, k=3), single.search(queries, k=3)
+    for a, b in zip(sh, si):
+        assert [d for d, _ in a] == [d for d, _ in b], (sh, si)
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-5)
+
+    # NRT reopen through the sharded engine
+    sharded.index.add_documents([("NEWDOC1", "zebra stampede across the savanna")])
+    assert sharded.refresh() is True
+    hits = sharded.search(["zebra stampede"], k=3)
+    assert hits[0] and hits[0][0][0] == "NEWDOC1"
+    sharded.index.delete_documents(["NEWDOC1"])
+    assert sharded.refresh() is True
+    gone = sharded.search(["zebra stampede"], k=3)
+    assert not gone[0] or gone[0][0][0] != "NEWDOC1"
