@@ -58,6 +58,23 @@ class ServingStats:
         self.queries = 0
         self.batches = 0
         self.errors = 0
+        self.hedges = 0
+        self.hedge_wins = 0
+
+    def record_hedge(self, backup_won: bool = False):
+        with self._lock:
+            self.hedges += 1
+            if backup_won:
+                self.hedge_wins += 1
+
+    def service_p50(self, min_samples: int = 8) -> Optional[float]:
+        """Rolling median collect duration (seconds); None until enough
+        history exists to set a meaningful hedge deadline."""
+        with self._lock:
+            if len(self._svc) < min_samples:
+                return None
+            xs = sorted(self._svc)
+            return xs[len(xs) // 2]
 
     def record_batch(self, n_queries: int, seconds: float,
                      service_seconds: Optional[float] = None):
@@ -77,6 +94,7 @@ class ServingStats:
             lat = sorted(self._lat)
             svc = sorted(self._svc)
             out = {"queries": self.queries, "batches": self.batches, "errors": self.errors,
+                   "hedges": self.hedges, "hedge_wins": self.hedge_wins,
                    "mean_batch_size": round(self.queries / self.batches, 2) if self.batches else 0.0}
 
         def _pcts(xs):
@@ -111,13 +129,30 @@ class MicroBatcher:
     p50 ~36 ms at every depth — the default is the measured knee."""
 
     def __init__(self, service, window_ms: float = 2.0, max_batch: Optional[int] = None,
-                 pipeline_depth: int = 4):
+                 pipeline_depth: int = 4, hedge_factor: float = 3.0,
+                 hedge_floor_ms: float = 25.0):
         self.service = service
         self.window_s = float(window_ms) / 1000.0
         self.max_batch = int(max_batch or getattr(service, "batch_size", 64))
         dispatch = getattr(service, "search_async", None)
         self._dispatch = dispatch if callable(dispatch) else None
         self.pipeline_depth = max(1, int(pipeline_depth)) if self._dispatch else 1
+        # tail-latency hedging (async services only): a collect that exceeds
+        # max(hedge_floor_ms, hedge_factor x rolling-p50 service time) is
+        # assumed stalled in the transport (tunnel weather holds a dispatch
+        # for ~10x p50, BENCH_r04 serving_stack p99), and the SAME batch is
+        # re-dispatched — first finisher wins. Results are deterministic, so
+        # hedges are safe; the loser is discarded. hedge_factor=0 disables.
+        self._hedge_factor = float(hedge_factor) if self._dispatch else 0.0
+        self._hedge_floor_s = float(hedge_floor_ms) / 1000.0
+        self._collect_pool = None
+        if self._hedge_factor > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # 4 workers: 1 primary + 1 backup active, headroom for a couple of
+            # still-draining losers from earlier hedges
+            self._collect_pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="capreolus-collect")
         self._pending = deque()  # (query, k, slot) triples
         self._lock = threading.Lock()
         self._wakeup = threading.Condition(self._lock)
@@ -161,6 +196,8 @@ class MicroBatcher:
             self._closed = True
             self._wakeup.notify()
         self._worker.join(timeout=5)
+        if self._collect_pool is not None:
+            self._collect_pool.shutdown(wait=False)
 
     def _deliver(self, batch, results, t0, svc_s=None):
         if len(results) != len(batch):  # fail loudly, never hang waiters
@@ -179,10 +216,60 @@ class MicroBatcher:
             slot["event"].set()
 
     def _run(self):
-        inflight = deque()  # (batch, collect, t0) — dispatched, not yet collected
+        inflight = deque()  # (batch, collect, t0, queries, k_max) — dispatched, not collected
+
+        def run_collect(fn, out):
+            try:
+                out["results"] = fn()
+            except Exception as e:  # surfaced via the winner check
+                out["error"] = e
+            finally:
+                out["done"].set()
+
+        def collect_hedged(batch, collect, t0, queries, k_max, deadline_s):
+            """Primary collect with a stall deadline; past it, re-dispatch the
+            same batch and take whichever finishes first (results are
+            deterministic — the loser is discarded in its pool thread)."""
+            primary = {"done": threading.Event(), "results": None, "error": None}
+            t1 = time.monotonic()
+            self._collect_pool.submit(run_collect, collect, primary)
+            winner = primary
+            if not primary["done"].wait(deadline_s):
+                backup = {"done": threading.Event(), "results": None, "error": None}
+                backup_dispatched = False
+                try:
+                    backup_collect = self._dispatch(queries, k=k_max)
+                    self._collect_pool.submit(run_collect, backup_collect, backup)
+                    backup_dispatched = True
+                except Exception:
+                    logger.exception("hedge re-dispatch failed; waiting on primary")
+                if backup_dispatched:
+                    while True:
+                        if primary["done"].wait(0.005):
+                            winner = primary
+                            break
+                        if backup["done"].is_set():
+                            winner = backup
+                            break
+                else:
+                    primary["done"].wait()
+                self.stats.record_hedge(backup_won=winner is not primary)
+            t_svc = time.monotonic() - t1
+            if winner["error"] is not None:
+                self._fail(batch, winner["error"])
+            else:
+                try:
+                    self._deliver(batch, winner["results"], t0, t_svc)
+                except Exception as e:
+                    self._fail(batch, e)
 
         def collect_oldest():
-            batch, collect, t0 = inflight.popleft()
+            batch, collect, t0, queries, k_max = inflight.popleft()
+            p50 = self.stats.service_p50() if self._hedge_factor > 0 else None
+            if p50 is not None and self._collect_pool is not None:
+                deadline = max(self._hedge_floor_s, self._hedge_factor * p50)
+                collect_hedged(batch, collect, t0, queries, k_max, deadline)
+                return
             try:
                 t1 = time.monotonic()
                 results = collect()
@@ -217,7 +304,8 @@ class MicroBatcher:
                 t0 = time.monotonic()
                 try:
                     if self._dispatch is not None:
-                        inflight.append((batch, self._dispatch(queries, k=k_max), t0))
+                        inflight.append((batch, self._dispatch(queries, k=k_max), t0,
+                                         queries, k_max))
                     else:
                         results = self.service.search(queries, k=k_max)
                         self._deliver(batch, results, t0, time.monotonic() - t0)

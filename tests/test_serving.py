@@ -602,3 +602,59 @@ def test_sharded_retrieval_service(tmpdir_as_cache):
     assert sharded.refresh() is True
     gone = sharded.search(["zebra stampede"], k=3)
     assert not gone[0] or gone[0][0][0] != "NEWDOC1"
+
+
+def test_micro_batcher_hedges_stalled_collect():
+    """Tail-latency hedging (VERDICT r4 next-step #6): a collect that exceeds
+    the deadline (hedge_factor x rolling p50, floored) triggers ONE
+    re-dispatch of the same batch; the first finisher's results are
+    delivered, the hedge counter moves, and the stalled loser is discarded
+    without corrupting later batches."""
+    import threading as _threading
+    import time as _time
+
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    stall = _threading.Event()
+    dispatches = []
+
+    class Stalls:
+        batch_size = 4
+
+        def search_async(self, queries, k=10):
+            qs = list(queries)
+            n = len(dispatches)
+            dispatches.append(tuple(qs))
+
+            def collect():
+                # every 4th dispatch models a transport stall: it hangs until
+                # released, far beyond the hedge deadline
+                if n % 4 == 0 and n > 0:
+                    stall.wait(10.0)
+                return [[(q.upper(), float(k))] for q in qs]
+
+            return collect
+
+    batcher = MicroBatcher(Stalls(), window_ms=0.0, max_batch=1, pipeline_depth=1,
+                           hedge_factor=3.0, hedge_floor_ms=30.0)
+    # build rolling-p50 history with fast batches (min_samples=8)
+    for i in range(8):
+        assert batcher.search(f"warm{i}", k=1) == [(f"WARM{i}", 1.0)]
+    assert batcher.stats.hedges == 0
+
+    # dispatch 8 stalls (n=8 % 4 == 0): primary hangs, the hedge re-dispatch
+    # (n=9) serves the same query fast and must win
+    t0 = _time.monotonic()
+    out = batcher.search("stalled", k=1)
+    elapsed = _time.monotonic() - t0
+    assert out == [("STALLED", 1.0)]
+    assert elapsed < 5.0, f"hedge did not rescue the stalled batch ({elapsed:.1f}s)"
+    assert batcher.stats.hedges == 1 and batcher.stats.hedge_wins == 1
+    assert dispatches[-2:] == [("stalled",), ("stalled",)]  # same batch re-dispatched
+
+    # later batches are unaffected by the still-stalled loser
+    assert batcher.search("after", k=1) == [("AFTER", 1.0)]
+    snap = batcher.stats.snapshot()
+    assert snap["hedges"] == 1 and snap["hedge_wins"] == 1
+    stall.set()
+    batcher.close()
