@@ -307,11 +307,14 @@ def main():
 
         dps_bf16 = bench_rerank.measure(configure_cache=False)
         bf16_passes = sorted(getattr(bench_rerank.measure, "last_pass_dps", []))
+        bf16_mfu = getattr(bench_rerank.measure, "last_mfu", None)
         bench_rerank.measure.last_pass_dps = []
         int8_passes = []
+        int8_mfu = None
         if remaining() > 45:
             dps_int8 = bench_rerank.measure(configure_cache=False, quantize="int8")
             int8_passes = sorted(getattr(bench_rerank.measure, "last_pass_dps", []))
+            int8_mfu = getattr(bench_rerank.measure, "last_mfu", None)
         else:
             dps_int8 = 0.0
             skipped["rerank_int8"] = f"deadline: {remaining():.0f}s left, needs 45s"
@@ -326,6 +329,9 @@ def main():
             "config": "quantize=int8" if dps_int8 > dps_bf16 else "bf16",
             "bf16_median": round(bf16_passes[len(bf16_passes) // 2], 1) if bf16_passes else None,
             "int8_median": round(int8_passes[len(int8_passes) // 2], 1) if int8_passes else None,
+            # model FLOP utilization vs the mode's v5e MXU peak (int8 = 2x bf16)
+            "bf16_mfu": bf16_mfu,
+            "int8_mfu": int8_mfu,
         }
 
     # ------------------------------------------------------ train throughput

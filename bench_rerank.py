@@ -97,7 +97,14 @@ def measure(configure_cache=True, quantize="none"):
         times.append(time.perf_counter() - start)
         assert all(np.isfinite(r).all() for r in results)
     measure.last_pass_dps = sorted(NUM_DOCS / t for t in times)  # for best+median reporting
-    return NUM_DOCS / min(times)
+    dps = NUM_DOCS / min(times)
+    # model FLOP utilization: matmul FLOPs per 256-token doc vs the v5e peak
+    # for the mode's MXU rate (int8 MACs run at 2x bf16 on v5e)
+    from bench_train import V5E_BF16_PEAK, bert_matmul_flops_per_seq
+
+    peak = V5E_BF16_PEAK * (2 if quantize == "int8" else 1)
+    measure.last_mfu = round(dps * bert_matmul_flops_per_seq(config, SEQLEN) / peak, 3)
+    return dps
 
 
 def main():

@@ -25,6 +25,19 @@ STEPS_PER_REP = 20
 if os.environ.get("BENCH_SMOKE"):  # CPU end-to-end validation of the bench logic
     BATCH_PAIRS, SEQLEN, STEPS_PER_REP = 2, 64, 2
 
+V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak, FLOP/s
+
+
+def bert_matmul_flops_per_seq(config, seqlen, train=False):
+    """Matmul FLOPs for one sequence through a BERT encoder (the MFU
+    numerator): per layer 4 H^2 projections + 2 H I FFN matmuls + the
+    2 L H attention score/context einsums, x2 (MAC=2 FLOPs), x3 for a train
+    step (forward + backward ~ 2x forward). Embeddings/LayerNorm/softmax are
+    not matmuls and are excluded — standard MFU accounting."""
+    H, I, L = config.hidden_size, config.intermediate_size, config.num_layers
+    per_token = 2 * (4 * H * H + 2 * H * I + 2 * seqlen * H) * L
+    return per_token * seqlen * (3 if train else 1)
+
 
 def measure(configure_cache=True, budget_s=90.0):
     """Returns the train section dict for the driver line."""
@@ -86,11 +99,16 @@ def measure(configure_cache=True, budget_s=90.0):
         reps.append(time.perf_counter() - t0)
     reps.sort()
     pairs_per_sec = STEPS_PER_REP * BATCH_PAIRS / reps[0]
+    seqs_per_sec = 2 * pairs_per_sec
+    flops_per_seq = bert_matmul_flops_per_seq(config, SEQLEN, train=True)
     return {
         "metric": "monobert_train_pairs_per_sec_per_chip",
         "pairs_per_sec": round(pairs_per_sec, 1),
-        "seqs_per_sec": round(2 * pairs_per_sec, 1),
+        "seqs_per_sec": round(seqs_per_sec, 1),
         "median_pairs_per_sec": round(STEPS_PER_REP * BATCH_PAIRS / reps[len(reps) // 2], 1),
+        # model FLOP utilization vs the v5e bf16 MXU peak (matmul FLOPs only)
+        "mfu": round(seqs_per_sec * flops_per_seq / V5E_BF16_PEAK, 3),
+        "tflops": round(seqs_per_sec * flops_per_seq / 1e12, 1),
         "config": f"bert-base L={SEQLEN} batch={BATCH_PAIRS}pairs bf16 adam hinge",
         "reps": len(reps),
     }
