@@ -110,7 +110,7 @@ class Int8Dense(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x_pre=None, fold_scales=None):
+    def __call__(self, x, x_pre=None, fold_scales=None, x_scales=None):
         kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
         kf = kernel
@@ -122,7 +122,12 @@ class Int8Dense(nn.Module):
         ws = jnp.maximum(jnp.max(jnp.abs(kf), axis=0, keepdims=True), 1e-8) / 127.0
         wq = jnp.round(kf / ws).astype(jnp.int8)
         if x_pre is not None:
-            xq, xs = x_pre, jnp.float32(1.0)
+            # pre-quantized input: per-input-channel scales arrive folded into
+            # the kernel (fold_scales), per-TOKEN scales arrive as x_scales —
+            # q/k/v share ONE quantization of the same hidden states instead
+            # of paying the abs/max/round/clip chain three times
+            xq = x_pre
+            xs = jnp.float32(1.0) if x_scales is None else x_scales
         else:
             xf = x.astype(jnp.float32)
             xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
@@ -131,6 +136,14 @@ class Int8Dense(nn.Module):
                                   preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * xs * ws + bias
         return out.astype(self.dtype)
+
+
+def _quantize_per_token(x):
+    """Dynamic per-token int8 quantization: returns (int8 values, f32 scales)."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127.0, 127.0).astype(jnp.int8)
+    return xq, xs
 
 
 class MoeFFN(nn.Module):
@@ -213,15 +226,26 @@ class BertSelfAttention(nn.Module):
         # bf16 (quantizing post-softmax probabilities measurably hurts ranking
         # fidelity for no bandwidth win at these shapes).
         if c.quantize == "int8":
+            # one shared per-token quantization of the hidden states feeds all
+            # three projections (the abs-max chain over [B, L, H] costs as much
+            # as the int8 MXU saving if paid per projection)
+            hq, hs = _quantize_per_token(hidden)
+
+            def qkv(name):
+                return Int8Dense(c.hidden_size, name=name, dtype=dtype)(hidden, x_pre=hq, x_scales=hs)
+
             def proj(name):
                 return Int8Dense(c.hidden_size, name=name, dtype=dtype)
         else:
+            def qkv(name):
+                return nn.Dense(c.hidden_size, name=name, dtype=dtype)(hidden)
+
             def proj(name):
                 return nn.Dense(c.hidden_size, name=name, dtype=dtype)
 
-        q = proj("query")(hidden)
-        k = proj("key")(hidden)
-        v = proj("value")(hidden)
+        q = qkv("query")
+        k = qkv("key")
+        v = qkv("value")
         if c.lora_rank > 0:
             # standard LoRA placement (q and v); up-projection starts at zero,
             # so step 0 is exactly the pretrained model
