@@ -898,8 +898,13 @@ class ScoringEngine:
                 shift *= 2
             first = jnp.concatenate([jnp.ones((qt, 1), bool), docv[:, 1:] != docv[:, :-1]], axis=1)
             merged = jnp.where(first & (merged > 0), merged, -1.0)
-            # rank: score desc, doc ord asc (Lucene docid tie-break)
-            _, docv, merged = jax.lax.sort((-merged, docv, merged), num_keys=2)
+            # rank: score desc, doc ord asc (Lucene docid tie-break). The
+            # sorted score is recovered by negating the key — carrying it as a
+            # third operand would drag another f32 array through every pass of
+            # the bitonic network for nothing (the k=1000 rank sort is the
+            # headline's biggest compute term, PERF.md round 5)
+            neg, docv = jax.lax.sort((-merged, docv), num_keys=2)
+            merged = -neg
             k = min(topk, width)
             top_scores = merged[:, :k]
             top_docs = jnp.where(top_scores > 0, docv[:, :k], d.num_docs)
