@@ -1464,12 +1464,25 @@ class ScoringEngine:
                     self._prune_tiles_ok[key] = ptiles
             if use_pruned and self._prune_tiles_ok.get(key) is False:
                 use_pruned = False
+            # prior: the last settled wall-clock verdict (this engine or an
+            # earlier process). It is a PRIOR, not a skip: streams long enough
+            # to afford the interleaved probe re-measure every time, so a
+            # verdict poisoned by a weather window during one probe heals on
+            # the next stream (r5 bench caught a persisted PRUNED verdict
+            # serving 0.68x exhaustive). The prior decides short streams and
+            # breaks within-noise ties.
             decided = self._prune_stream_effective.get(key) if adaptive else None
             if decided is None and adaptive and use_pruned:
                 decided = self._persisted_verdict("stream", key)
                 if decided is not None:
                     self._prune_stream_effective[key] = decided
-            if use_pruned and adaptive and decided is False:
+            prior = decided
+            # a probe needs spans even when the prior says exhaustive; only
+            # the structural tile verdict (handled above) kills the pruned
+            # path outright. Short streams honor the prior directly.
+            P = max(2, min(window, len(batches) // 4))
+            will_probe = use_pruned and adaptive and len(batches) >= 2 * P
+            if use_pruned and adaptive and prior is False and not will_probe:
                 use_pruned = False
 
             spans0 = None
@@ -1521,9 +1534,12 @@ class ScoringEngine:
             # batches still gets a wall-clock verdict, and capped at a QUARTER
             # of the stream so the probe can never consume a whole pass (the
             # r4 bench ran 8-batch passes with P=4: every adaptive pass was
-            # 100% probe, re-paid forever because ties never went sticky)
-            P = max(2, min(window, len(batches) // 4))
-            if use_pruned and adaptive and decided is None and len(batches) >= 2 * P:
+            # 100% probe, re-paid forever because ties never went sticky).
+            # The probe runs even over a settled prior: its batches are real
+            # output, its cost is bounded (~P/len of the stream in the losing
+            # mode), and it is the only mechanism that un-poisons a verdict
+            # recorded under different weather.
+            if will_probe and use_pruned:
                 # warm BOTH modes' executables on batch 0 UNTIMED first: a
                 # first compile over a remote-compile tunnel runs 20-40 s and
                 # would otherwise land inside a probe segment and lock a wrong
@@ -1567,23 +1583,24 @@ class ScoringEngine:
                 t_p = min(t_by[True])
                 # verdict rules (make adaptive UN-LOSABLE, VERDICT r4 weak #1):
                 #   clear margin either way -> sticky for the engine AND
-                #     persisted next to the index, so no later pass or process
-                #     ever re-probes a settled regime;
-                #   within the noise margin -> exhaustive (the safe baseline:
-                #     results are bit-identical and it pays no host bound work),
-                #     sticky for THIS engine; the tie is recorded on disk and
-                #     pruning is retired for the key after PRUNE_TIE_LIMIT
-                #     independent ties (one weather cliff must not retire a
-                #     genuinely-winning regime forever);
+                #     persisted next to the index (the prior for later streams
+                #     and processes — later probes refresh it, see above);
+                #   within the noise margin -> the settled prior if one
+                #     exists, else exhaustive (the safe baseline: results are
+                #     bit-identical and it pays no host bound work); with no
+                #     prior the tie is recorded and pruning is retired for the
+                #     key after PRUNE_TIE_LIMIT independent ties;
                 #   >3x ratio -> anomalous for a genuine mode difference (real
                 #     losses measure 0.6-0.9x) — almost certainly a residual
                 #     compile on an unseen tier bucket or a weather cliff
-                #     mid-probe — decide for this stream only, record nothing.
+                #     mid-probe — serve the prior (or this stream's winner),
+                #     record nothing.
                 self.last_stream_probe = (t_p, t_e)
                 ratio = max(t_p, t_e) / max(1e-9, min(t_p, t_e))
                 m = self.PRUNE_PROBE_MARGIN
                 if ratio >= 3.0:
-                    effective, label = t_p < t_e, "anomalous ratio, this stream only"
+                    effective = prior if prior is not None else (t_p < t_e)
+                    label = "anomalous ratio, this stream only"
                 elif t_p < (1.0 - m) * t_e:
                     effective, label = True, "PRUNING ON"
                     self._prune_stream_effective[key] = True
@@ -1592,6 +1609,8 @@ class ScoringEngine:
                     effective, label = False, "exhaustive"
                     self._prune_stream_effective[key] = False
                     self._record_verdict("stream", key, False)
+                elif prior is not None:
+                    effective, label = prior, "within noise, keeping settled verdict"
                 else:
                     effective, label = False, "exhaustive (within noise)"
                     self._prune_stream_effective[key] = False

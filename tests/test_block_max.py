@@ -537,3 +537,70 @@ def test_prune_stream_tie_goes_exhaustive_and_engine_sticky(monkeypatch, tmp_pat
     list(engine.search_pruned_stream(batches[:2], model="bm25", params=PARAMS,
                                      topk=10, materialize=False, window=2))
     assert calls == []
+
+
+def test_poisoned_persisted_verdict_heals(tmp_path, monkeypatch):
+    """A persisted wall-clock verdict is a PRIOR, not a skip: a verdict
+    recorded under one weather window (r5 bench: a probe locked PRUNED sticky,
+    steady state then served 0.68x exhaustive) must be re-measured by the next
+    stream's interleaved probe and flipped on a clear opposite margin — on
+    disk and in memory."""
+    import capreolus_tpu.searcher.scoring as sc
+
+    data, rng = _make_corpus(seed=23, clustered=True)
+    data.verdict_path = str(tmp_path / "v.json")
+    key = (10, PARAMS["k1"], PARAMS["b"])
+
+    seeder = ScoringEngine(DeviceIndex(data))
+    seeder._record_verdict("stream", key, True)  # poisoned: pruned "wins"
+
+    engine = ScoringEngine(DeviceIndex(data))
+    df = np.diff(data.term_offsets)
+    cands = np.where(df > 50)[0]
+    batches = [[[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
+                for _ in range(8)] for _ in range(8)]
+
+    # controlled clock: the wrapped search advances it per dispatched batch —
+    # pruned batches "cost" 1.2x exhaustive, a clear (>10%) non-anomalous
+    # (<3x) margin, immune to host timing noise
+    class FakeTime:
+        t = 0.0
+
+        @classmethod
+        def perf_counter(cls):
+            return cls.t
+
+    pruned_prebuilts = set()
+    orig_prep = engine._prepare_tiered
+
+    def tagging_prep(term_lists, model, max_postings=0, spans=None):
+        out = orig_prep(term_lists, model, max_postings, spans=spans)
+        if spans is not None:
+            pruned_prebuilts.add(id(out))
+        return out
+
+    orig_search = engine.search
+
+    def ticking_search(*a, **kw):
+        pb = kw.get("_prebuilt")
+        FakeTime.t += 0.012 if (pb is not None and id(pb) in pruned_prebuilts) else 0.010
+        return orig_search(*a, **kw)
+
+    engine._prepare_tiered = tagging_prep
+    engine.search = ticking_search
+    monkeypatch.setattr(sc.time, "perf_counter", FakeTime.perf_counter)
+
+    results = list(engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
+                                               topk=10, materialize=False, window=2))
+    assert len(results) == len(batches)
+    # healed: flipped to exhaustive in memory AND on disk
+    assert engine._prune_stream_effective.get(key) is False
+    fresh = ScoringEngine(DeviceIndex(data))
+    assert fresh._persisted_verdict("stream", key) is False
+    # results bit-identical throughout (mode never affects output)
+    ref = ScoringEngine(DeviceIndex(data))
+    for b, res in zip(batches, results):
+        ps, po = res.get()
+        es, eo = ref.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
