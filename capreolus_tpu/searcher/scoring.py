@@ -1248,7 +1248,7 @@ class ScoringEngine:
     # re-probing a settled regime (VERDICT r4: every adaptive pass re-paid the
     # probe because the verdict never went sticky). Lucene's analog: it never
     # serves a degraded mode while it re-decides — neither do we.
-    PRUNE_VERDICT_SCHEMA = 2
+    PRUNE_VERDICT_SCHEMA = 3
     # within-noise probes observed (across processes) before pruning is
     # permanently retired for the key: a tie means pruning cannot CLEARLY win,
     # and exhaustive is the safe baseline (results are bit-identical)
@@ -1256,6 +1256,17 @@ class ScoringEngine:
     # a mode must win by this margin for a verdict to stick (tunnel transfer
     # weather swings >2x on segment timescales, PERF.md)
     PRUNE_PROBE_MARGIN = 0.10
+    # short-stream exploration: streams below this batch count can't amortize
+    # an intra-stream probe (each 1-batch probe segment drains synchronously —
+    # one serialized fetch RTT — and submit-ahead hides host span contention;
+    # both biases measured in r5 bench diagnostics). They explore at the
+    # STREAM level instead: whole streams alternate modes at full speed.
+    PRUNE_LONG_STREAM = 32
+    # settled short-stream verdicts re-explore the opposite mode every Nth
+    # serve (bounded healing cost ~1/N in the worse mode when settled right)
+    PRUNE_RECHECK_EVERY = 8
+    # stream-level wall samples kept per mode (min over ring = mode cost)
+    PRUNE_SAMPLE_RING = 4
 
     def _verdict_path(self):
         td = getattr(self.dindex, "_tile_dir", None)
@@ -1305,18 +1316,94 @@ class ScoringEngine:
             vs[ks] = ent
         else:
             vs[ks] = {"verdict": bool(verdict), "ties": 0}
+        self._flush_verdicts()
+
+    def _flush_verdicts(self):
         p = self._verdict_path()
-        if p is None:
+        if p is None or self._prune_verdicts is None:
             return
         try:
             import json
 
             tmp = f"{p}.tmp{os.getpid()}"
             with open(tmp, "w") as f:
-                json.dump(vs, f, indent=0)
+                json.dump(self._prune_verdicts, f, indent=0)
             os.replace(tmp, p)
         except OSError:  # read-only index dir: verdicts stay in-memory only
             pass
+
+    def _verdict_entry(self, kind, key):
+        ent = self._load_verdicts().get(self._verdict_key(kind, key))
+        return dict(ent) if isinstance(ent, dict) else {}
+
+    def _store_verdict_entry(self, kind, key, ent):
+        self._load_verdicts()[self._verdict_key(kind, key)] = ent
+        self._flush_verdicts()
+
+    def _stream_mode_plan(self, key):
+        """Short-stream adaptive plan: (serve_pruned, record_sample).
+
+        Settled verdicts serve directly at full speed; every
+        PRUNE_RECHECK_EVERY-th serve explores the OPPOSITE mode and records a
+        fresh wall sample, so a verdict recorded under stale weather heals.
+        Unsettled regimes alternate whole streams between modes (exhaustive
+        first — the safe baseline) and record every wall: exploration IS
+        serving, so deciding costs nothing beyond running some streams in
+        what turns out to be the slower mode."""
+        ent = self._verdict_entry("stream", key)
+        verdict = ent.get("verdict")
+        if verdict is not None:
+            serves = ent.get("serves", 0) + 1
+            ent["serves"] = serves
+            self._store_verdict_entry("stream", key, ent)
+            if serves % self.PRUNE_RECHECK_EVERY == 0:
+                return (not verdict), True
+            if serves % self.PRUNE_RECHECK_EVERY == self.PRUNE_RECHECK_EVERY // 2:
+                # mid-cycle: refresh the SERVING mode's wall sample too, so
+                # flips compare fresh-vs-fresh (and a verdict seeded with no
+                # samples — e.g. a structural or migrated entry — can flip)
+                return bool(verdict), True
+            return bool(verdict), False
+        n = ent.get("explore_n", 0)
+        ent["explore_n"] = n + 1
+        self._store_verdict_entry("stream", key, ent)
+        return (n % 2 == 1), True
+
+    def _stream_level_record(self, key, served_pruned, per_batch_wall):
+        """Add a stream-level wall sample and (re)settle the verdict when both
+        modes have evidence: min-per-mode over the last PRUNE_SAMPLE_RING
+        samples, clear PRUNE_PROBE_MARGIN to decide, persistent overlap after
+        enough looks retires pruning to the safe baseline."""
+        ent = self._verdict_entry("stream", key)
+        samples = ent.setdefault("samples", {})
+        ring = samples.setdefault("p" if served_pruned else "e", [])
+        ring.append(round(float(per_batch_wall), 6))
+        del ring[: -self.PRUNE_SAMPLE_RING]
+        p, e = samples.get("p", []), samples.get("e", [])
+        m = self.PRUNE_PROBE_MARGIN
+        if len(p) >= 2 and len(e) >= 2:
+            tp, te = min(p), min(e)
+            new = None
+            if tp < (1.0 - m) * te:
+                new = True
+            elif te < (1.0 - m) * tp:
+                new = False
+            cur = ent.get("verdict")
+            if new is not None:
+                if new != cur:
+                    ent["verdict"] = new
+                    ent["serves"] = 0
+                    logger.info("pruned-stream verdict %s from stream-level walls "
+                                "(pruned min %.1f ms/batch vs exhaustive %.1f)",
+                                "PRUNING ON" if new else "exhaustive",
+                                tp * 1e3, te * 1e3)
+                self._prune_stream_effective[key] = new
+            elif cur is None and len(p) >= self.PRUNE_SAMPLE_RING and len(e) >= self.PRUNE_SAMPLE_RING:
+                # enough looks, no separation: exhaustive is the safe baseline
+                ent["verdict"] = False
+                ent["serves"] = 0
+                self._prune_stream_effective[key] = False
+        self._store_verdict_entry("stream", key, ent)
 
     def search_pruned(self, term_lists, model="bm25", params=None, topk=1000, **kw):
         """Exact block-max pruned search: free host-side thresholds + ONE pruned
@@ -1465,31 +1552,39 @@ class ScoringEngine:
             if use_pruned and self._prune_tiles_ok.get(key) is False:
                 use_pruned = False
             # prior: the last settled wall-clock verdict (this engine or an
-            # earlier process). It is a PRIOR, not a skip: streams long enough
-            # to afford the interleaved probe re-measure every time, so a
-            # verdict poisoned by a weather window during one probe heals on
-            # the next stream (r5 bench caught a persisted PRUNED verdict
-            # serving 0.68x exhaustive). The prior decides short streams and
-            # breaks within-noise ties.
+            # earlier process). It is a PRIOR, not a permanent skip — a
+            # verdict recorded under one weather window must not serve a
+            # losing mode forever (r5 bench caught a persisted PRUNED verdict
+            # serving 0.68x exhaustive). Two re-measurement regimes:
+            #   LONG streams (>= PRUNE_LONG_STREAM batches): the interleaved
+            #     intra-stream probe runs every stream (cost ~P/len) and the
+            #     prior breaks within-noise ties.
+            #   SHORT streams (the serving/bench shape): intra-stream probes
+            #     are structurally biased at this scale (1-batch segments
+            #     drain synchronously — a serialized fetch RTT each — and
+            #     submit-ahead hides host span contention; both measured in
+            #     r5 bench diagnostics), so exploration happens at the STREAM
+            #     level: unsettled regimes alternate whole streams between
+            #     modes at full speed and settle on min stream walls; settled
+            #     regimes serve directly and re-explore the opposite mode
+            #     every PRUNE_RECHECK_EVERY-th serve (_stream_mode_plan).
             decided = self._prune_stream_effective.get(key) if adaptive else None
             if decided is None and adaptive and use_pruned:
                 decided = self._persisted_verdict("stream", key)
                 if decided is not None:
                     self._prune_stream_effective[key] = decided
             prior = decided
-            # a probe needs spans even when the prior says exhaustive; only
-            # the structural tile verdict (handled above) kills the pruned
-            # path outright. Short streams honor the prior directly.
             P = max(2, min(window, len(batches) // 4))
-            will_probe = use_pruned and adaptive and len(batches) >= 2 * P
-            if use_pruned and adaptive and prior is False and not will_probe:
-                use_pruned = False
-
+            long_stream = len(batches) >= max(2 * P, self.PRUNE_LONG_STREAM)
+            will_probe = use_pruned and adaptive and long_stream
+            explore_record = False
+            # structural discovery (once per key): if the spans keep every
+            # tile, neither pipelined nor synchronous pruning can pay — settle
+            # all three verdicts on disk before any wall-clock machinery
             spans0 = None
-            if use_pruned:
+            if use_pruned and self._prune_tiles_ok.get(key) is None:
                 spans0 = self._build_prune_spans(batches[0], model, params, topk)
                 if spans0 is None:
-                    # no tile savings: neither pipelined nor synchronous pruning can pay
                     self._prune_tiles_ok[key] = False
                     self._prune_effective.setdefault(key, False)
                     self._prune_stream_effective[key] = False
@@ -1500,6 +1595,18 @@ class ScoringEngine:
                     use_pruned = False
                 else:
                     self._prune_tiles_ok[key] = True
+
+            if use_pruned and adaptive and not long_stream:
+                serve_pruned, explore_record = self._stream_mode_plan(key)
+                if not serve_pruned:
+                    use_pruned = False
+            # spans for batch 0 are only needed when the pruned path will
+            # actually run (serving pruned, exploring pruned, or the long
+            # probe); exhaustive-serving streams skip the build entirely
+            if use_pruned and spans0 is None:
+                spans0 = self._build_prune_spans(batches[0], model, params, topk)
+                if spans0 is None:  # query-mix shift: exhaustive this stream
+                    use_pruned = False
 
             ex = self._get_span_executor()
 
@@ -1530,29 +1637,29 @@ class ScoringEngine:
                 out.extend(fetch(p) for p in pend)
                 return out, time.perf_counter() - t0
 
-            # probe segment: shrunk for short streams so a stream of >= 4
-            # batches still gets a wall-clock verdict, and capped at a QUARTER
-            # of the stream so the probe can never consume a whole pass (the
-            # r4 bench ran 8-batch passes with P=4: every adaptive pass was
-            # 100% probe, re-paid forever because ties never went sticky).
-            # The probe runs even over a settled prior: its batches are real
-            # output, its cost is bounded (~P/len of the stream in the losing
-            # mode), and it is the only mechanism that un-poisons a verdict
-            # recorded under different weather.
+            def warm(mode_prune):
+                # warm a mode's executables on batch 0 UNTIMED: a first
+                # compile over a remote-compile tunnel runs 20-40 s and would
+                # otherwise land inside a timed segment and lock a wrong
+                # verdict in. Once per (key, mode) per engine.
+                wkey = (key, mode_prune)
+                if wkey in self._prune_warm:
+                    return
+                fetch(self.search(batches[0], model=model, params=params, topk=topk,
+                                  _prebuilt=prepare(batches[0], spans0 if mode_prune else None,
+                                                    mode_prune),
+                                  exact_topk=False, **kw))
+                self._prune_warm.add(wkey)
+
+            # probe segment (LONG streams): shrunk so the probe can never
+            # consume a whole pass (capped at a quarter; the r4 bench ran
+            # 8-batch passes with P=4: every adaptive pass was 100% probe).
+            # It runs even over a settled prior: its batches are real output,
+            # its cost is amortized over >= PRUNE_LONG_STREAM batches, and it
+            # un-poisons a verdict recorded under different weather.
             if will_probe and use_pruned:
-                # warm BOTH modes' executables on batch 0 UNTIMED first: a
-                # first compile over a remote-compile tunnel runs 20-40 s and
-                # would otherwise land inside a probe segment and lock a wrong
-                # sticky verdict in for the life of the engine. Once per
-                # (topk, params) per engine — later streams' executables are warm.
-                if key not in self._prune_warm:
-                    fetch(self.search(batches[0], model=model, params=params, topk=topk,
-                                      _prebuilt=prepare(batches[0], None, False),
-                                      exact_topk=False, **kw))
-                    fetch(self.search(batches[0], model=model, params=params, topk=topk,
-                                      _prebuilt=prepare(batches[0], spans0, True),
-                                      exact_topk=False, **kw))
-                    self._prune_warm.add(key)
+                warm(False)
+                warm(True)
                 # wall-clock A/B probe: both modes' host prep is submitted up
                 # front so the pruned segments' spans overlap the exhaustive
                 # segments' device time, mimicking steady-state pipelining.
@@ -1623,6 +1730,21 @@ class ScoringEngine:
                 start, do_prune = 2 * P, effective
             else:
                 start, do_prune = 0, use_pruned
+
+            if explore_record:
+                # stream-level exploration: run the WHOLE stream in the
+                # planned mode, pipelined exactly like steady state but with
+                # eager fetches so the wall (first dispatch -> last fetch) is
+                # a true mode cost; record it and (re)settle the verdict
+                warm(do_prune)
+                out, t = run_segment(range(start, len(batches)), do_prune,
+                                     [submit(i, do_prune)
+                                      for i in range(start, len(batches))])
+                n = max(1, len(batches) - start)
+                self._stream_level_record(key, do_prune, t / n)
+                for r in out:
+                    yield r
+                return
 
             # steady state: bounded look-ahead of host prep, windowed dispatch
             ahead = max(2 * window, 4)

@@ -361,7 +361,7 @@ def test_search_stream_wallclock_probe_sets_sticky_decision():
     df = np.diff(data.term_offsets)
     cands = np.where(df > 50)[0]
     batches = [[[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
-                for _ in range(8)] for _ in range(6)]  # >= 2*window+1 with window=2
+                for _ in range(8)] for _ in range(32)]  # >= PRUNE_LONG_STREAM: probe path
     key = (10, PARAMS["k1"], PARAMS["b"])
     pending = engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
                                           topk=10, materialize=False, window=2)
@@ -496,11 +496,13 @@ def test_prune_verdict_persistence(tmp_path):
     assert engine5._prune_effective.get(key) is False
 
 
-def test_prune_stream_tie_goes_exhaustive_and_engine_sticky(monkeypatch, tmp_path):
-    """A within-noise wall-clock probe serves exhaustive for the REST of the
-    stream and goes sticky for the engine's life (no '(not sticky)' re-probe on
-    later streams) — the r4 regression served the losing pruned mode and
-    re-paid the probe every pass."""
+def test_stream_level_alternation_settles_and_retires_on_tie(monkeypatch, tmp_path):
+    """Short streams (< PRUNE_LONG_STREAM batches) explore at the STREAM
+    level: unsettled regimes alternate whole streams between modes at full
+    speed (exploration IS serving — no intra-stream probe segments), record
+    stream walls, and retire pruning to the safe exhaustive baseline when
+    enough looks show no separation. Settled-False regimes never build
+    spans."""
     data, rng = _make_corpus(seed=22, clustered=True)
     data.verdict_path = str(tmp_path / "v.json")
     engine = ScoringEngine(DeviceIndex(data))
@@ -510,27 +512,36 @@ def test_prune_stream_tie_goes_exhaustive_and_engine_sticky(monkeypatch, tmp_pat
                 for _ in range(8)] for _ in range(8)]
     key = (10, PARAMS["k1"], PARAMS["b"])
 
-    # force the probe into the tie regime: equal segment walls
+    # frozen clock: every stream wall measures 0.0 -> permanent tie
     import capreolus_tpu.searcher.scoring as sc
 
-    real_pc = sc.time.perf_counter
     monkeypatch.setattr(sc.time, "perf_counter", lambda: 0.0)
-    try:
+    modes = []
+    orig_prep = engine._prepare_tiered
+
+    def spying_prep(term_lists, model, max_postings=0, spans=None):
+        modes.append(spans is not None)
+        return orig_prep(term_lists, model, max_postings, spans=spans)
+
+    engine._prepare_tiered = spying_prep
+    ref = ScoringEngine(DeviceIndex(data))
+    for stream_i in range(2 * ScoringEngine.PRUNE_SAMPLE_RING):
         results = list(engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
                                                    topk=10, materialize=False, window=2))
-    finally:
-        monkeypatch.setattr(sc.time, "perf_counter", real_pc)
-    assert len(results) == len(batches)
-    # tie -> exhaustive, sticky for this engine
-    assert engine._prune_stream_effective.get(key) is False
-    # results all bit-identical to exhaustive
-    for b, res in zip(batches, results):
-        ps, po = res.get()
-        es, eo = engine.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
+        assert len(results) == len(batches)
+        # bit-identical regardless of the explored mode
+        ps, po = results[0].get()
+        es, eo = ref.search(batches[0], model="bm25", params=PARAMS, topk=10,
+                            exact_topk=False)
         np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
         np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+    # both modes were actually explored
+    assert True in modes and False in modes
+    # enough tied looks -> retired to exhaustive, on disk and in memory
+    assert engine._prune_stream_effective.get(key) is False
+    assert engine._persisted_verdict("stream", key) is False
 
-    # the next stream does NOT probe again (build_prune_spans never called)
+    # a settled-False stream does no span building at all
     calls = []
     orig = engine._build_prune_spans
     engine._build_prune_spans = lambda *a, **k: calls.append(1) or orig(*a, **k)
@@ -542,9 +553,10 @@ def test_prune_stream_tie_goes_exhaustive_and_engine_sticky(monkeypatch, tmp_pat
 def test_poisoned_persisted_verdict_heals(tmp_path, monkeypatch):
     """A persisted wall-clock verdict is a PRIOR, not a skip: a verdict
     recorded under one weather window (r5 bench: a probe locked PRUNED sticky,
-    steady state then served 0.68x exhaustive) must be re-measured by the next
-    stream's interleaved probe and flipped on a clear opposite margin — on
-    disk and in memory."""
+    steady state then served 0.68x exhaustive) heals through the periodic
+    re-exploration serves — mid-cycle refreshes the serving mode's wall,
+    every PRUNE_RECHECK_EVERY-th serve measures the opposite mode, and a
+    clear margin flips the verdict on disk and in memory."""
     import capreolus_tpu.searcher.scoring as sc
 
     data, rng = _make_corpus(seed=23, clustered=True)
@@ -561,8 +573,8 @@ def test_poisoned_persisted_verdict_heals(tmp_path, monkeypatch):
                 for _ in range(8)] for _ in range(8)]
 
     # controlled clock: the wrapped search advances it per dispatched batch —
-    # pruned batches "cost" 1.2x exhaustive, a clear (>10%) non-anomalous
-    # (<3x) margin, immune to host timing noise
+    # pruned batches "cost" 1.2x exhaustive, a clear (>10%) margin immune to
+    # host timing noise
     class FakeTime:
         t = 0.0
 
@@ -582,25 +594,37 @@ def test_poisoned_persisted_verdict_heals(tmp_path, monkeypatch):
     orig_search = engine.search
 
     def ticking_search(*a, **kw):
+        # consume-once id check: each prebuilt is searched exactly once, and
+        # ids recycle after GC — a stale id would mislabel a later batch
         pb = kw.get("_prebuilt")
-        FakeTime.t += 0.012 if (pb is not None and id(pb) in pruned_prebuilts) else 0.010
+        pruned = pb is not None and id(pb) in pruned_prebuilts
+        if pruned:
+            pruned_prebuilts.discard(id(pb))
+        FakeTime.t += 0.012 if pruned else 0.010
         return orig_search(*a, **kw)
 
     engine._prepare_tiered = tagging_prep
     engine.search = ticking_search
     monkeypatch.setattr(sc.time, "perf_counter", FakeTime.perf_counter)
 
-    results = list(engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
-                                               topk=10, materialize=False, window=2))
-    assert len(results) == len(batches)
-    # healed: flipped to exhaustive in memory AND on disk
+    # two full recheck cycles: serves 4/8 record pruned/exhaustive walls,
+    # serves 12/16 refresh them -> both rings have >= 2 samples and the
+    # exhaustive min clearly beats the pruned min -> flip
+    ref = ScoringEngine(DeviceIndex(data))
+    flipped_at = None
+    for stream_i in range(2 * ScoringEngine.PRUNE_RECHECK_EVERY):
+        results = list(engine.search_pruned_stream(batches, model="bm25", params=PARAMS,
+                                                   topk=10, materialize=False, window=2))
+        assert len(results) == len(batches)
+        if flipped_at is None and engine._prune_stream_effective.get(key) is False:
+            flipped_at = stream_i
+        # spot-check bit-identity each stream
+        ps, po = results[-1].get()
+        es, eo = ref.search(batches[-1], model="bm25", params=PARAMS, topk=10,
+                            exact_topk=False)
+        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
+        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+    assert flipped_at is not None, "poisoned verdict never healed"
     assert engine._prune_stream_effective.get(key) is False
     fresh = ScoringEngine(DeviceIndex(data))
     assert fresh._persisted_verdict("stream", key) is False
-    # results bit-identical throughout (mode never affects output)
-    ref = ScoringEngine(DeviceIndex(data))
-    for b, res in zip(batches, results):
-        ps, po = res.get()
-        es, eo = ref.search(b, model="bm25", params=PARAMS, topk=10, exact_topk=False)
-        np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
-        np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
