@@ -529,7 +529,8 @@ class ScoringEngine:
         self._prune_tiles_ok = {}  # (topk, k1, b) -> sticky do-spans-drop-tiles (shared sync + stream)
         self._prune_stream_effective = {}  # (topk, k1, b) -> sticky does-PIPELINED-pruning-pay
         self._prune_verdicts = None  # lazy on-disk verdict store (disk-resident indexes)
-        self._prune_warm = set()  # (topk, k1, b) keys whose probe executables are warm
+        self._prune_warm = set()  # (key, mode) pairs whose executables are warm
+        self._sync_serves = {}  # per-key search_pruned calls under a settled verdict
         self._span_executor = None  # lazy worker pool for search_stream host prep
         self.last_stream_probe = None  # (t_pruned, t_exhaustive) of the last stream A/B
 
@@ -1417,7 +1418,7 @@ class ScoringEngine:
         corpora the host-side bound work can exceed the device work it saves
         even when tiles drop, and only the clock settles that. The decision is
         sticky per (topk, params)."""
-        import time as _time
+        _time = time  # module-level binding: tests control the probe clock
 
         params = dict(params or {"k1": 0.9, "b": 0.4})  # Anserini BM25 defaults
         key = (int(topk), float(params["k1"]), float(params["b"]))
@@ -1426,6 +1427,17 @@ class ScoringEngine:
             state = self._persisted_verdict("sync", key)
             if state is not None:
                 self._prune_effective[key] = state
+        prior = state
+        if state is not None and self._prune_tiles_ok.get(key) is not False:
+            # periodic healing (same rationale as the stream path): a verdict
+            # recorded under one weather window must not serve a losing mode
+            # forever; every 64th call under a settled verdict re-runs the A/B
+            # (cost: one extra batch) and a clear opposite margin flips it.
+            # Structural (tiles) verdicts are deterministic and never re-probe.
+            n = self._sync_serves.get(key, 0) + 1
+            self._sync_serves[key] = n
+            if n % (8 * self.PRUNE_RECHECK_EVERY) == 0:
+                state = None
         if state is False:
             return self.search(term_lists, model=model, params=params, topk=topk,
                                exact_topk=False, **kw)
@@ -1474,6 +1486,9 @@ class ScoringEngine:
             elif t_exh < (1.0 - m) * t_p_full:
                 effective, label = False, "exhaustive"
                 self._record_verdict("sync", key, False)
+            elif prior is not None:
+                # healing re-probe within noise: keep the settled verdict
+                effective, label = prior, "within noise, keeping settled verdict"
             else:
                 # within noise: exhaustive is the safe baseline (bit-identical
                 # results, no host bound-work); sticky for this engine, retired

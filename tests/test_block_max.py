@@ -628,3 +628,53 @@ def test_poisoned_persisted_verdict_heals(tmp_path, monkeypatch):
     assert engine._prune_stream_effective.get(key) is False
     fresh = ScoringEngine(DeviceIndex(data))
     assert fresh._persisted_verdict("stream", key) is False
+
+
+def test_sync_poisoned_verdict_heals(tmp_path, monkeypatch):
+    """search_pruned (the serving entry) heals too: every 64th call under a
+    settled verdict re-runs the A/B; a clear opposite margin flips the
+    verdict, a within-noise re-probe keeps it."""
+    import capreolus_tpu.searcher.scoring as sc
+
+    data, rng = _make_corpus(seed=24, clustered=True)
+    data.verdict_path = str(tmp_path / "v.json")
+    key = (10, PARAMS["k1"], PARAMS["b"])
+    seeder = ScoringEngine(DeviceIndex(data))
+    seeder._record_verdict("sync", key, True)  # poisoned: pruned "wins"
+
+    engine = ScoringEngine(DeviceIndex(data))
+    engine._prune_tiles_ok[key] = True  # tiles known good (clustered corpus)
+    df = np.diff(data.term_offsets)
+    cands = np.where(df > 50)[0]
+    batch = [[(int(t), 1.0) for t in rng.choice(cands, size=4, replace=False)]
+             for _ in range(8)]
+
+    class FakeTime:
+        t = 0.0
+
+        @classmethod
+        def perf_counter(cls):
+            return cls.t
+
+    orig_search = engine.search
+
+    def ticking_search(*a, **kw):
+        FakeTime.t += 0.012 if kw.get("prune_spans") is not None else 0.010
+        return orig_search(*a, **kw)
+
+    engine.search = ticking_search
+    monkeypatch.setattr(sc.time, "perf_counter", FakeTime.perf_counter)
+    monkeypatch.setattr(sc, "_time", sc.time, raising=False)
+
+    period = 8 * ScoringEngine.PRUNE_RECHECK_EVERY
+    for i in range(period):
+        ps, po = engine.search_pruned(batch, model="bm25", params=PARAMS, topk=10)
+    # the 64th call re-probed: pruned (0.012 + span host cost) lost clearly
+    assert engine._prune_effective.get(key) is False
+    fresh = ScoringEngine(DeviceIndex(data))
+    assert fresh._persisted_verdict("sync", key) is False
+    # results stay bit-identical to exhaustive
+    es, eo = ScoringEngine(DeviceIndex(data)).search(batch, model="bm25", params=PARAMS,
+                                                     topk=10, exact_topk=False)
+    np.testing.assert_array_equal(np.asarray(es), np.asarray(ps))
+    np.testing.assert_array_equal(np.asarray(eo), np.asarray(po))
