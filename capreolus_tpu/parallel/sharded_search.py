@@ -177,9 +177,12 @@ class ShardedDeviceIndex:
 
 
 def sharded_search(sindex: ShardedDeviceIndex, work_units, num_queries: int, topk: int,
-                   model: str = "bm25", params: dict = None):
+                   model: str = "bm25", params: dict = None, materialize: bool = True):
     """shard_map scoring (any model): local sort-based top-k per shard, then
-    allgather-merge over ICI. Returns (scores [Q, topk], global doc ordinals).
+    allgather-merge over ICI. Returns (scores [Q, topk], global doc ordinals) —
+    numpy when ``materialize`` (blocking), device arrays otherwise so a
+    pipelining caller (serving search_async) can dispatch the next batch while
+    this one's results cross the link.
     """
     params = {k: jnp.asarray(v, jnp.float32) for k, v in dict(params or {}).items()}
     packed, uw, r_max = work_units
@@ -254,6 +257,8 @@ def sharded_search(sindex: ShardedDeviceIndex, work_units, num_queries: int, top
     units_sharded = jax.device_put(packed, NamedSharding(mesh, P(axis)))
     scores, ords = jax.jit(fn)(sindex.doc_tiles, sindex.tf_tiles, dl_tiles_all, units_sharded)
     # every shard holds the same merged result; take shard 0's copy
+    if not materialize:
+        return scores[0], ords[0]
     return np.asarray(scores[0]), np.asarray(ords[0])
 
 

@@ -129,9 +129,7 @@ class Int8Dense(nn.Module):
             xq = x_pre
             xs = jnp.float32(1.0) if x_scales is None else x_scales
         else:
-            xf = x.astype(jnp.float32)
-            xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
-            xq = jnp.clip(jnp.round(xf / xs), -127.0, 127.0).astype(jnp.int8)
+            xq, xs = _quantize_per_token(x)
         acc = jax.lax.dot_general(xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * xs * ws + bias

@@ -1308,15 +1308,16 @@ class ScoringEngine:
         regime that repeatedly fails to show a clear win never will."""
         vs = self._load_verdicts()
         ks = self._verdict_key(kind, key)
+        old = vs.get(ks)
+        ent = dict(old) if isinstance(old, dict) else {}  # keep samples/serves
         if tie:
-            ent = vs.get(ks)
-            ties = (ent.get("ties", 0) if isinstance(ent, dict) else 0) + 1
-            ent = {"ties": ties}
-            if ties >= self.PRUNE_TIE_LIMIT:
+            ent["ties"] = ent.get("ties", 0) + 1
+            if ent["ties"] >= self.PRUNE_TIE_LIMIT:
                 ent["verdict"] = False
-            vs[ks] = ent
         else:
-            vs[ks] = {"verdict": bool(verdict), "ties": 0}
+            ent["verdict"] = bool(verdict)
+            ent["ties"] = 0
+        vs[ks] = ent
         self._flush_verdicts()
 
     def _flush_verdicts(self):
@@ -1337,9 +1338,13 @@ class ScoringEngine:
         ent = self._load_verdicts().get(self._verdict_key(kind, key))
         return dict(ent) if isinstance(ent, dict) else {}
 
-    def _store_verdict_entry(self, kind, key, ent):
+    def _store_verdict_entry(self, kind, key, ent, flush=True):
+        """``flush=False`` updates the in-memory store only — counter-only
+        bumps (serves/explore_n) don't need a JSON rewrite per stream; the
+        next verdict-bearing store (or a cycle-point bump) flushes them."""
         self._load_verdicts()[self._verdict_key(kind, key)] = ent
-        self._flush_verdicts()
+        if flush:
+            self._flush_verdicts()
 
     def _stream_mode_plan(self, key):
         """Short-stream adaptive plan: (serve_pruned, record_sample).
@@ -1356,7 +1361,10 @@ class ScoringEngine:
         if verdict is not None:
             serves = ent.get("serves", 0) + 1
             ent["serves"] = serves
-            self._store_verdict_entry("stream", key, ent)
+            at_cycle = serves % self.PRUNE_RECHECK_EVERY in (
+                0, self.PRUNE_RECHECK_EVERY // 2)
+            # counter-only bumps skip the per-stream JSON rewrite
+            self._store_verdict_entry("stream", key, ent, flush=at_cycle)
             if serves % self.PRUNE_RECHECK_EVERY == 0:
                 return (not verdict), True
             if serves % self.PRUNE_RECHECK_EVERY == self.PRUNE_RECHECK_EVERY // 2:
@@ -1367,7 +1375,7 @@ class ScoringEngine:
             return bool(verdict), False
         n = ent.get("explore_n", 0)
         ent["explore_n"] = n + 1
-        self._store_verdict_entry("stream", key, ent)
+        self._store_verdict_entry("stream", key, ent, flush=False)  # sample follows
         return (n % 2 == 1), True
 
     def _stream_level_record(self, key, served_pruned, per_batch_wall):
@@ -1460,21 +1468,27 @@ class ScoringEngine:
                             / max(1, self.last_prune_stats["total_tiles"]))
                 self._prune_effective[key] = False
                 self._prune_tiles_ok[key] = False
-                # structural, not weather: no tile savings means pruning cannot
-                # win by construction — settle it on disk immediately
-                self._record_verdict("sync", key, False)
-                self._record_verdict("tiles", key, False)
+                # structural for THIS engine's workload — but the span
+                # thresholds depend on the probe batch's query mix, so the
+                # PERSISTED retire needs two independent observations
+                # (tie-style): one atypical batch must not disable pruning
+                # for every future process
+                self._record_verdict("sync", key, tie=True)
+                self._record_verdict("tiles", key, tie=True)
                 return self.search(term_lists, model=model, params=params, topk=topk,
                                    exact_topk=False, **kw)
             self._prune_tiles_ok[key] = True
-            # warm both executables first so first-compile time (tens of
-            # seconds over a remote-compile tunnel) can't poison the A/B
             run_pruned = lambda: self.search(term_lists, model=model, params=params, topk=topk,
                                              prune_spans=spans, exact_topk=False, **kw)
             run_exh = lambda: self.search(term_lists, model=model, params=params, topk=topk,
                                           exact_topk=False, **kw)
-            timed(run_pruned)
-            timed(run_exh)
+            if prior is None:
+                # warm both executables first so first-compile time (tens of
+                # seconds over a remote-compile tunnel) can't poison the A/B.
+                # A healing re-probe (settled prior, 64 serves in) runs on
+                # warm executables — re-warming would double its cost.
+                timed(run_pruned)
+                timed(run_exh)
             # probe 2: A/B the true cost (device dispatch + fetch, synchronous)
             r_prune, t_prune = timed(run_pruned)
             _, t_exh = timed(run_exh)
@@ -1603,10 +1617,14 @@ class ScoringEngine:
                     self._prune_tiles_ok[key] = False
                     self._prune_effective.setdefault(key, False)
                     self._prune_stream_effective[key] = False
-                    if adaptive:  # structural — settle on disk immediately
-                        self._record_verdict("tiles", key, False)
-                        self._record_verdict("stream", key, False)
-                        self._record_verdict("sync", key, False)
+                    if adaptive:
+                        # structural for this engine; persisted retire needs a
+                        # SECOND independent observation (the span thresholds
+                        # depend on this batch's query mix — one atypical
+                        # batch must not disable pruning for every process)
+                        self._record_verdict("tiles", key, tie=True)
+                        self._record_verdict("stream", key, tie=True)
+                        self._record_verdict("sync", key, tie=True)
                     use_pruned = False
                 else:
                     self._prune_tiles_ok[key] = True

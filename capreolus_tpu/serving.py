@@ -181,7 +181,8 @@ class RetrievalService:
             term_lists = [self._analyze(q, host.vocab) for q in batch]
             units = sindex.build_work_units(term_lists, model=self.model)
             scores, ords = sharded_search(sindex, units, num_queries=len(batch),
-                                          topk=k, model=self.model, params=self.params)
+                                          topk=k, model=self.model, params=self.params,
+                                          materialize=False)
             for arr in (scores, ords):
                 if hasattr(arr, "copy_to_host_async"):
                     arr.copy_to_host_async()

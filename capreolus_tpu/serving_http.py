@@ -60,6 +60,8 @@ class ServingStats:
         self.errors = 0
         self.hedges = 0
         self.hedge_wins = 0
+        self._p50_cache = None
+        self._p50_at = 0
 
     def record_hedge(self, backup_won: bool = False):
         with self._lock:
@@ -69,12 +71,17 @@ class ServingStats:
 
     def service_p50(self, min_samples: int = 8) -> Optional[float]:
         """Rolling median collect duration (seconds); None until enough
-        history exists to set a meaningful hedge deadline."""
+        history exists to set a meaningful hedge deadline. Recomputed at most
+        every 16 batches — this is read on the collect hot path and a
+        hedge deadline does not need per-batch precision."""
         with self._lock:
             if len(self._svc) < min_samples:
                 return None
-            xs = sorted(self._svc)
-            return xs[len(xs) // 2]
+            if self._p50_cache is None or self.batches - self._p50_at >= 16:
+                xs = sorted(self._svc)
+                self._p50_cache = xs[len(xs) // 2]
+                self._p50_at = self.batches
+            return self._p50_cache
 
     def record_batch(self, n_queries: int, seconds: float,
                      service_seconds: Optional[float] = None):
@@ -244,13 +251,28 @@ class MicroBatcher:
                 except Exception:
                     logger.exception("hedge re-dispatch failed; waiting on primary")
                 if backup_dispatched:
+                    # first finisher wins; poll interval escalates after 1 s —
+                    # real stalls run seconds-to-minutes (CLAUDE.md), so a
+                    # tight spin buys nothing past the first second
+                    poll, waited = 0.005, 0.0
                     while True:
-                        if primary["done"].wait(0.005):
+                        if primary["done"].wait(poll):
                             winner = primary
                             break
                         if backup["done"].is_set():
                             winner = backup
                             break
+                        waited += poll
+                        if waited >= 1.0:
+                            poll = 0.05
+                    # prefer a SUCCESSFUL result: if the first finisher
+                    # errored (e.g. the hedge hit a transient transport
+                    # error) and the other leg is still in flight, give it a
+                    # bounded chance to deliver before failing the batch
+                    if winner["error"] is not None:
+                        other = backup if winner is primary else primary
+                        if other["done"].wait(30.0) and other["error"] is None:
+                            winner = other
                 else:
                     primary["done"].wait()
                 self.stats.record_hedge(backup_won=winner is not primary)

@@ -320,25 +320,33 @@ def iterate_trecweb_docs(path):
     in_hdr = False
     seen_hdr = False
     html_lines = []
+    pre_lines = []  # content seen before any DOCHDR (used only if none appears)
 
     with _open_maybe_gz(path) as f:
         for line in f:
             stripped = line.strip()
             low = stripped.lower()
             if low.startswith("<doc>"):
-                docid, in_hdr, seen_hdr, html_lines = None, False, False, []
+                docid, in_hdr, seen_hdr = None, False, False
+                html_lines, pre_lines = [], []
             elif low.startswith("</doc>"):
                 if docid is not None:
-                    yield docid, html_to_text("\n".join(html_lines))
+                    # a DOC without a DOCHDR block is legal in the wild and
+                    # Anserini indexes its content; only lines INSIDE a DOCHDR
+                    # (URL + HTTP headers) are ever dropped
+                    body = html_lines if seen_hdr else pre_lines
+                    yield docid, html_to_text("\n".join(body))
                 docid = None
             elif low.startswith("<docno>"):
                 docid = stripped[len("<docno>"):].replace("</DOCNO>", "").replace("</docno>", "").strip()
+            elif low.startswith("<docoldno>"):
+                continue  # WT2g/WT10g metadata, never content
             elif low.startswith("<dochdr>"):
                 in_hdr = True
             elif low.startswith("</dochdr>"):
                 in_hdr, seen_hdr = False, True
-            elif docid is not None and seen_hdr and not in_hdr:
-                html_lines.append(line.rstrip("\n"))
+            elif docid is not None and not in_hdr:
+                (html_lines if seen_hdr else pre_lines).append(line.rstrip("\n"))
 
 
 def iterate_jsonl_docs(path, id_field="id", content_fields=("contents",)):

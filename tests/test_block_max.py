@@ -441,10 +441,11 @@ def test_pruned_stream_bit_identical_and_pipelined():
 
 def test_prune_verdict_persistence(tmp_path):
     """Settled pruning A/B verdicts persist next to the index (VERDICT r4 #1):
-    a clear-margin or structural verdict written by one engine is honored by a
-    FRESH engine (and a fresh process) without re-probing; within-noise ties
-    serve exhaustive for the engine's life and retire pruning on disk after
-    PRUNE_TIE_LIMIT independent ties."""
+    a structural (no-tile-savings) retire needs TWO independent engines'
+    observations before persisting — the span thresholds depend on one batch's
+    query mix, so a single atypical batch must not disable pruning for every
+    future process — after which a FRESH engine skips span building entirely;
+    within-noise ties retire after PRUNE_TIE_LIMIT independent looks."""
     data, rng = _make_corpus(seed=21, clustered=False)  # random: structural no-savings
     data.verdict_path = str(tmp_path / "v.json")
     engine = ScoringEngine(DeviceIndex(data))
@@ -460,6 +461,15 @@ def test_prune_verdict_persistence(tmp_path):
     import os
 
     assert os.path.exists(data.verdict_path)
+    vs = json.load(open(data.verdict_path))
+    # ONE observation: recorded but not yet settled on disk
+    assert not any(v.get("verdict") is False for v in vs.values())
+    assert any(v.get("ties", 0) == 1 for v in vs.values())
+
+    # a SECOND fresh engine makes its own structural observation -> retires
+    engineb = ScoringEngine(DeviceIndex(data))
+    list(engineb.search_pruned_stream(batches, model="bm25", params=PARAMS,
+                                      topk=10, materialize=False))
     vs = json.load(open(data.verdict_path))
     assert any(v.get("verdict") is False for v in vs.values())
 

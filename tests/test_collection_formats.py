@@ -110,3 +110,12 @@ def test_html_to_text_edge_cases():
     # style is raw text per HTML5: the first </style> closes it ("a<style>b"
     # is dropped as CSS), trailing text is kept — Jsoup agrees
     assert html_to_text("<style>a<style>b</style>c</style>ok") == "c ok"
+
+
+def test_trecweb_doc_without_dochdr(tmp_path):
+    """A DOC with no DOCHDR block is legal in the wild and Anserini indexes
+    its content; only DOCHDR lines (URL + HTTP headers) are ever dropped."""
+    fn = tmp_path / "nohdr.txt"
+    fn.write_text("<DOC>\n<DOCNO>WX-1</DOCNO>\n<DOCOLDNO>OLD-9</DOCOLDNO>\n"
+                  "hello <b>web</b> world\n</DOC>\n", encoding="utf-8")
+    assert list(iterate_trecweb_docs(fn)) == [("WX-1", "hello web world")]
