@@ -658,3 +658,50 @@ def test_micro_batcher_hedges_stalled_collect():
     assert snap["hedges"] == 1 and snap["hedge_wins"] == 1
     stall.set()
     batcher.close()
+
+
+def test_micro_batcher_hedge_prefers_successful_result():
+    """A fast-FAILING backup must not fail the batch while the primary is
+    still in flight: the hedged collect waits (bounded) for the other leg and
+    delivers the successful result."""
+    import threading as _threading
+
+    from capreolus_tpu.serving_http import MicroBatcher
+
+    release_primary = _threading.Event()
+    dispatches = []
+
+    class StallThenSucceed:
+        batch_size = 1
+
+        def search_async(self, queries, k=10):
+            qs = list(queries)
+            n = len(dispatches)
+            dispatches.append(tuple(qs))
+
+            def collect():
+                if n >= 8 and n % 2 == 0:
+                    # primary of the hedged pair: stalls until released, then
+                    # succeeds
+                    release_primary.wait(10.0)
+                    return [[(q.upper(), float(k))] for q in qs]
+                if n >= 8:
+                    # the hedge re-dispatch: fails fast
+                    raise RuntimeError("transient transport error")
+                return [[(q.upper(), float(k))] for q in qs]
+
+            return collect
+
+    batcher = MicroBatcher(StallThenSucceed(), window_ms=0.0, max_batch=1,
+                           pipeline_depth=1, hedge_factor=3.0, hedge_floor_ms=30.0)
+    for i in range(8):  # build p50 history
+        assert batcher.search(f"w{i}", k=1) == [(f"W{i}", 1.0)]
+
+    # dispatch 8 stalls -> hedge (dispatch 9) fails fast -> the batcher must
+    # keep waiting for the primary, which we release shortly after
+    _threading.Timer(0.3, release_primary.set).start()
+    out = batcher.search("rescued", k=1)
+    assert out == [("RESCUED", 1.0)]
+    assert batcher.stats.hedges == 1
+    assert batcher.stats.errors == 0  # nothing failed from the client's view
+    batcher.close()
