@@ -1291,7 +1291,12 @@ class ScoringEngine:
                     import json
 
                     with open(p) as f:
-                        self._prune_verdicts = json.load(f)
+                        loaded = json.load(f)
+                    # drop stale-schema keys: they can never be read again and
+                    # would otherwise be rewritten by every flush forever
+                    pre = f"v{self.PRUNE_VERDICT_SCHEMA}:"
+                    self._prune_verdicts = {k: v for k, v in loaded.items()
+                                            if k.startswith(pre)}
                 except (OSError, ValueError):
                     self._prune_verdicts = {}
         return self._prune_verdicts
@@ -1402,6 +1407,10 @@ class ScoringEngine:
                 if new != cur:
                     ent["verdict"] = new
                     ent["serves"] = 0
+                    # wall-clock evidence supersedes accumulated structural/tie
+                    # strikes — without this reset, one later tie observation
+                    # could retire a verdict the clock just settled
+                    ent["ties"] = 0
                     logger.info("pruned-stream verdict %s from stream-level walls "
                                 "(pruned min %.1f ms/batch vs exhaustive %.1f)",
                                 "PRUNING ON" if new else "exhaustive",
@@ -1436,16 +1445,24 @@ class ScoringEngine:
             if state is not None:
                 self._prune_effective[key] = state
         prior = state
-        if state is not None and self._prune_tiles_ok.get(key) is not False:
+        if (state is not None and self._prune_tiles_ok.get(key) is not False
+                and self._persisted_verdict("tiles", key) is not False):
             # periodic healing (same rationale as the stream path): a verdict
             # recorded under one weather window must not serve a losing mode
             # forever; every 64th call under a settled verdict re-runs the A/B
             # (cost: one extra batch) and a clear opposite margin flips it.
-            # Structural (tiles) verdicts are deterministic and never re-probe.
+            # Structural (tiles) verdicts are deterministic and never re-probe
+            # — checked on disk too, so a fresh process doesn't re-pay span
+            # builds on a structurally-retired key.
             n = self._sync_serves.get(key, 0) + 1
             self._sync_serves[key] = n
             if n % (8 * self.PRUNE_RECHECK_EVERY) == 0:
                 state = None
+        if state is not None:
+            # a settled fast path only ever runs ONE mode's executables;
+            # remember which, so a later healing re-probe knows the other
+            # mode still needs an untimed warm-up run
+            self._prune_warm.add((key, bool(state)))
         if state is False:
             return self.search(term_lists, model=model, params=params, topk=topk,
                                exact_topk=False, **kw)
@@ -1482,19 +1499,30 @@ class ScoringEngine:
                                              prune_spans=spans, exact_topk=False, **kw)
             run_exh = lambda: self.search(term_lists, model=model, params=params, topk=topk,
                                           exact_topk=False, **kw)
-            if prior is None:
-                # warm both executables first so first-compile time (tens of
-                # seconds over a remote-compile tunnel) can't poison the A/B.
-                # A healing re-probe (settled prior, 64 serves in) runs on
-                # warm executables — re-warming would double its cost.
-                timed(run_pruned)
-                timed(run_exh)
+            # warm each NOT-YET-WARM mode's executables first so first-compile
+            # time (tens of seconds over a remote-compile tunnel) can't poison
+            # the A/B. A healing re-probe in a fresh process has only ever run
+            # the settled mode — the opposite executable may still be cold.
+            for mode, run in ((True, run_pruned), (False, run_exh)):
+                if (key, mode) not in self._prune_warm:
+                    timed(run)
+                    self._prune_warm.add((key, mode))
             # probe 2: A/B the true cost (device dispatch + fetch, synchronous)
             r_prune, t_prune = timed(run_pruned)
             _, t_exh = timed(run_exh)
             t_p_full = t_prune + host_cost
             m = self.PRUNE_PROBE_MARGIN
-            if t_p_full < (1.0 - m) * t_exh:
+            ratio = max(t_p_full, t_exh) / max(1e-9, min(t_p_full, t_exh))
+            stick = True
+            if ratio >= 3.0:
+                # anomalous for a genuine mode difference (real gaps measure
+                # 0.6-0.9x): a residual compile or weather cliff mid-probe —
+                # serve the prior (or this call's winner), record nothing,
+                # and don't go sticky on a suspicious measurement
+                effective = prior if prior is not None else (t_p_full < t_exh)
+                label = "anomalous ratio, this call only"
+                stick = prior is not None
+            elif t_p_full < (1.0 - m) * t_exh:
                 effective, label = True, "PRUNING ON"
                 self._record_verdict("sync", key, True)
             elif t_exh < (1.0 - m) * t_p_full:
@@ -1509,7 +1537,8 @@ class ScoringEngine:
                 # on disk after PRUNE_TIE_LIMIT independent ties
                 effective, label = False, "exhaustive (within noise)"
                 self._record_verdict("sync", key, tie=True)
-            self._prune_effective[key] = effective
+            if stick:
+                self._prune_effective[key] = effective
             logger.info("block-max pruning A/B probe: pruned %.1f ms (+%.1f ms host) vs "
                         "exhaustive %.1f ms -> %s", t_prune * 1e3, host_cost * 1e3,
                         t_exh * 1e3, label)
